@@ -1,0 +1,332 @@
+"""Core relational queries: scan → filter → project → aggregate.
+
+Covers SURVEY.md §2b rows "Projection / filter" and "Aggregations", plus
+the reference's canonical word-count pipeline
+(/root/reference/motorway/tests/sample_pipeline.py:41-56: sentence →
+split → per-word count) re-expressed as explode/split/groupBy over the
+``documents`` fixture.
+
+Scale notes: every query here is a single scan + single hash aggregate —
+partial (map-side) aggregation is automatic in Catalyst, so the shuffle
+carries only group keys × partial states, not rows. Filters are plain
+column predicates → pushed to the parquet reader (PushedFilters), and
+only referenced columns are read (ReadSchema pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from motorway_spark.catalog import Catalog
+from motorway_spark.queries.registry import query
+from motorway_spark.queries.helpers import dec, dsum, davg, sql_dsum, sql_davg
+
+
+# ---------------------------------------------------------------------------
+# Word count — the reference's canonical pipeline (batch form).
+# ---------------------------------------------------------------------------
+@query(
+    "wordcount",
+    oracle="""
+    SELECT word, COUNT(*) AS cnt
+    FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sentence → split → groupBy(word).count().
+
+    Reference: motorway/tests/sample_pipeline.py:41-56 (SentenceSplit +
+    WordCount intersections with HashRingGrouper). The grouper's
+    consistent-hash routing becomes the hash exchange under groupBy.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style pricing summary (Q1 shape) — flagship aggregate query.
+# ---------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      {sql_dsum('l_quantity', 'sum_qty')},
+      {sql_dsum('l_extendedprice', 'sum_base_price')},
+      {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+      {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+      {sql_davg('l_quantity', 'avg_qty')},
+      {sql_davg('l_extendedprice', 'avg_price')},
+      {sql_davg('l_discount', 'avg_disc')},
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    disc_price = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    charge = dec(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.round(F.sum(disc_price).cast("double"), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge).cast("double"), 4).alias("sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: tight filter + single global aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount', 'revenue')}, COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(dec(F.col("l_extendedprice") * F.col("l_discount"))).cast("double"), 4
+            ).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection / filter coverage: comparison, isin, like, null-safe, between.
+# ---------------------------------------------------------------------------
+@query(
+    "filter_project",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           o_totalprice,
+           upper(o_orderpriority) AS priority_uc,
+           o_totalprice > 100000 AS is_big
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F')
+      AND o_orderpriority LIKE '1-%'
+      AND o_totalprice BETWEEN 1000 AND 200000
+      AND o_custkey IS NOT NULL
+    """,
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = Catalog(spark, sf_dir).orders
+    return (
+        orders.filter(
+            F.col("o_orderstatus").isin("O", "F")
+            & F.col("o_orderpriority").like("1-%")
+            & F.col("o_totalprice").between(1000, 200000)
+            & F.col("o_custkey").isNotNull()
+        )
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.upper("o_orderpriority").alias("priority_uc"),
+            (F.col("o_totalprice") > 100000).alias("is_big"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional expressions: CASE WHEN / coalesce / nullif.
+# ---------------------------------------------------------------------------
+@query(
+    "case_when",
+    oracle="""
+    SELECT
+      o_orderkey,
+      CASE WHEN o_totalprice < 50000 THEN 'small'
+           WHEN o_totalprice < 150000 THEN 'medium'
+           ELSE 'large' END AS bucket,
+      COALESCE(NULLIF(o_orderstatus, 'P'), 'pending-like') AS status_norm
+    FROM orders
+    """,
+)
+def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = Catalog(spark, sf_dir).orders
+    return orders.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+        .alias("bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("pending-like")).alias(
+            "status_norm"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation coverage.
+# ---------------------------------------------------------------------------
+@query(
+    "agg_basic",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      COUNT(*) AS n_rows,
+      COUNT(DISTINCT l_suppkey) AS n_supp,
+      MIN(l_quantity) AS min_qty,
+      MAX(l_quantity) AS max_qty,
+      {sql_dsum('l_extendedprice', 'sum_price')},
+      {sql_davg('l_discount', 'avg_disc')}
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        dsum("l_extendedprice", "sum_price"),
+        davg("l_discount", "avg_disc"),
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      ROUND(stddev_samp(o_totalprice), 4) AS sd_price,
+      ROUND(var_samp(o_totalprice), 2) AS var_price,
+      ROUND(stddev_pop(o_totalprice), 4) AS sdp_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/variance; sample + population forms.
+
+    Rounded: Welford vs naive accumulation differ in the last ulps, and
+    these are second-moment statistics where exact decimal tricks don't
+    apply — rounding to 4dp is the cross-engine contract here.
+    """
+    orders = Catalog(spark, sf_dir).orders
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("o_totalprice"), 2).alias("var_price"),
+        F.round(F.stddev_pop("o_totalprice"), 4).alias("sdp_price"),
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(n_name)), ',') AS nations,
+           array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations_set
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list / collect_set, canonicalized by sorting + joining
+    (collection order is nondeterministic in any parallel engine)."""
+    nation = Catalog(spark, sf_dir).nation
+    return nation.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+        F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations_set"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, {sql_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum("l_quantity", "sum_qty")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, {sql_dsum('l_extendedprice', 'sum_price')}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum("l_extendedprice", "sum_price")
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentile (both engines use linear interpolation)."""
+    orders = Catalog(spark, sf_dir).orders
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+    )
+
+
+@query("agg_approx_distinct")  # no oracle: HLL sketches differ per engine by design
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the scale path for
+    distinct-counting 100 TB; rows-only check (sketch estimates are
+    engine-specific, so no cross-engine value oracle is possible)."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders")
+    )

@@ -1,0 +1,62 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs ``local[N]`` in one JVM; the same config block is what
+we would ship to a 1000-executor cluster — AQE owns runtime re-planning
+(join strategy switching, skew splitting, partition coalescing), so the
+static settings below are deliberately few.
+
+Key choices, each motivated by the 100 TB design point:
+
+- ``spark.sql.adaptive.enabled`` + coalescePartitions + skewJoin: at scale
+  the right shuffle-partition count varies per stage by orders of
+  magnitude; AQE re-plans from runtime statistics instead of us hard-coding
+  a number that is wrong at either end.
+- ``spark.sql.shuffle.partitions`` is only the pre-AQE upper bound; we set
+  it near core count locally and would set ~2-3x total cores on a cluster.
+- Arrow enabled: every pandas UDF / ``applyInPandas`` crosses the
+  JVM<->Python boundary in columnar Arrow batches, not pickled rows.
+- ``spark.sql.files.maxPartitionBytes`` left at default 128 MB: with 100 TB
+  of parquet this yields ~800k input splits, which schedule fine; shrinking
+  it only adds task overhead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_session(
+    app_name: str = "motorway-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Create (or reuse) the SparkSession with engine defaults."""
+    cpus = cpus or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()
+
+
+def stop_session() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
