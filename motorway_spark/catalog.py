@@ -44,7 +44,23 @@ class Catalog:
     def table(self, name: str) -> DataFrame:
         if name not in TABLES:
             raise KeyError(f"unknown table {name!r}; have {TABLES}")
+        if name == "events":
+            return self._events()
         return self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+
+    def _events(self) -> DataFrame:
+        """events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+        rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long (legacy
+        conf, runtime-settable) and truncate to microseconds with exact
+        integer division — matching DuckDB's ns→µs truncation bit-for-bit
+        (float division would round up ~half the time)."""
+        from pyspark.sql import functions as F
+
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = self.spark.read.parquet(f"{self.sf_dir}/events.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in TABLES:

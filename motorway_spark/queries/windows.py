@@ -1,1 +1,205 @@
-"""Placeholder — populated in a later milestone."""
+"""Window-function coverage: ranking, offsets, running frames, top-k.
+
+SURVEY.md §2b "Window functions" + "Sort / limit / top-k" rows.
+
+Scale notes: a window = one hash exchange on the partition key + one
+in-partition sort. Every query here partitions on a real key (custkey /
+user_id / status) so state per partition stays bounded; none uses a
+global (empty-partition) window, which would serialize on one task at
+100 TB. Top-k per group uses row_number + filter, which Spark executes
+without materializing full per-group sorts beyond the shuffle sort.
+All orderings carry a unique tiebreaker column so results are fully
+deterministic cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from motorway_spark.catalog import Catalog
+from motorway_spark.queries.registry import query
+from motorway_spark.queries.helpers import dec
+
+
+@query(
+    "win_ranking",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS rn,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WHERE o_custkey <= 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = Catalog(spark, sf_dir).orders.filter(F.col("o_custkey") <= 200)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           lag(value, 2, -1.0) OVER w AS prev2_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.lag("value", 2, -1.0).over(w).alias("prev2_value"),
+    )
+
+
+@query(
+    "win_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                 OVER w AS DOUBLE), 4) AS running_total,
+           MIN(o_totalprice) OVER w AS running_min,
+           MAX(o_totalprice) OVER w AS running_max,
+           COUNT(*) OVER w AS n_so_far
+    FROM orders
+    WHERE o_custkey <= 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = Catalog(spark, sf_dir).orders.filter(F.col("o_custkey") <= 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(dec("o_totalprice")).over(w).cast("double"), 4).alias("running_total"),
+        F.min("o_totalprice").over(w).alias("running_min"),
+        F.max("o_totalprice").over(w).alias("running_max"),
+        F.count("*").over(w).alias("n_so_far"),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                          RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW) AS n_in_band
+    FROM orders
+    WHERE o_orderkey <= 5000
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric ordering (value-based neighborhood)."""
+    orders = Catalog(spark, sf_dir).orders.filter(F.col("o_orderkey") <= 5000)
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-5000, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", F.count("*").over(w).alias("n_in_band")
+    )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+    FROM orders
+    WHERE o_custkey <= 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = Catalog(spark, sf_dir).orders.filter(F.col("o_custkey") <= 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer. The row_number+filter formulation lets
+    Spark push the rank limit into the sort (WindowGroupLimit) instead of
+    fully ranking each group."""
+    orders = Catalog(spark, sf_dir).orders
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "order_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           NULLIF(o_orderstatus, 'P') AS status_or_null
+    FROM orders
+    ORDER BY status_or_null DESC NULLS FIRST, o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key global sort with explicit null placement + limit →
+    TakeOrderedAndProject (no full sort materialization)."""
+    orders = Catalog(spark, sf_dir).orders
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_or_null"),
+        )
+        .orderBy(
+            F.col("status_or_null").desc_nulls_first(),
+            F.desc("o_totalprice"),
+            "o_orderkey",
+        )
+        .limit(50)
+    )
