@@ -40,6 +40,9 @@ class Catalog:
     def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
         self.spark = spark
         self.sf_dir = sf_dir.rstrip("/")
+        # Epoch arithmetic (unix_micros etc.) on NTZ fixtures must not
+        # depend on the host timezone of whoever built the session.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     def table(self, name: str) -> DataFrame:
         if name not in TABLES:

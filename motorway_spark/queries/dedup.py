@@ -1,1 +1,343 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators: exact, n-gram Jaccard, MinHash, SimHash.
+
+North-star extension (BASELINE.json): the standard large-corpus dedup
+ladder, each expressed Spark-first:
+
+- exact: hash-groupBy on a 16-byte content fingerprint (never the raw
+  text — the shuffle key must stay narrow at 100 TB);
+- n-gram Jaccard: explode distinct shingles → self-join on shingle →
+  |A∩B| / (|A|+|B|-|A∩B|). Exact but quadratic in colliding docs; the
+  scale path is MinHash below, this is the ground-truth oracle for it;
+- MinHash: k md5-derived hash functions over char-4-gram shingles,
+  banded LSH (#bands × rows/band = k) so candidate generation is a
+  bucket-equality shuffle join, never an all-pairs product;
+- SimHash: 64-bit sign-aggregated token-hash fingerprint; near-dups =
+  Hamming-adjacent fingerprints (rows-only check: 64 per-bit sums are
+  not reasonably expressible in one oracle SQL statement).
+
+Hash determinism: both engines compute ``md5`` identically; the first
+15 hex chars parsed base-16 give a 60-bit non-negative int that Spark
+(``conv``) and DuckDB (``'0x…'::BIGINT``) agree on bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from motorway_spark.catalog import Catalog
+from motorway_spark.queries.registry import query
+
+N_MINHASH = 16
+N_BANDS = 4  # 4 rows per band
+
+
+def _h64(col: Column) -> Column:
+    """Deterministic cross-engine 60-bit hash of a string column."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("bigint")
+
+
+def _char_shingles(text: Column, k: int = 4) -> Column:
+    """Distinct char k-grams (1-based substring positions)."""
+    n = F.greatest(F.length(text) - (k - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(text, i, F.lit(k)))
+    )
+
+
+def _word_shingles(text: Column, k: int = 3) -> Column:
+    words = F.split(text, " ")
+    n = F.greatest(F.size(words) - (k - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+        )
+    )
+
+
+# SQL twins of the shingle builders (DuckDB list comprehensions).
+_SQL_CHAR_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(length(text)-3, 0)+1),"
+    " i -> substr(text, i, 4)))"
+)
+_SQL_WORD_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len(w)-2, 0)+1),"
+    " i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
+)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents)
+    SELECT content_hash,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper_doc_id
+    FROM h GROUP BY content_hash
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep min doc_id. One shuffle
+    on a 32-char key; group states are (count, min) — constant size."""
+    docs = Catalog(spark, sf_dir).documents
+    return (
+        docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+    )
+
+
+@query(
+    "dedup_exact_keep_first",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents)
+    WHERE rn = 1
+    """,
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the first (lowest doc_id) copy, returning
+    surviving rows — the materializing form of dedup_exact."""
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).documents
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, UNNEST({_SQL_WORD_SHINGLES}) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b USING (s)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.02
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.02 on this
+    synthetic corpus). The shingle self-join shuffles on the shingle
+    string; frequent shingles explode quadratically, which is exactly
+    why the MinHash variant below is the 100 TB path — this operator is
+    its exact ground truth."""
+    docs = Catalog(spark, sf_dir).documents
+    sh = docs.select(
+        "doc_id", F.explode(_word_shingles(F.col("text"))).alias("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.02)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def _minhash_signature(text: Column) -> Column:
+    """Array of N_MINHASH min-hashes over char-4-gram shingles; hash_i =
+    min over shingles of h64(i || ':' || shingle)."""
+    shingles = _char_shingles(text)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.conv(
+                    F.substring(
+                        F.md5(F.concat(i.cast("string"), F.lit(":"), s).cast("binary")),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+            )
+        ),
+    )
+
+
+_SQL_MINHASH = f"""
+    list_transform(range(0, {N_MINHASH}),
+      i -> list_min(list_transform(sh,
+             s -> ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15))::BIGINT)))
+"""
+
+
+@query(
+    "dedup_minhash",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id, {_SQL_MINHASH} AS mh
+      FROM (SELECT doc_id, {_SQL_CHAR_SHINGLES} AS sh FROM documents)
+      WHERE len(sh) > 0),
+    bands AS (
+      SELECT doc_id, band,
+             md5(array_to_string(mh[band*4+1 : band*4+4], ',')) AS bucket
+      FROM sig, UNNEST(range(0, {N_BANDS})) AS t(band)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id),
+    est AS (
+      SELECT doc_a, doc_b,
+             CAST(len(list_filter(range(1, {N_MINHASH}+1),
+                  i -> sa.mh[i] = sb.mh[i])) AS DOUBLE) / {N_MINHASH} AS est_jaccard
+      FROM cand
+      JOIN sig sa ON doc_a = sa.doc_id
+      JOIN sig sb ON doc_b = sb.doc_id)
+    SELECT doc_a, doc_b, ROUND(est_jaccard, 6) AS est_jaccard
+    FROM est WHERE est_jaccard >= 0.375
+    """,
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection (16 hashes, 4 bands × 4 rows).
+
+    Scale shape: signatures are one narrow map-side pass; candidate
+    generation explodes each doc into 4 (band, bucket) rows and
+    shuffle-joins on bucket equality — cost is proportional to real
+    collisions, not n². The final estimate re-join touches only
+    candidate pairs. This is the 100 TB fuzzy-dedup path; its exact
+    counterpart/oracle is dedup_ngram_jaccard.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    sig = docs.select("doc_id", _minhash_signature(F.col("text")).alias("mh")).filter(
+        F.size("mh") > 0
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"),
+        F.col("mh"),
+    ).select(
+        "doc_id",
+        "band",
+        F.md5(
+            F.array_join(
+                F.slice(F.col("mh"), F.col("band") * 4 + 1, 4), ","
+            ).cast("binary")
+        ).alias("bucket"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    est = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(F.col("sa.mh"), F.col("sb.mh"), lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                ).cast("double")
+                / N_MINHASH
+            ).alias("est_jaccard"),
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= 0.375).select(
+        "doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+@query("dedup_simhash")  # rows-only: 64 per-bit sums aren't one sane SQL statement
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit sign-aggregated token-hash
+    fingerprint, candidates via 16-bit band buckets, keep Hamming ≤ 8.
+
+    Spark shape: tokens explode → per-(doc, bit) contribution is
+    computed from a 60-bit token hash; a single groupBy(doc) with an
+    array-sum fold rebuilds the 64 counters; fingerprint = sign bits.
+    Candidates bucket-join on 16-bit quarters (a fingerprint pair with
+    Hamming ≤ 8 < 4 bands must agree on ≥1 band — pigeonhole), then
+    exact Hamming via bit_count(xor).
+    """
+    docs = Catalog(spark, sf_dir).documents
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    tok = docs.select("doc_id", F.explode(toks).alias("t")).withColumn(
+        "h", _h64(F.col("t"))
+    )
+    # per-(doc, bit) ±1 contributions summed into 60 counters in ONE
+    # groupBy — the bit loop is unrolled into plan literals (no Python
+    # in the row path)
+    bit_of = lambda j: F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))  # noqa: E731
+    summed = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(bit_of(j) == 1, 1).otherwise(-1)).alias(f"s{j}")
+            for j in range(60)
+        ]
+    )
+    fp_col = None
+    for j in range(60):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fp_col = term if fp_col is None else fp_col + term
+    fp = summed.select("doc_id", fp_col.alias("fp"))
+    band_vals = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.shiftright(F.col("fp"), band * 15)
+                .bitwiseAND(F.lit((1 << 15) - 1))
+                .alias("bucket"),
+            )
+            for band in range(4)
+        ]
+    )
+    bands = (
+        fp.select("doc_id", "fp", F.explode(band_vals).alias("bb"))
+        .select("doc_id", "fp", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= 8).orderBy("doc_a", "doc_b")

@@ -1,1 +1,191 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity search over embedding vectors (array<float> column).
+
+North-star extension (BASELINE.json): brute-force cosine top-k as the
+exactness baseline, plus an LSH-bucketed variant as the scale path.
+
+Determinism: dot products fold left-to-right in doubles in BOTH engines
+(Spark ``aggregate`` / DuckDB ``list_sum∘list_transform∘list_zip`` are
+sequential over the list), so the raw doubles are bit-identical; results
+round to 6dp and tie-break on vec_id, making top-k stable cross-engine.
+
+Scale shape: brute-force is O(n·q) dot products — fine for reranking,
+wrong for candidate generation at 100 TB. The LSH variant buckets by
+sign-pattern of h random hyperplane projections: candidates share a
+bucket, exact rerank only inside buckets. Hyperplanes are generated
+once on the driver from a fixed seed and inlined as literals —
+deterministic and broadcast-free (they live in the plan itself).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from motorway_spark.catalog import Catalog
+from motorway_spark.queries.registry import query
+
+N_QUERIES = 20  # vec_id < 20 are the query vectors
+TOP_K = 5
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+_SQL_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+)
+_SQL_NORM = (
+    "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+@query(
+    "sim_knn_cosine",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND({_SQL_DOT.format(a='q.embedding', b='c.embedding')}
+                   / ({_SQL_NORM.format(a='q.embedding')}
+                      * {_SQL_NORM.format(a='c.embedding')}), 6) AS cosine
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERIES}),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM pairs)
+    SELECT query_id, neighbor_id, cosine, rn AS rank
+    FROM ranked WHERE rn <= {TOP_K}
+    """,
+)
+def sim_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the exactness baseline (and the
+    reranker inside every ANN scheme). The query side is tiny →
+    broadcast, so the corpus streams with no shuffle; top-k per query
+    is a bounded window."""
+    emb = Catalog(spark, sf_dir).embeddings
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    cosine = F.round(
+        _dot(F.col("q_emb"), F.col("c_emb"))
+        / (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))),
+        6,
+    )
+    pairs = (
+        c.join(q, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+@query(
+    "sim_pairs_threshold",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+                 / ({_SQL_NORM.format(a='a.embedding')}
+                    * {_SQL_NORM.format(a='b.embedding')}), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+          / ({_SQL_NORM.format(a='a.embedding')}
+             * {_SQL_NORM.format(a='b.embedding')}) >= 0.25
+    """,
+)
+def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs with cosine ≥ 0.25 (embedding-cosine
+    near-dup detection). All-pairs form — the LSH variant below is the
+    scale path; this is its exact oracle."""
+    emb = Catalog(spark, sf_dir).embeddings
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_emb"))
+    cosine = _dot(F.col("a_emb"), F.col("b_emb")) / (
+        _norm(F.col("a_emb")) * _norm(F.col("b_emb"))
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine_raw", cosine)
+        .filter(F.col("cosine_raw") >= 0.25)
+        .select("vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
+def _hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """Fixed-seed random hyperplanes, inlined as plan literals."""
+    rng = np.random.default_rng(20240613)
+    return [[float(v) for v in row] for row in rng.standard_normal((n_planes, dim))]
+
+
+@query("sim_ann_lsh")  # rows-only: hyperplane literals are not portable to one SQL stmt
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane (SimHash) LSH.
+
+    Each vector gets an 8-bit bucket = sign pattern of 8 fixed
+    hyperplane projections; exact cosine rerank runs only inside
+    buckets (expected n/256 of the corpus per query at uniform load).
+    Returns top-3 bucket-local neighbors per query vec_id < 20.
+    The candidate join is bucket-equality — a plain shuffle join on an
+    int key that scales linearly, vs the all-pairs product of
+    sim_pairs_threshold.
+    """
+    emb = Catalog(spark, sf_dir).embeddings
+    planes = _hyperplanes()
+    # bucket = sign pattern of the 8 projections, as a bit-string key
+    bucket = F.concat(
+        *[
+            F.when(_dot(F.col("embedding"), F.array(*[F.lit(v) for v in p])) > 0, "1")
+            .otherwise("0")
+            for p in planes
+        ]
+    )
+    bucketed = emb.withColumn("bucket", bucket)
+    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "bucket"
+    )
+    cosine = F.round(
+        _dot(F.col("q_emb"), F.col("c_emb"))
+        / (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))),
+        6,
+    )
+    pairs = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "bucket", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -1,1 +1,219 @@
-"""Placeholder — populated in a later milestone."""
+"""Text analysis for large-scale training-data pipelines.
+
+North-star extension (BASELINE.json): language-ID (stopword n-gram
+heuristic), quality scoring (length/punct/stopword ratios), token
+counting (whitespace + BPE-ish regex), and document fingerprinting —
+all over the ``documents`` fixture.
+
+Everything is built-in-function Spark (whole-stage codegen, zero
+Python in the row path): at 100 TB these run as a single scan with
+no shuffle at all — embarrassingly parallel per-document transforms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from motorway_spark.catalog import Catalog
+from motorway_spark.queries.registry import query
+
+# Tiny per-language stopword profiles for the lang-ID heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "un"],
+    "es": ["el", "la", "los", "y", "es", "un"],
+}
+
+_PUNCT = "[.,;:!?'\"()-]"
+_PUNCT_SQL = _PUNCT.replace("'", "''")  # escaped for use inside SQL literals
+_BPE_TOKEN = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def _tokens(col) -> Column:
+    return F.split(F.col(col) if isinstance(col, str) else col, " ")
+
+
+def _stopword_hits(tokens: Column, words: list[str]) -> Column:
+    """# tokens (lowercased) appearing in the stopword list."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, F.lower(t))))
+
+
+def _sql_stopword_hits(words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(toks, t -> list_contains([{lst}], lower(t))))"
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_unique_tokens,
+           ROUND(CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks), 6) AS avg_token_len,
+           len(regexp_extract_all(text, '{_PUNCT_SQL}')) AS n_punct,
+           {_sql_stopword_hits(STOPWORDS['en'])} AS n_stopwords,
+           ROUND(CAST({_sql_stopword_hits(STOPWORDS['en'])} AS DOUBLE) / len(toks), 6)
+             AS stopword_ratio
+    FROM t
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document statistics: char/token/unique-token counts, average
+    token length, punctuation count, stopword ratio."""
+    docs = Catalog(spark, sf_dir).documents
+    toks = _tokens("text")
+    n_toks = F.size(toks)
+    sw = _stopword_hits(toks, STOPWORDS["en"])
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.round(
+            (F.length("text") - n_toks + 1).cast("double") / n_toks, 6
+        ).alias("avg_token_len"),
+        F.regexp_count("text", F.lit(_PUNCT)).alias("n_punct"),
+        sw.alias("n_stopwords"),
+        F.round(sw.cast("double") / n_toks, 6).alias("stopword_ratio"),
+    )
+
+
+def _lang_scores(tokens: Column) -> dict[str, Column]:
+    return {lang: _stopword_hits(tokens, words) for lang, words in STOPWORDS.items()}
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, lang,
+                 {_sql_stopword_hits(STOPWORDS['en'])} AS s_en,
+                 {_sql_stopword_hits(STOPWORDS['de'])} AS s_de,
+                 {_sql_stopword_hits(STOPWORDS['fr'])} AS s_fr,
+                 {_sql_stopword_hits(STOPWORDS['es'])} AS s_es
+          FROM t)
+    SELECT doc_id, lang AS labeled_lang, s_en, s_de, s_fr, s_es,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+                WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+                WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS predicted_lang
+    FROM s
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID with a deterministic argmax
+    (priority order en > de > fr > es on ties)."""
+    docs = Catalog(spark, sf_dir).documents
+    toks = _tokens("text")
+    s = _lang_scores(toks)
+    pred = (
+        F.when(F.greatest(*s.values()) == 0, "unknown")
+        .when(s["en"] >= F.greatest(s["de"], s["fr"], s["es"]), "en")
+        .when(s["de"] >= F.greatest(s["fr"], s["es"]), "de")
+        .when(s["fr"] >= s["es"], "fr")
+        .otherwise("es")
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        s["en"].alias("s_en"),
+        s["de"].alias("s_de"),
+        s["fr"].alias("s_fr"),
+        s["es"].alias("s_es"),
+        pred.alias("predicted_lang"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    m AS (SELECT doc_id,
+                 len(toks) AS n_tokens,
+                 CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
+                 CAST(len(regexp_extract_all(text, '{_PUNCT_SQL}')) AS DOUBLE)
+                   / length(text) AS punct_ratio,
+                 CAST({_sql_stopword_hits(STOPWORDS['en'])} AS DOUBLE) / len(toks)
+                   AS stop_ratio
+          FROM t)
+    SELECT doc_id,
+           ROUND(0.4 * least(n_tokens / 50.0, 1.0)
+               + 0.3 * uniq_ratio
+               + 0.2 * least(stop_ratio * 5, 1.0)
+               + 0.1 * (1.0 - least(punct_ratio * 10, 1.0)), 6) AS quality_score,
+           n_tokens >= 10 AND uniq_ratio > 0.2 AS passes_filter
+    FROM m
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score in [0,1]: length, lexical diversity,
+    stopword plausibility, punctuation sanity — the usual pre-training
+    corpus filter shape (C4/Gopher-style rules, public recipes)."""
+    docs = Catalog(spark, sf_dir).documents
+    toks = _tokens("text")
+    n = F.size(toks)
+    uniq = F.size(F.array_distinct(toks)).cast("double") / n
+    punct = F.regexp_count("text", F.lit(_PUNCT)).cast("double") / F.length("text")
+    stop = _stopword_hits(toks, STOPWORDS["en"]).cast("double") / n
+    score = (
+        0.4 * F.least(n / F.lit(50.0), F.lit(1.0))
+        + 0.3 * uniq
+        + 0.2 * F.least(stop * 5, F.lit(1.0))
+        + 0.1 * (1.0 - F.least(punct * 10, F.lit(1.0)))
+    )
+    return docs.select(
+        "doc_id",
+        F.round(score, 6).alias("quality_score"),
+        ((n >= 10) & (uniq > 0.2)).alias("passes_filter"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '{_BPE_TOKEN}')) AS bpe_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS byte_est_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, BPE-ish regex pieces,
+    and the bytes/4 heuristic."""
+    docs = Catalog(spark, sf_dir).documents
+    return docs.select(
+        "doc_id",
+        F.size(_tokens("text")).alias("ws_tokens"),
+        F.regexp_count("text", F.lit(_BPE_TOKEN)).alias("bpe_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("byte_est_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fingerprint,
+           substr(md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))), 1, 8)
+             AS shard_key
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical document fingerprint: md5 of whitespace-collapsed,
+    lowercased text. The 8-hex-char prefix doubles as a uniform shard
+    key — at 100 TB, dedup shuffles route on this 4-byte key instead
+    of the full text."""
+    docs = Catalog(spark, sf_dir).documents
+    norm = F.lower(F.trim(F.regexp_replace("text", " +", " ")))
+    fp = F.md5(norm.cast("binary"))
+    return docs.select(
+        "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("shard_key")
+    )
