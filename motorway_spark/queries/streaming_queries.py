@@ -1,1 +1,182 @@
-"""Placeholder — populated in a later milestone."""
+"""Streaming operator queries, oracle-checked against batch SQL.
+
+SURVEY.md §2b "Streaming" row. Each query REALLY streams: a file-stream
+source over the events fixture → watermarked event-time operators →
+memory sink via Trigger.AvailableNow; the drained sink is returned as
+the result DataFrame. Because the source is finite and watermarks only
+*bound* state (no data is late relative to a drained source), the
+streaming result equals the batch SQL the oracle runs — that equality
+IS streaming/batch parity, the core Structured Streaming guarantee
+(SIGMOD'18 paper, §4: "prefix consistency").
+
+Reference mapping: tumbling/sliding windows = @batch_process time
+batching (decorators.py:5-11) made event-time-correct; session windows
+and stateful counts = WordCountIntersection's per-key dicts
+(examples/intersections.py:19-31); dedup = at-least-once delivery made
+exactly-once; the 10-minute watermark = the principled version of the
+controller's 30-min in-flight timeout (controller.py:31).
+
+Scale notes: streaming aggregations shuffle on (key, window) into the
+state store; watermarks expire state so memory is bounded by the
+watermark horizon × key cardinality, not by stream length. That is the
+100 TB/day-safe design — no unbounded per-process dicts like the
+reference's WordCountIntersection._count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from motorway_spark.queries.registry import query
+from motorway_spark.queries.helpers import dec
+from motorway_spark.streaming.runner import run_stream_to_memory, stream_events
+
+
+@query(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling event-time windows with a 10-minute watermark."""
+    events = stream_events(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(dec("value")).cast("double"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_stream_to_memory(agg, output_mode="complete")
+
+
+@query(
+    "stream_sliding_window",
+    oracle="""
+    WITH starts AS (
+      SELECT ts, value,
+             UNNEST([time_bucket(INTERVAL 30 MINUTE, ts),
+                     time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+               AS window_start
+      FROM events)
+    SELECT window_start, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_value
+    FROM starts
+    GROUP BY window_start
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event lands in 2)."""
+    events = stream_events(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(dec("value")).cast("double"), 4).alias("sum_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "n_events", "sum_value")
+    )
+    return run_stream_to_memory(agg, output_mode="complete")
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 10-minute inactivity gap — the
+    native streaming form of the gaps-and-islands pattern the oracle
+    computes in batch."""
+    events = stream_events(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "10 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    return run_stream_to_memory(agg, output_mode="complete")
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_unique_users
+    FROM (SELECT DISTINCT event_type, user_id FROM events)
+    GROUP BY event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates within the watermark horizon, then a
+    streaming aggregate over the deduplicated stream (exactly-once
+    counting on an at-least-once source — replaces the reference's XOR
+    ack machinery for this use case)."""
+    events = stream_events(spark, sf_dir)
+    deduped = (
+        events.withWatermark("ts", "10 minutes")
+        .select("event_type", "user_id", "ts")
+        .dropDuplicates(["event_type", "user_id"])
+    )
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique_users"))
+    return run_stream_to_memory(agg, output_mode="complete")
+
+
+@query(
+    "stream_filter_route",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k
+    FROM events
+    WHERE event_type = 'purchase' AND value > 50
+    """,
+)
+def stream_filter_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless streaming transform: filter + project + JSON extract
+    (the Intersection 1:N contract's 1:0/1 case, intersection.py:24-47),
+    append mode."""
+    events = stream_events(spark, sf_dir)
+    out = (
+        events.filter((F.col("event_type") == "purchase") & (F.col("value") > 50))
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+    )
+    return run_stream_to_memory(out, output_mode="append")

@@ -1,0 +1,12 @@
+"""Sinks: exactly-once-friendly writers.
+
+The reference's sink ladder (SURVEY.md §2a K1-K5) becomes: built-in
+writeStream formats (kafka/parquet/console/memory) + foreachBatch for
+anything transactional. The flagship custom sink is the upsert writer —
+K4's select-update-insert (contrib/sql_alchemy/intersections.py:57-98)
+as an idempotent MERGE.
+"""
+
+from motorway_spark.sinks.upsert import UpsertParquetSink
+
+__all__ = ["UpsertParquetSink"]

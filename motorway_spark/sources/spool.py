@@ -1,0 +1,99 @@
+"""SQS-shaped spool-directory streaming source.
+
+Rebuilds the SQSRamp contract (/root/reference/motorway/contrib/
+amazon_sqs/ramps.py:8-31: poll a queue, emit message bodies, delete on
+pipeline-wide success) against a local spool directory standing in for
+the queue (boto3/SQS isn't available in this environment; the Spark-side
+contract — offsets, partitions, batch commit, delete-on-commit — is the
+real thing and is what a boto3-backed twin would reuse unchanged).
+
+Each spool file is one JSON message: {"id": ..., "body": {...}}.
+Offsets are sorted-filename watermarks; ``commit`` deletes consumed
+files exactly like SQS delete-on-success (ramps.py:28-31).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+SCHEMA_DDL = "message_id STRING, body STRING, grouping_value STRING"
+
+
+class _FilesPartition(InputPartition):
+    def __init__(self, files: list[str]):
+        self.files = files
+
+
+class SpoolStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.spool_dir = options["path"]
+        self.delete_on_commit = str(options.get("deleteOnCommit", "true")).lower() == "true"
+        self.max_files = int(options.get("maxFilesPerTrigger", 100))
+        self._seen: list[str] = []
+
+    def _list(self) -> list[str]:
+        try:
+            return sorted(
+                f for f in os.listdir(self.spool_dir) if f.endswith(".json")
+            )
+        except FileNotFoundError:
+            return []
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def latestOffset(self) -> dict:
+        current = self._list()[: self.max_files]
+        merged = sorted(set(self._seen) | set(current))
+        self._seen = merged
+        return {"files": merged}
+
+    def partitions(self, start: dict, end: dict):
+        new_files = sorted(set(end["files"]) - set(start["files"]))
+        return [_FilesPartition([os.path.join(self.spool_dir, f) for f in new_files])]
+
+    def read(self, partition: _FilesPartition):
+        for path in partition.files:
+            try:
+                with open(path) as fh:
+                    msg = json.load(fh)
+            except (OSError, json.JSONDecodeError):
+                continue  # crash isolation: bad message, skip (ramp.py:167-168)
+            body = msg.get("body")
+            body_str = json.dumps(body, sort_keys=True)
+            yield (
+                str(msg.get("id")),
+                body_str,
+                str(body.get("group")) if isinstance(body, dict) else None,
+            )
+
+    def commit(self, end: dict) -> None:
+        """Pipeline-wide success → delete consumed messages (SQS
+        delete-on-success semantics)."""
+        if not self.delete_on_commit:
+            return
+        for f in end["files"]:
+            try:
+                os.remove(os.path.join(self.spool_dir, f))
+            except FileNotFoundError:
+                pass
+
+
+class SpoolDirSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "spooldir"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return SpoolStreamReader(self.options)

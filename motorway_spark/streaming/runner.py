@@ -1,0 +1,81 @@
+"""Run Structured Streaming queries to completion over finite fixtures.
+
+``stream_events`` exposes the events fixture as a *streaming* DataFrame
+(file-stream source with an explicit schema — streaming scans can't
+infer). ``run_stream_to_memory`` drives any streaming DataFrame through
+a real StreamingQuery into a memory sink with ``Trigger.AvailableNow``
+and returns the materialized result. This is how the engine's streaming
+operators get the same DuckDB-oracle treatment as batch ones: the
+streaming plan executes for real (state store, incremental execution),
+the finite source drains, and the sink table is compared to batch SQL.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _staging_dir(sf_dir: str) -> str:
+    """File-stream sources require a *directory*; the fixtures are bare
+    files. Stage a directory with a symlink to events.parquet (read-only
+    fixtures stay untouched)."""
+    import os
+
+    sf_dir = sf_dir.rstrip("/")
+    stage = f"/tmp/motorway_stream/{os.path.basename(sf_dir)}/events"
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    return stage
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events fixture as a streaming DataFrame (ns → µs like the batch
+    catalog, so stream and batch plans see identical values)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(_staging_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_stream_to_memory(
+    streaming_df: DataFrame,
+    output_mode: str = "complete",
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Execute a streaming DataFrame to a memory sink until the finite
+    source drains (AvailableNow); return the sink contents."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    query = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(timeout_sec)
+    finally:
+        if query.isActive:
+            query.stop()
+    return streaming_df.sparkSession.table(name)

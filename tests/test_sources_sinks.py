@@ -1,0 +1,85 @@
+"""Custom source (ramp) and upsert sink contracts.
+
+Mirrors the reference's connector unit-test strategy
+(motorway/tests/test_kafka.py: offset-commit invariants, message parse)
+for our Python Data Sources, and the K4 upsert semantics
+(contrib/sql_alchemy/intersections.py:57-98) for the sink.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Row
+
+from motorway_spark.sinks import UpsertParquetSink
+from motorway_spark.sources import register_sources
+
+
+def test_sentence_source_batch(spark):
+    register_sources(spark)
+    df = spark.read.format("sentences").option("count", 7).load()
+    rows = df.collect()
+    assert len(rows) == 7
+    assert rows[0].asDict().keys() == {"id", "sentence"}
+
+
+def test_spool_source_stream_and_delete_on_commit(spark, tmp_path):
+    register_sources(spark)
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    for i in range(5):
+        (spool / f"msg{i:03d}.json").write_text(
+            json.dumps({"id": f"m{i}", "body": {"group": f"g{i % 2}", "v": i}})
+        )
+    df = spark.readStream.format("spooldir").option("path", str(spool)).load()
+    query = (
+        df.writeStream.format("memory")
+        .queryName("spool_out")
+        .outputMode("append")
+        .start()
+    )
+    query.processAllAvailable()
+    out = spark.table("spool_out").collect()
+    assert len(out) == 5
+    assert {r["grouping_value"] for r in out} == {"g0", "g1"}
+
+    # delete-on-commit fires when the NEXT batch begins (the engine
+    # commits batch N as N+1 starts — i.e. only after N is durably in
+    # the WAL, which is exactly SQS delete-after-success semantics).
+    (spool / "late.json").write_text(
+        json.dumps({"id": "late", "body": {"group": "g0", "v": 99}})
+    )
+    query.processAllAvailable()
+    query.stop()
+    remaining = [f for f in os.listdir(spool) if f.endswith(".json")]
+    assert remaining == ["late.json"]  # first 5 deleted; late one uncommitted
+    assert spark.table("spool_out").count() == 6
+
+
+def test_upsert_sink_merge_and_replay(spark, tmp_path):
+    table = str(tmp_path / "word_counts")
+    sink = UpsertParquetSink(spark, table, key_cols=["word"])
+
+    b0 = spark.createDataFrame([Row(word="a", count=1), Row(word="b", count=2)])
+    sink.upsert_batch(b0, batch_id=0)
+    assert {r["word"]: r["count"] for r in sink.read().collect()} == {"a": 1, "b": 2}
+
+    # update existing + insert new
+    b1 = spark.createDataFrame([Row(word="a", count=5), Row(word="c", count=3)])
+    sink.upsert_batch(b1, batch_id=1)
+    assert {r["word"]: r["count"] for r in sink.read().collect()} == {
+        "a": 5,
+        "b": 2,
+        "c": 3,
+    }
+
+    # replayed micro-batch is a no-op (exactly-once under retry)
+    replay = spark.createDataFrame([Row(word="a", count=999)])
+    sink.upsert_batch(replay, batch_id=1)
+    assert {r["word"]: r["count"] for r in sink.read().collect()} == {
+        "a": 5,
+        "b": 2,
+        "c": 3,
+    }

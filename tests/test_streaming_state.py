@@ -1,0 +1,120 @@
+"""Stateful streaming: per-key arbitrary state (the reference's T4
+WordCountIntersection per-key dicts, examples/intersections.py:19-31),
+checkpoint recovery, and the metrics listener."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from motorway_spark.sources import register_sources
+from motorway_spark.streaming.metrics import MetricsListener
+
+
+def test_stateful_running_count(spark):
+    """applyInPandasWithState: per-key running totals across
+    micro-batches — checkpointed state store instead of the reference's
+    process-local defaultdict."""
+    register_sources(spark)
+    stream = (
+        spark.readStream.format("sentences")
+        .option("count", 10)
+        .option("batchSize", 2)  # forces 5 micro-batches -> state reuse
+        .load()
+    )
+    words = stream.select(F.explode(F.split("sentence", " ")).alias("word"))
+
+    def update_count(key, pdf_iter, state: GroupState):
+        count = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            count += len(pdf)
+        state.update((count,))
+        yield pd.DataFrame({"word": [key[0]], "count": [count]})
+
+    counted = words.groupBy("word").applyInPandasWithState(
+        update_count,
+        outputStructType="word string, count long",
+        stateStructType="count long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    query = (
+        counted.writeStream.format("memory")
+        .queryName("state_counts")
+        .outputMode("update")
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    # update mode emits one row per key per batch; final value = max
+    pdf = spark.table("state_counts").toPandas()
+    final = pdf.groupby("word")["count"].max().to_dict()
+
+    from collections import Counter
+    from motorway_spark.sources import SENTENCES
+
+    assert final == dict(Counter(w for s in SENTENCES for w in s.split(" ")))
+
+
+def test_checkpoint_restart_no_duplicates(spark, tmp_path):
+    """Exactly-once across restart: a file-backed stream with a
+    checkpoint, stopped and restarted mid-stream, must not double-count
+    (replaces the reference's XOR-ack at-least-once + retry,
+    controller.py:98-129, with something strictly stronger)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    chk = str(tmp_path / "chk")
+    out_name = "restart_counts"
+
+    def write_file(i: int) -> None:
+        spark.createDataFrame([(f"k{j % 3}",) for j in range(10)], "key string") \
+            .coalesce(1).write.mode("append").parquet(str(src))
+
+    write_file(0)
+
+    def start_query():
+        stream = spark.readStream.schema("key string").parquet(str(src))
+        agg = stream.groupBy("key").count()
+        return (
+            agg.writeStream.format("memory")
+            .queryName(out_name)
+            .outputMode("complete")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start_query()
+    q.awaitTermination(120)
+    write_file(1)
+    q2 = start_query()  # restart from checkpoint; only new file processed
+    q2.awaitTermination(120)
+    counts = {r["key"]: r["count"] for r in spark.table(out_name).collect()}
+    assert sum(counts.values()) == 20  # 2 files x 10 rows, no double-count
+
+
+def test_metrics_listener(spark):
+    register_sources(spark)
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        stream = spark.readStream.format("sentences").option("count", 6).load()
+        query = (
+            stream.writeStream.format("memory")
+            .queryName("metrics_probe")
+            .outputMode("append")
+            .start()
+        )
+        query.processAllAvailable()
+        query.stop()
+        import time
+
+        time.sleep(2)  # listener events are async
+        status = listener.status()
+        assert "metrics_probe" in status
+        assert status["metrics_probe"]["rows"] == 6
+        assert listener.progress_df(spark).count() >= 1
+    finally:
+        spark.streams.removeListener(listener)
