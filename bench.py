@@ -1,0 +1,82 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <scale factor>}
+
+Each query is fully materialized with a noop sink (forces every column
+and row through the plan — no count(*) pruning shortcuts). One small
+warmup action runs first so JVM/JIT startup is not billed to the first
+query. Streaming-backed queries include their real StreamingQuery
+execution (memory sink) inside the timed region.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# Headline set: spans scans/filters/aggs, multi-way joins, windows,
+# as-of, set-heavy dedup, text, vectors, and streaming.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q10_returned_items",
+    "agg_cube",
+    "wordcount",
+    "topk_per_group",
+    "win_running",
+    "asof_join",
+    "dedup_exact",
+    "dedup_minhash",
+    "text_quality",
+    "text_fingerprint",
+    "sim_knn_cosine",
+    "stream_tumbling_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    from motorway_spark.session import get_session
+    from motorway_spark.queries import QUERIES
+
+    spark = get_session("motorway-bench", cpus=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM/JIT + parquet footer caches, not billed to queries
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    result = {
+        "metric": f"total wall-clock of {len(BENCH_QUERIES)} headline queries (noop sink)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,18 @@ from motorway_spark.queries.registry import query
 N_MINHASH = 16
 N_BANDS = 4  # 4 rows per band
 
+# Affine minhash family g_i(h) = (A[i]*h + B[i]) mod P over a single
+# md5-derived base hash per shingle (classic one-hash + k-affine
+# construction: 1 md5 instead of k per shingle — ~16x less hashing).
+# P = 2^31-1 keeps products < 2^62: no int64 overflow in either engine.
+MH_P = 2147483647
+MH_A = [136595217, 2012316703, 1682038539, 1364310590, 359038264, 433493079,
+        1777299530, 1210759832, 462896480, 807857526, 1123795075, 317591402,
+        152912876, 1088304369, 526566710, 518709552]
+MH_B = [1245224186, 1470736871, 279559650, 754868027, 1410937, 1052195292,
+        303533433, 746792541, 1158961924, 1431491696, 1974745603, 1833278573,
+        1286806185, 2106819035, 1494222724, 333901497]
+
 
 def _h64(col: Column) -> Column:
     """Deterministic cross-engine 60-bit hash of a string column."""
@@ -165,32 +177,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_signature(text: Column) -> Column:
-    """Array of N_MINHASH min-hashes over char-4-gram shingles; hash_i =
-    min over shingles of h64(i || ':' || shingle)."""
-    shingles = _char_shingles(text)
+    """Array of N_MINHASH min-hashes over char-4-gram shingles: one
+    md5-derived base hash per shingle, then the affine family
+    g_i(h) = (A[i]·h + B[i]) mod P per signature slot."""
+    base = F.transform(_char_shingles(text), lambda s: _h64(s) % MH_P)
+    a_arr = F.array(*[F.lit(a) for a in MH_A])
+    b_arr = F.array(*[F.lit(b) for b in MH_B])
     return F.transform(
-        F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
+        F.sequence(F.lit(1), F.lit(N_MINHASH)),
         lambda i: F.array_min(
             F.transform(
-                shingles,
-                lambda s: F.conv(
-                    F.substring(
-                        F.md5(F.concat(i.cast("string"), F.lit(":"), s).cast("binary")),
-                        1,
-                        15,
-                    ),
-                    16,
-                    10,
-                ).cast("bigint"),
+                base,
+                lambda h: (F.element_at(a_arr, i) * h + F.element_at(b_arr, i)) % MH_P,
             )
         ),
     )
 
 
+_SQL_MH_A = "[" + ", ".join(str(a) for a in MH_A) + "]"
+_SQL_MH_B = "[" + ", ".join(str(b) for b in MH_B) + "]"
 _SQL_MINHASH = f"""
-    list_transform(range(0, {N_MINHASH}),
-      i -> list_min(list_transform(sh,
-             s -> ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15))::BIGINT)))
+    list_transform(range(1, {N_MINHASH} + 1),
+      i -> list_min(list_transform(
+             list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MH_P}),
+             h -> ({_SQL_MH_A}[i] * h + {_SQL_MH_B}[i]) % {MH_P})))
 """
 
 
@@ -231,8 +241,27 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     counterpart/oracle is dedup_ngram_jaccard.
     """
     docs = Catalog(spark, sf_dir).documents
-    sig = docs.select("doc_id", _minhash_signature(F.col("text")).alias("mh")).filter(
-        F.size("mh") > 0
+    # Shingles explode to rows so md5 + the affine family run inside
+    # whole-stage codegen (nested array lambdas are interpreted in
+    # Catalyst — measured 16x slower); the 16 min-aggregates collapse
+    # back to one signature row per doc with map-side partial agg, so
+    # the shuffle carries one row per (doc × partition), not per shingle.
+    sh = docs.select(
+        "doc_id", F.explode(_char_shingles(F.col("text"))).alias("s")
+    ).withColumn("h", _h64(F.col("s")) % MH_P)
+    sig = (
+        sh.groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.lit(MH_A[i]) * F.col("h") + F.lit(MH_B[i])) % MH_P).alias(
+                    f"m{i}"
+                )
+                for i in range(N_MINHASH)
+            ]
+        )
+        .select(
+            "doc_id", F.array(*[F.col(f"m{i}") for i in range(N_MINHASH)]).alias("mh")
+        )
     )
     bands = sig.select(
         "doc_id",

@@ -31,22 +31,34 @@ N_QUERIES = 20  # vec_id < 20 are the query vectors
 TOP_K = 5
 
 
+DIM = 64  # embeddings fixture dimension (FIXTURES.md §3)
+
+
 def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    """Unrolled left-to-right dot product. The naive ``F.aggregate``
+    fold is an interpreted Catalyst HOF (~10x slower); a 64-term
+    addition chain is whole-stage-codegen'd AND keeps the exact
+    left-to-right summation order of DuckDB's list fold, so doubles
+    stay bit-identical cross-engine."""
+    terms = [
+        F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+        for i in range(1, DIM + 1)
+    ]
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return acc
 
 
 def _norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+    terms = [
+        F.element_at(a, i).cast("double") * F.element_at(a, i).cast("double")
+        for i in range(1, DIM + 1)
+    ]
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return F.sqrt(acc)
 
 
 _SQL_DOT = (

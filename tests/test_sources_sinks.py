@@ -26,6 +26,9 @@ def test_sentence_source_batch(spark):
 
 
 def test_spool_source_stream_and_delete_on_commit(spark, tmp_path):
+    import uuid
+
+    name = f"sp_{uuid.uuid4().hex[:8]}"
     register_sources(spark)
     spool = tmp_path / "spool"
     spool.mkdir()
@@ -36,12 +39,12 @@ def test_spool_source_stream_and_delete_on_commit(spark, tmp_path):
     df = spark.readStream.format("spooldir").option("path", str(spool)).load()
     query = (
         df.writeStream.format("memory")
-        .queryName("spool_out")
+        .queryName(name)
         .outputMode("append")
         .start()
     )
     query.processAllAvailable()
-    out = spark.table("spool_out").collect()
+    out = spark.table(name).collect()
     assert len(out) == 5
     assert {r["grouping_value"] for r in out} == {"g0", "g1"}
 
@@ -55,7 +58,7 @@ def test_spool_source_stream_and_delete_on_commit(spark, tmp_path):
     query.stop()
     remaining = [f for f in os.listdir(spool) if f.endswith(".json")]
     assert remaining == ["late.json"]  # first 5 deleted; late one uncommitted
-    assert spark.table("spool_out").count() == 6
+    assert spark.table(name).count() == 6
 
 
 def test_upsert_sink_merge_and_replay(spark, tmp_path):

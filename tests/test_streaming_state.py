@@ -14,6 +14,9 @@ from motorway_spark.streaming.metrics import MetricsListener
 
 
 def test_stateful_running_count(spark):
+    import uuid
+
+    name = f"sc_{uuid.uuid4().hex[:8]}"
     """applyInPandasWithState: per-key running totals across
     micro-batches — checkpointed state store instead of the reference's
     process-local defaultdict."""
@@ -42,14 +45,14 @@ def test_stateful_running_count(spark):
     )
     query = (
         counted.writeStream.format("memory")
-        .queryName("state_counts")
+        .queryName(name)
         .outputMode("update")
         .start()
     )
     query.processAllAvailable()
     query.stop()
     # update mode emits one row per key per batch; final value = max
-    pdf = spark.table("state_counts").toPandas()
+    pdf = spark.table(name).toPandas()
     final = pdf.groupby("word")["count"].max().to_dict()
 
     from collections import Counter
@@ -96,6 +99,9 @@ def test_checkpoint_restart_no_duplicates(spark, tmp_path):
 
 
 def test_metrics_listener(spark):
+    import uuid
+
+    name = f"mp_{uuid.uuid4().hex[:8]}"
     register_sources(spark)
     listener = MetricsListener()
     spark.streams.addListener(listener)
@@ -103,7 +109,7 @@ def test_metrics_listener(spark):
         stream = spark.readStream.format("sentences").option("count", 6).load()
         query = (
             stream.writeStream.format("memory")
-            .queryName("metrics_probe")
+            .queryName(name)
             .outputMode("append")
             .start()
         )
@@ -113,8 +119,8 @@ def test_metrics_listener(spark):
 
         time.sleep(2)  # listener events are async
         status = listener.status()
-        assert "metrics_probe" in status
-        assert status["metrics_probe"]["rows"] == 6
+        assert name in status
+        assert status[name]["rows"] == 6
         assert listener.progress_df(spark).count() >= 1
     finally:
         spark.streams.removeListener(listener)

@@ -41,6 +41,9 @@ def test_wordcount_batch(spark):
 
 
 def test_wordcount_streaming(spark):
+    import uuid
+
+    name = f"wc_{uuid.uuid4().hex[:8]}"
     register_sources(spark)
     stream = (
         spark.readStream.format("sentences")
@@ -60,14 +63,14 @@ def test_wordcount_streaming(spark):
     # offsets instead.
     query = (
         counts.writeStream.format("memory")
-        .queryName("wc_stream")
+        .queryName(name)
         .outputMode("complete")
         .start()
     )
     query.processAllAvailable()
     query.stop()
     result = {
-        r["word"]: r["count"] for r in spark.table("wc_stream").collect()
+        r["word"]: r["count"] for r in spark.table(name).collect()
     }
     assert result == dict(EXPECTED)
 
