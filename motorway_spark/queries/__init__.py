@@ -14,6 +14,7 @@ from motorway_spark.queries.registry import QUERIES, ORACLES, query, get_queries
 
 # Populate the registry.
 from motorway_spark.queries import relational  # noqa: F401,E402
+from motorway_spark.queries import tpch_extra  # noqa: F401,E402
 from motorway_spark.queries import joins  # noqa: F401,E402
 from motorway_spark.queries import windows  # noqa: F401,E402
 from motorway_spark.queries import setops  # noqa: F401,E402
@@ -22,5 +23,8 @@ from motorway_spark.queries import dedup  # noqa: F401,E402
 from motorway_spark.queries import text  # noqa: F401,E402
 from motorway_spark.queries import similarity  # noqa: F401,E402
 from motorway_spark.queries import streaming_queries  # noqa: F401,E402
+from motorway_spark.queries import multimodal  # noqa: F401,E402
+from motorway_spark.queries import udfs  # noqa: F401,E402
+from motorway_spark.queries import scans  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLES", "query", "get_queries", "get_oracles"]

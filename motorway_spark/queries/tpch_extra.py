@@ -1,0 +1,271 @@
+"""Deeper TPC-H-shaped coverage: HAVING, scalar/IN subqueries,
+conditional aggregation, disjunctive predicate pushdown, SQL-string API.
+
+These exercise Catalyst paths the core modules don't: aggregate filters,
+subquery decorrelation (rewritten to joins), OR-of-ANDs predicates, and
+the spark.sql() SQL surface as a first-class entry point (same engine,
+same plans — declared API parity, SURVEY.md §2b scans row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from motorway_spark.catalog import Catalog
+from motorway_spark.queries.registry import query
+from motorway_spark.queries.helpers import dec, dsum, sql_dsum
+
+
+@query(
+    "q12_shipmode_buckets",
+    oracle="""
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END) AS high_count,
+           SUM(CASE WHEN o_totalprice <  150000 THEN 1 ELSE 0 END) AS low_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+      AND l_linenumber = 1
+    GROUP BY o_orderpriority
+    """,
+)
+def q12_shipmode_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional aggregation (sum of CASE)."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_linenumber") == 1)
+    )
+    return (
+        cat.orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("o_totalprice") >= 150000, 1).otherwise(0)).alias(
+                "high_count"
+            ),
+            F.sum(F.when(F.col("o_totalprice") < 150000, 1).otherwise(0)).alias(
+                "low_count"
+            ),
+        )
+    )
+
+
+@query(
+    "q14_promo_share",
+    oracle=f"""
+    SELECT ROUND(
+             100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+                    ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+                    AS DOUBLE), 6) AS promo_share,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+    """,
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue ratio (promo market share)."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp"))
+    )
+    rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo_rev = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(38,6)")
+    )
+    return (
+        li.join(F.broadcast(cat.part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0 * F.sum(promo_rev).cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("promo_share"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle=f"""
+    SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           {sql_dsum('l_quantity', 'total_qty')}
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 250)
+      AND c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery with HAVING (large-quantity orders),
+    decorrelated by Catalyst into a semi join."""
+    cat = Catalog(spark, sf_dir)
+    big = (
+        cat.lineitem.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("sq"))
+        .filter(F.col("sq") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        cat.lineitem.join(
+            big.withColumnRenamed("l_orderkey", "big_key"),
+            F.col("l_orderkey") == F.col("big_key"),
+            "inner",
+        )
+        .drop("big_key")
+        .join(cat.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cat.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", "total_qty"))
+    )
+
+
+@query(
+    "q19_disjunctive",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}, COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 45 AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides — exercises
+    CNF conversion / partial pushdown of disjunctive predicates."""
+    cat = Catalog(spark, sf_dir)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 45)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        cat.lineitem.join(F.broadcast(cat.part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast(
+                    "double"
+                ),
+                4,
+            ).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "q22_acctbal_subquery",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_cust,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 4) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_acctbal_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global avg) + anti join.
+
+    The scalar subquery is expressed as a 1-row broadcast cross join —
+    the decorrelated plan Catalyst itself would produce; NO .collect()
+    round-trip (driver-side constants would break plan caching and
+    lineage at scale)."""
+    cat = Catalog(spark, sf_dir)
+    avg_bal = (
+        cat.customer.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    return (
+        cat.customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(cat.orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum(dec("c_acctbal")).cast("double"), 4).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "agg_having",
+    oracle=f"""
+    SELECT l_suppkey, COUNT(*) AS n, {sql_dsum('l_extendedprice', 'total')}
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING COUNT(*) > 500 AND SUM(CAST(l_extendedprice AS DECIMAL(38,6))) > 1000000
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("l_extendedprice")).alias("total_dec"),
+        )
+        .filter((F.col("n") > 500) & (F.col("total_dec") > 1000000))
+        .select(
+            "l_suppkey", "n", F.round(F.col("total_dec").cast("double"), 4).alias("total")
+        )
+    )
+
+
+@query(
+    "sql_api_q7_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS ship_year,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'volume')}
+    FROM supplier, lineitem, orders, customer, nation n1, nation n2
+    WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      AND c_nationkey = n2.n_nationkey
+      AND n1.n_name <> n2.n_name
+      AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                         AND TIMESTAMP '1996-12-31 23:59:59'
+    GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    """,
+)
+def sql_api_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape via the spark.sql STRING interface over temp
+    views — declares the SQL API as a first-class engine surface (same
+    Catalyst plans as the DataFrame API)."""
+    Catalog(spark, sf_dir).register_temp_views()
+    return spark.sql(
+        """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS ship_year,
+               ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(38,6))) AS DOUBLE), 4) AS volume
+        FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND n1.n_name <> n2.n_name
+          AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                             AND TIMESTAMP '1996-12-31 23:59:59'
+        GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+        """
+    )
