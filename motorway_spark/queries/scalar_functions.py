@@ -357,3 +357,37 @@ def fn_json_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.col("n_name").alias("nation"), F.col("n_regionkey").alias("region"))
         ).alias("as_json"),
     )
+
+
+@query(
+    "fn_null_semantics",
+    oracle="""
+    SELECT o_orderkey,
+           NULLIF(o_orderstatus, 'P') AS maybe_null,
+           NULLIF(o_orderstatus, 'P') IS NOT DISTINCT FROM NULL AS was_p,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'fallback') AS coalesced,
+           IFNULL(NULLIF(o_orderstatus, 'P'), 'ifnull') AS ifnulled,
+           TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+           TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS good_cast,
+           o_orderstatus IS NOT DISTINCT FROM NULLIF(o_orderstatus, 'P') AS nsafe_eq
+    FROM orders
+    WHERE o_orderkey <= 3000
+    """,
+)
+def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics: nullif / coalesce / ifnull, null-safe equality
+    (eqNullSafe = IS NOT DISTINCT FROM), try_cast error-free casting
+    (the engine's per-record error isolation for casts — the declarative
+    analogue of the reference's swallow-and-fail, intersection.py:135-143)."""
+    orders = Catalog(spark, sf_dir).orders.filter(F.col("o_orderkey") <= 3000)
+    maybe_null = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return orders.select(
+        "o_orderkey",
+        maybe_null.alias("maybe_null"),
+        maybe_null.eqNullSafe(F.lit(None)).alias("was_p"),
+        F.coalesce(maybe_null, F.lit("fallback")).alias("coalesced"),
+        F.ifnull(maybe_null, F.lit("ifnull")).alias("ifnulled"),
+        F.expr("try_cast(o_orderpriority AS INT)").alias("bad_cast"),
+        F.expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").alias("good_cast"),
+        F.col("o_orderstatus").eqNullSafe(maybe_null).alias("nsafe_eq"),
+    )

@@ -203,3 +203,31 @@ def order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+@query(
+    "win_distribution",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume,
+           nth_value(o_orderkey, 2) OVER
+             (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_best
+    FROM orders
+    WHERE o_custkey <= 150
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics: percent_rank / cume_dist / nth_value."""
+    orders = Catalog(spark, sf_dir).orders.filter(F.col("o_custkey") <= 150)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_best"),
+    )
