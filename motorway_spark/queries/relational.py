@@ -330,3 +330,67 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders")
     )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS status_O,
+           COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS status_F,
+           COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS status_P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): order counts per priority × status. The pivot
+    value list is declared explicitly — at 100 TB an implicit pivot
+    would first run a distinct scan to discover values."""
+    orders = Catalog(spark, sf_dir).orders
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
+    )
+
+
+@query(
+    "unpivot_metrics",
+    oracle="""
+    SELECT s_suppkey, metric, val FROM (
+      SELECT s_suppkey, 'acctbal' AS metric, s_acctbal AS val FROM supplier
+      UNION ALL
+      SELECT s_suppkey, 'nationkey', CAST(s_nationkey AS DOUBLE) FROM supplier)
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long): columns to (metric, value) rows."""
+    supplier = Catalog(spark, sf_dir).supplier
+    return (
+        supplier.select(
+            "s_suppkey",
+            F.col("s_acctbal").alias("acctbal"),
+            F.col("s_nationkey").cast("double").alias("nationkey"),
+        )
+        .unpivot(
+            ids=["s_suppkey"],
+            values=["acctbal", "nationkey"],
+            variableColumnName="metric",
+            valueColumnName="val",
+        )
+    )
+
+
+@query("sample_fraction")  # rows-only: sampling is seeded but partitioning-dependent
+def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli sampling with a fixed seed — reproducible within one
+    engine/partitioning, not across engines (hence rows-only)."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")

@@ -14,20 +14,14 @@ from motorway_spark.streaming.metrics import MetricsListener
 
 
 def test_stateful_running_count(spark):
-    import uuid
-
-    name = f"sc_{uuid.uuid4().hex[:8]}"
     """applyInPandasWithState: per-key running totals across
     micro-batches — checkpointed state store instead of the reference's
     process-local defaultdict."""
+    import uuid
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
     register_sources(spark)
-    stream = (
-        spark.readStream.format("sentences")
-        .option("count", 10)
-        .option("batchSize", 2)  # forces 5 micro-batches -> state reuse
-        .load()
-    )
-    words = stream.select(F.explode(F.split("sentence", " ")).alias("word"))
 
     def update_count(key, pdf_iter, state: GroupState):
         count = state.get[0] if state.exists else 0
@@ -36,24 +30,43 @@ def test_stateful_running_count(spark):
         state.update((count,))
         yield pd.DataFrame({"word": [key[0]], "count": [count]})
 
-    counted = words.groupBy("word").applyInPandasWithState(
-        update_count,
-        outputStructType="word string, count long",
-        stateStructType="count long",
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-    query = (
-        counted.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .start()
-    )
-    query.processAllAvailable()
-    query.stop()
-    # update mode emits one row per key per batch; final value = max
-    pdf = spark.table(name).toPandas()
-    final = pdf.groupby("word")["count"].max().to_dict()
+    def run_once() -> dict:
+        name = f"sc_{uuid.uuid4().hex[:8]}"
+        stream = (
+            spark.readStream.format("sentences")
+            .option("count", 10)
+            .option("batchSize", 2)  # forces 5 micro-batches -> state reuse
+            .load()
+        )
+        words = stream.select(F.explode(F.split("sentence", " ")).alias("word"))
+        counted = words.groupBy("word").applyInPandasWithState(
+            update_count,
+            outputStructType="word string, count long",
+            stateStructType="count long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        query = (
+            counted.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .start()
+        )
+        query.processAllAvailable()
+        query.stop()
+        # update mode emits one row per key per batch; final value = max
+        pdf = spark.table(name).toPandas()
+        return pdf.groupby("word")["count"].max().to_dict()
+
+    try:
+        final = run_once()
+    except StreamingQueryException as exc:
+        # Known env flake under full-suite load: python worker spawn can
+        # time out while the query is still INITIALIZING ("Python worker
+        # failed to connect back"). Retry once; anything else is real.
+        if "failed to connect back" not in str(exc):
+            raise
+        final = run_once()
 
     from collections import Counter
     from motorway_spark.sources import SENTENCES
