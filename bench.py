@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "text_quality",
     "text_fingerprint",
     "sim_knn_cosine",
+    "sim_knn_matmul",
     "stream_tumbling_window",
 ]
 
@@ -57,10 +58,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _attempt in range(2):  # best-of-2: de-noise machine variance
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -69,7 +73,10 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     result = {
-        "metric": f"total wall-clock of {len(BENCH_QUERIES)} headline queries (noop sink)",
+        "metric": (
+            f"total wall-clock of {len(BENCH_QUERIES)} headline queries"
+            " (noop sink, best of 2 runs each)"
+        ),
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,

@@ -394,3 +394,30 @@ def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine/partitioning, not across engines (hence rows-only)."""
     li = Catalog(spark, sf_dir).lineitem
     return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+
+
+@query(
+    "agg_salted_skew",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n, {sql_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys: phase 1 groups by
+    (key, salt) spreading each hot key over 16 reducers; phase 2 merges
+    partials per key. Result is identical to the direct groupBy (decimal
+    sums are exact ⇒ associative), and the oracle proves it. This is the
+    manual pattern for when AQE skew handling isn't available (e.g.
+    streaming aggs); batch plans normally just rely on AQE."""
+    li = Catalog(spark, sf_dir).lineitem
+    salted = li.withColumn("_salt", F.crc32(F.col("l_orderkey").cast("string")) % 16)
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(dec("l_quantity")).alias("pq"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("pq").cast("double"), 4).alias("sum_qty"),
+    )

@@ -201,3 +201,53 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "bucket", "cosine", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+@query("sim_knn_matmul")  # rows-only: numpy pairwise-sum order differs from SQL folds
+def sim_knn_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k, matmul formulation: the bench/scale
+    path. Each Arrow batch of corpus vectors becomes one numpy matrix;
+    the (tiny) query matrix rides the closure; one BLAS matmul scores
+    the whole batch; per-batch top-k candidates then reduce to global
+    top-k with one narrow shuffle of k·|Q| rows per partition.
+
+    Same results as sim_knn_cosine up to float summation order (numpy
+    uses pairwise/SIMD accumulation — hence rows-only; the exact-order
+    twin IS the oracle-checked query)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = Catalog(spark, sf_dir).embeddings
+    q_rows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows])
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score_batches(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            c = np.array(list(pdf["embedding"]), dtype=np.float64)
+            c /= np.linalg.norm(c, axis=1, keepdims=True)
+            sims = q_mat @ c.T  # |Q| x batch
+            k = min(TOP_K + 1, sims.shape[1])
+            out = []
+            for qi, qid in enumerate(q_ids):
+                top = np.argpartition(-sims[qi], k - 1)[:k]
+                for ci in top:
+                    if ids[ci] != qid:
+                        out.append((int(qid), int(ids[ci]), round(float(sims[qi, ci]), 6)))
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "cosine"])
+
+    candidates = emb.select("vec_id", "embedding").mapInPandas(
+        score_batches, schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
