@@ -68,7 +68,9 @@ class Pipeline:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self._ramps: dict[str, Ramp] = {}
-        self._intersections: list[tuple[Intersection, str, str, str | None, int | None]] = []
+        self._intersections: list[
+            tuple[Intersection, str, str, str | None, int | None, bool]
+        ] = []
         self._sinks: list[tuple[str, Callable[[DataFrame], object]]] = []
 
     # -- definition API (motorway-shaped) ------------------------------
@@ -87,14 +89,22 @@ class Pipeline:
         output_stream: str,
         grouping_key: str | None = None,
         processes: int | None = None,
+        strict_grouping: bool = True,
     ) -> "Pipeline":
         """``grouping_key`` = the reference's grouping_value routed by
         HashRingGrouper → hash repartition before the transform;
-        ``processes`` → partition count hint."""
+        ``processes`` → partition count hint.
+
+        ``strict_grouping``: a null grouping key raises at runtime —
+        parity with the reference's GroupingValueMissing
+        (motorway/grouping.py:29-35); pass False to route nulls to one
+        partition silently instead.
+        """
         if not isinstance(intersection, Intersection):
             intersection = FnIntersection(intersection)
         self._intersections.append(
-            (intersection, input_stream, output_stream, grouping_key, processes)
+            (intersection, input_stream, output_stream, grouping_key, processes,
+             strict_grouping)
         )
         return self
 
@@ -114,11 +124,27 @@ class Pipeline:
         while pending:
             progressed = False
             for item in list(pending):
-                intersection, in_s, out_s, key, procs = item
+                intersection, in_s, out_s, key, procs, strict = item
                 if in_s not in streams:
                     continue
                 df = streams[in_s]
                 if key is not None:
+                    if strict:
+                        from pyspark.sql import functions as F
+
+                        # GroupingValueMissing parity (grouping.py:29-35)
+                        df = df.withColumn(
+                            key,
+                            F.when(
+                                F.col(key).isNull(),
+                                F.raise_error(
+                                    F.lit(
+                                        f"GroupingValueMissing: null grouping key "
+                                        f"{key!r} on stream {in_s!r}"
+                                    )
+                                ),
+                            ).otherwise(F.col(key)),
+                        )
                     df = df.repartition(procs, key) if procs else df.repartition(key)
                 streams[out_s] = intersection.process(df)
                 pending.remove(item)

@@ -180,3 +180,61 @@ def stream_filter_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_memory(out, output_mode="append")
+
+
+@query(
+    "stream_stateful_user_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary per-key state via applyInPandasWithState: running
+    (count, sum) per user — the exact shape of the reference's
+    WordCountIntersection state (examples/intersections.py:19-31), but
+    in the checkpointed state store. Update-mode emissions are reduced
+    to final values per key (last batch wins = running total)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = stream_events(spark, sf_dir)
+
+    def update_totals(key, pdf_iter, state: GroupState):
+        from decimal import Decimal
+
+        n, total = (state.get[0], Decimal(state.get[1])) if state.exists else (0, Decimal(0))
+        for pdf in pdf_iter:
+            n += len(pdf)
+            # exact decimal accumulation -> order-independent totals
+            total += sum(Decimal(repr(v)) for v in pdf["value"])
+        state.update((n, str(total)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value_s": [str(total)]}
+        )
+
+    counted = events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType="user_id long, n_events long, total_value_s string",
+        stateStructType="n_events long, total_s string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_stream_to_memory(counted, output_mode="update")
+    # final value per key = emission of the last batch (max n_events)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("total_value_s").cast("decimal(38,6)").cast("double"), 4).alias(
+                "total_value"
+            ),
+        )
+    )

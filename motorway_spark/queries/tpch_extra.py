@@ -269,3 +269,51 @@ def sql_api_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
         """
     )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name,
+           ROUND(CAST(total_revenue AS DOUBLE), 4) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: derived revenue view + scalar MAX subquery.
+    Expressed as a rank-1 window over the derived view (one pass, no
+    second scan of lineitem — the classic Q15 rewrite); exact decimal
+    revenue makes the MAX comparison tie-exact across engines."""
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    revenue = (
+        cat.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "total_revenue_d"
+            )
+        )
+    )
+    w = Window.orderBy(F.desc("total_revenue_d"))
+    top = revenue.withColumn("rnk", F.rank().over(w)).filter(F.col("rnk") == 1)
+    return (
+        top.join(F.broadcast(cat.supplier), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_revenue_d").cast("double"), 4).alias("total_revenue"),
+        )
+    )

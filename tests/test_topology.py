@@ -79,3 +79,29 @@ def test_unresolvable_stream_raises(spark):
     pipe = Pipeline(spark).add_intersection(lambda df: df, "nope", "out")
     with pytest.raises(ValueError, match="unresolvable"):
         pipe.compile()
+
+
+def test_null_grouping_key_raises(spark):
+    """GroupingValueMissing parity: a null grouping_value must fail
+    loudly on keyed routing (reference motorway/grouping.py:29-35)."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("a", 1), (None, 2)], "k string, v int")
+    pipe = (
+        Pipeline(spark)
+        .add_ramp(df, "in")
+        .add_intersection(lambda d: d.groupBy("k").count(), "in", "out", grouping_key="k")
+    )
+    with _pytest.raises(Exception, match="GroupingValueMissing"):
+        pipe.stream("out").collect()
+
+    # strict_grouping=False routes nulls silently (Spark default behavior)
+    pipe2 = (
+        Pipeline(spark)
+        .add_ramp(df, "in")
+        .add_intersection(
+            lambda d: d.groupBy("k").count(), "in", "out",
+            grouping_key="k", strict_grouping=False,
+        )
+    )
+    assert pipe2.stream("out").count() == 2
