@@ -238,3 +238,85 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS segment, e.value
+    FROM events e JOIN customer c ON e.user_id + 1 = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich a stream with a broadcast dimension
+    snapshot (the reference's DB-lookup-inside-an-intersection pattern,
+    made declarative). The static side re-reads per micro-batch, so a
+    slowly-changing dim stays current without restarting the query."""
+    from motorway_spark.catalog import Catalog
+
+    events = stream_events(spark, sf_dir)
+    customers = F.broadcast(
+        Catalog(spark, sf_dir).customer.select("c_custkey", "c_mktsegment")
+    )
+    out = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(customers, F.col("user_id") + 1 == F.col("c_custkey"))
+        .select(
+            "event_id", "user_id", F.col("c_mktsegment").alias("segment"), "value"
+        )
+    )
+    return run_stream_to_memory(out, output_mode="append")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS secs_to_purchase
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join with watermarks: purchases within 30
+    minutes after a click by the same user. Both sides keep state only
+    for the watermark + interval horizon — the bounded-state form of
+    funnel/attribution joins at 100 TB/day."""
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (
+            (F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+             - F.unix_micros(F.col("click_ts").cast("timestamp"))) / F.lit(1_000_000)
+        ).cast("long").alias("secs_to_purchase"),
+    )
+    return run_stream_to_memory(joined, output_mode="append")
