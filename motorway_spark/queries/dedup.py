@@ -370,3 +370,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= 8).orderBy("doc_a", "doc_b")
+
+
+@query("dedup_minhash_mllib")  # rows-only: MLlib hash family is engine-specific
+def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib MinHashLSH variant (SURVEY.md §2b north-star row): token
+    sets → HashingTF sparse vectors → approxSimilarityJoin. The
+    hand-rolled dedup_minhash above is the oracle-checkable engine
+    implementation; this one demonstrates the packaged MLlib path and
+    its approxSimilarityJoin candidate generation."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = Catalog(spark, sf_dir).documents
+    tokens = docs.select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("tokens")
+    ).filter(F.size("tokens") > 0)
+    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 14)
+    feats = tf.transform(tokens)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = (
+        model.approxSimilarityJoin(feats, feats, 0.6, distCol="jaccard_dist")
+        .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1 - F.col("jaccard_dist"), 6).alias("est_jaccard"),
+        )
+    )
+    return pairs.orderBy("doc_a", "doc_b")

@@ -317,3 +317,94 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("total_revenue_d").cast("double"), 4).alias("total_revenue"),
         )
     )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    WITH all_nations AS (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) AS volume,
+             n2.n_name AS supp_nation
+      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+        AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                            AND TIMESTAMP '1996-12-31 23:59:59'
+        AND p_type = 'ECONOMY')
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'BRAZIL' THEN volume
+                               ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM all_nations
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: 8-table join + conditional share. Dims (nation
+    x2, region, filtered part) broadcast; only the fact chain shuffles."""
+    cat = Catalog(spark, sf_dir)
+    n1 = F.broadcast(cat.nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")))
+    n2 = F.broadcast(cat.nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")))
+    region = F.broadcast(cat.region.filter(F.col("r_name") == "AMERICA"))
+    part = F.broadcast(cat.part.filter(F.col("p_type") == "ECONOMY"))
+    orders = cat.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1996-12-31 23:59:59").cast("timestamp"))
+    )
+    vol = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    base = (
+        cat.lineitem.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(cat.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("c_nationkey") == F.col("c_nkey"))
+        .join(region, F.col("c_rkey") == F.col("r_regionkey"))
+        .join(n2, F.col("s_nationkey") == F.col("s_nkey"))
+        .select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "supp_nation")
+    )
+    brazil_vol = F.when(F.col("supp_nation") == "BRAZIL", F.col("volume")).otherwise(
+        F.lit(0).cast("decimal(38,6)")
+    )
+    return base.groupBy("o_year").agg(
+        F.round(
+            F.sum(brazil_vol).cast("double") / F.sum("volume").cast("double"), 6
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "q9_profit",
+    oracle=f"""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           {sql_dsum('l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.6',
+                     'sum_profit')}
+    FROM part, supplier, lineitem, orders, nation
+    WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      AND p_name LIKE '%green%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by nation and year (no
+    partsupp table in the fixtures; supply cost approximated as 60% of
+    retail price — the join/agg structure is the point)."""
+    cat = Catalog(spark, sf_dir)
+    green_parts = F.broadcast(cat.part.filter(F.col("p_name").like("%green%")))
+    profit = dec(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * 0.6
+    )
+    return (
+        cat.lineitem.join(green_parts, F.col("p_partkey") == F.col("l_partkey"))
+        .join(cat.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(cat.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cat.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit).cast("double"), 4).alias("sum_profit"))
+    )

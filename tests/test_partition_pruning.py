@@ -1,0 +1,52 @@
+"""Partition layout + pruning: static partition pruning and dynamic
+partition pruning (DPP) against a year-partitioned fact table — the
+lakehouse layout pattern for 100 TB facts (SCALE.md "Scans")."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+
+def _partitioned_orders(spark, sf_dir, tmp_path) -> str:
+    out = str(tmp_path / f"orders_part_{uuid.uuid4().hex[:6]}")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    orders.write.partitionBy("o_year").parquet(out)
+    return out
+
+
+def test_static_partition_pruning(spark, sf_dir, tmp_path):
+    path = _partitioned_orders(spark, sf_dir, tmp_path)
+    df = spark.read.parquet(path).filter(F.col("o_year") == 1995)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_year" in plan
+    # count must equal the unpartitioned filter
+    expected = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.year("o_orderdate") == 1995)
+        .count()
+    )
+    assert df.count() == expected
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """DPP: the partition filter comes from the OTHER side of a join at
+    runtime — a dim filter prunes fact partitions without a static
+    predicate on the fact."""
+    path = _partitioned_orders(spark, sf_dir, tmp_path)
+    fact = spark.read.parquet(path)
+    dim = (
+        spark.createDataFrame([(1995, "y95"), (1996, "y96")], "yr int, tag string")
+    )
+    joined = fact.join(dim, fact.o_year == dim.yr).filter(F.col("tag") == "y95")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    expected = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.year("o_orderdate") == 1995)
+        .count()
+    )
+    assert joined.count() == expected
