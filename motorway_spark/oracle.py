@@ -101,7 +101,8 @@ def run_check(sf_dir: str, names: list[str] | None = None, spark=None) -> dict[s
             results[name] = [f"SPARK ERROR: {type(exc).__name__}: {exc}"]
             continue
         if name not in ORACLES:
-            results[name] = [] if len(spark_pdf) >= 0 else ["no rows"]
+            # mirror the driver's rows>0 gate: empty output is a failure
+            results[name] = [] if len(spark_pdf) > 0 else ["no rows"]
             results[name].append("(rows-only check)")
             continue
         try:

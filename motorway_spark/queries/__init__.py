@@ -13,18 +13,25 @@ the registry is fully populated.
 from motorway_spark.queries.registry import QUERIES, ORACLES, query, get_queries, get_oracles
 
 # Populate the registry.
+#
+# ORDER MATTERS: the driver's correctness sweep runs queries in
+# registration order under a global budget (round 1 stopped at entry 50,
+# leaving everything after setops unverified).  Families that have never
+# had a driver CORRECTNESS row therefore register FIRST; the families
+# already verified green in round 1 (relational, tpch_extra, joins,
+# windows) register LAST.
+from motorway_spark.queries import dedup  # noqa: F401,E402
+from motorway_spark.queries import similarity  # noqa: F401,E402
+from motorway_spark.queries import text  # noqa: F401,E402
+from motorway_spark.queries import multimodal  # noqa: F401,E402
+from motorway_spark.queries import udfs  # noqa: F401,E402
+from motorway_spark.queries import scalar_functions  # noqa: F401,E402
+from motorway_spark.queries import scans  # noqa: F401,E402
+from motorway_spark.queries import streaming_queries  # noqa: F401,E402
+from motorway_spark.queries import setops  # noqa: F401,E402
 from motorway_spark.queries import relational  # noqa: F401,E402
 from motorway_spark.queries import tpch_extra  # noqa: F401,E402
 from motorway_spark.queries import joins  # noqa: F401,E402
 from motorway_spark.queries import windows  # noqa: F401,E402
-from motorway_spark.queries import setops  # noqa: F401,E402
-from motorway_spark.queries import scalar_functions  # noqa: F401,E402
-from motorway_spark.queries import dedup  # noqa: F401,E402
-from motorway_spark.queries import text  # noqa: F401,E402
-from motorway_spark.queries import similarity  # noqa: F401,E402
-from motorway_spark.queries import streaming_queries  # noqa: F401,E402
-from motorway_spark.queries import multimodal  # noqa: F401,E402
-from motorway_spark.queries import udfs  # noqa: F401,E402
-from motorway_spark.queries import scans  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLES", "query", "get_queries", "get_oracles"]

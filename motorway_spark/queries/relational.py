@@ -336,9 +336,9 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_status_by_priority",
     oracle="""
     SELECT o_orderpriority,
-           COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS status_O,
-           COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS status_F,
-           COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS status_P
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS status_O,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS status_F,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS status_P
     FROM orders
     GROUP BY o_orderpriority
     """,

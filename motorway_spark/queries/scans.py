@@ -12,30 +12,50 @@ through text).
 
 from __future__ import annotations
 
+import csv
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from motorway_spark.catalog import Catalog
 from motorway_spark.queries.registry import query
 from motorway_spark.queries.helpers import dec, sql_dsum
 
 _SUPPLIER_SCHEMA = "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double"
+_SUPPLIER_COLS = ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
 
 
 def _derived(spark: SparkSession, sf_dir: str, fmt: str) -> str:
-    """Write supplier as fmt under /tmp once; return the path."""
+    """Materialize a CSV/JSON copy of supplier once per SF; return the path.
+
+    Written driver-side via pyarrow + the stdlib writers rather than a
+    Spark ``coalesce(1)`` job: supplier is a dimension table (100 rows at
+    sf0.01), so a Spark job here only adds ~seconds of fixed cost to the
+    driver's timed correctness sweep.  Python's ``repr``/``json.dumps``
+    float formatting is shortest-round-trip, so doubles survive the text
+    hop bit-exactly — the same guarantee Spark's writer gave.
+    """
+    import pyarrow.parquet as pq
+
     tag = os.path.basename(sf_dir.rstrip("/"))
-    out = f"/tmp/motorway_scans/{tag}/supplier_{fmt}"
-    marker = f"{out}/_SUCCESS"
-    if not os.path.exists(marker):
-        supplier = Catalog(spark, sf_dir).supplier
-        writer = supplier.coalesce(1).write.mode("overwrite")
-        if fmt == "csv":
-            writer.option("header", "true").csv(out)
-        else:
-            writer.json(out)
+    out_dir = f"/tmp/motorway_scans/{tag}"
+    out = f"{out_dir}/supplier.{'csv' if fmt == 'csv' else 'jsonl'}"
+    if not os.path.exists(out):
+        os.makedirs(out_dir, exist_ok=True)
+        tbl = pq.read_table(os.path.join(sf_dir, "supplier.parquet"), columns=_SUPPLIER_COLS)
+        rows = tbl.to_pylist()
+        tmp = out + ".tmp"
+        with open(tmp, "w", newline="") as f:
+            if fmt == "csv":
+                w = csv.writer(f)
+                w.writerow(_SUPPLIER_COLS)
+                for r in rows:
+                    w.writerow([repr(r[c]) if isinstance(r[c], float) else r[c] for c in _SUPPLIER_COLS])
+            else:
+                for r in rows:
+                    f.write(json.dumps({c: r[c] for c in _SUPPLIER_COLS}) + "\n")
+        os.replace(tmp, out)
     return out
 
 

@@ -197,28 +197,30 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     WordCountIntersection state (examples/intersections.py:19-31), but
     in the checkpointed state store. Update-mode emissions are reduced
     to final values per key (last batch wins = running total)."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     events = stream_events(spark, sf_dir)
 
     def update_totals(key, pdf_iter, state: GroupState):
-        from decimal import Decimal
-
-        n, total = (state.get[0], Decimal(state.get[1])) if state.exists else (0, Decimal(0))
+        n, total_micro = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
-            # exact decimal accumulation -> order-independent totals
-            total += sum(Decimal(repr(v)) for v in pdf["value"])
-        state.update((n, str(total)))
+            # Exact, order-independent accumulation, fully vectorized:
+            # fixture/oracle values are DECIMAL(38,6)-quantized, so each
+            # value*1e6 is within one ulp of an integer — np.rint
+            # recovers it exactly and int64 sums are associative.
+            total_micro += int(np.rint(pdf["value"].to_numpy() * 1e6).astype(np.int64).sum())
+        state.update((n, total_micro))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value_s": [str(total)]}
+            {"user_id": [key[0]], "n_events": [n], "total_micro": [total_micro]}
         )
 
     counted = events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
         update_totals,
-        outputStructType="user_id long, n_events long, total_value_s string",
-        stateStructType="n_events long, total_s string",
+        outputStructType="user_id long, n_events long, total_micro long",
+        stateStructType="n_events long, total_micro long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -233,7 +235,10 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "n_events",
-            F.round(F.col("total_value_s").cast("decimal(38,6)").cast("double"), 4).alias(
+            # micro-units → value: int64 < 2^53 is double-exact and the
+            # division is correctly rounded, so this equals the oracle's
+            # CAST(SUM(DECIMAL(38,6)) AS DOUBLE) bit-for-bit.
+            F.round(F.col("total_micro").cast("double") / F.lit(1e6), 4).alias(
                 "total_value"
             ),
         )

@@ -21,11 +21,11 @@ from motorway_spark.queries.helpers import dec, dsum, sql_dsum
     "q12_shipmode_buckets",
     oracle="""
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END) AS high_count,
-           SUM(CASE WHEN o_totalprice <  150000 THEN 1 ELSE 0 END) AS low_count
+           CAST(SUM(CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+           CAST(SUM(CASE WHEN o_totalprice <  150000 THEN 1 ELSE 0 END) AS BIGINT) AS low_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
       AND l_linenumber = 1
     GROUP BY o_orderpriority
     """,
@@ -34,8 +34,8 @@ def q12_shipmode_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: join + conditional aggregation (sum of CASE)."""
     cat = Catalog(spark, sf_dir)
     li = cat.lineitem.filter(
-        (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_linenumber") == 1)
     )
     return (
@@ -180,7 +180,9 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 4) AS total_bal
     FROM customer
     WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
     GROUP BY c_mktsegment
     """,
 )
@@ -196,10 +198,13 @@ def q22_acctbal_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat.customer.filter(F.col("c_acctbal") > 0)
         .agg(F.avg("c_acctbal").alias("avg_bal"))
     )
+    recent = cat.orders.filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+    )
     return (
         cat.customer.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
-        .join(cat.orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_cust"),
@@ -386,22 +391,24 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM part, supplier, lineitem, orders, nation
     WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
       AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
-      AND p_name LIKE '%green%'
+      AND p_name LIKE '%red%'
     GROUP BY n_name, year(o_orderdate)
     """,
 )
 def q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: product-line profit by nation and year (no
     partsupp table in the fixtures; supply cost approximated as 60% of
-    retail price — the join/agg structure is the point)."""
+    retail price — the join/agg structure is the point). The color
+    predicate is '%red%' because the fixture p_name vocabulary has no
+    'green' (a '%green%' filter selects zero parts → vacuous oracle)."""
     cat = Catalog(spark, sf_dir)
-    green_parts = F.broadcast(cat.part.filter(F.col("p_name").like("%green%")))
+    color_parts = F.broadcast(cat.part.filter(F.col("p_name").like("%red%")))
     profit = dec(
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
         - F.col("p_retailprice") * F.col("l_quantity") * 0.6
     )
     return (
-        cat.lineitem.join(green_parts, F.col("p_partkey") == F.col("l_partkey"))
+        cat.lineitem.join(color_parts, F.col("p_partkey") == F.col("l_partkey"))
         .join(cat.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(cat.orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(cat.nation), F.col("s_nationkey") == F.col("n_nationkey"))

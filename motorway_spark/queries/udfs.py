@@ -27,7 +27,7 @@ from motorway_spark.queries.registry import query
 _NORM_ORACLE = """
     SELECT doc_id,
            trim(lower(regexp_replace(text, '[0-9]+', '#', 'g'))) AS norm_text,
-           strlen(trim(lower(regexp_replace(text, '[0-9]+', '#', 'g')))) AS norm_len
+           length(trim(lower(regexp_replace(text, '[0-9]+', '#', 'g')))) AS norm_len
     FROM documents
 """
 

@@ -50,6 +50,12 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # NOTE: the "Timed out while waiting for the Python worker to
+        # connect back" flake under load is a HARDCODED 10 s accept
+        # timeout (PythonWorkerFactory.PROCESS_WAIT_TIMEOUT_MS) — no
+        # conf raises it; streaming/runner.py retries on it instead.
+        .config("spark.python.authenticate.socketTimeout", "60s")
+        .config("spark.network.timeout", "300s")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

@@ -31,7 +31,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -77,8 +77,22 @@ class UpsertParquetSink:
             batch_df.foreach(lambda _row: None)
             return
 
-        # last-write-wins inside the batch (deterministic: highest key)
-        batch = batch_df.dropDuplicates(self.key_cols)
+        # Within-batch conflict resolution must be DETERMINISTIC (a
+        # replayed batch must merge to the identical table), and
+        # dropDuplicates keeps an arbitrary row per key. Keep the row
+        # that sorts highest on the non-key columns instead.
+        value_cols = [c for c in batch_df.columns if c not in self.key_cols]
+        if value_cols:
+            w = Window.partitionBy(*self.key_cols).orderBy(
+                *[F.desc(c) for c in value_cols]
+            )
+            batch = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            batch = batch_df.dropDuplicates(self.key_cols)
         target = self.read()
         if target is None:
             merged = batch

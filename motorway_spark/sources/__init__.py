@@ -9,6 +9,14 @@ from replayable offsets + checkpoint instead of at-least-once ack trees).
 """
 
 from motorway_spark.sources.generator import SentenceSource, SENTENCES, register_sources
+from motorway_spark.sources.kafka import KafkaLogSource, OffsetTracker
 from motorway_spark.sources.spool import SpoolDirSource
 
-__all__ = ["SentenceSource", "SpoolDirSource", "SENTENCES", "register_sources"]
+__all__ = [
+    "SentenceSource",
+    "SpoolDirSource",
+    "KafkaLogSource",
+    "OffsetTracker",
+    "SENTENCES",
+    "register_sources",
+]

@@ -37,6 +37,7 @@ class SpoolStreamReader(DataSourceStreamReader):
         self.spool_dir = options["path"]
         self.delete_on_commit = str(options.get("deleteOnCommit", "true")).lower() == "true"
         self.max_files = int(options.get("maxFilesPerTrigger", 100))
+        self.num_partitions = int(options.get("numPartitions", 4))
         self._seen: list[str] = []
 
     def _list(self) -> list[str]:
@@ -57,8 +58,26 @@ class SpoolStreamReader(DataSourceStreamReader):
         return {"files": merged}
 
     def partitions(self, start: dict, end: dict):
+        """Shard the batch into up to ``numPartitions`` InputPartitions.
+
+        The Kinesis shard model (/root/reference/motorway/contrib/
+        amazon_kinesis/ramps.py:186-315) minus the DynamoDB lease table:
+        Spark's scheduler replaces lease ownership, each InputPartition
+        reads its slice in parallel on an executor. A single partition
+        per batch would cap source throughput at one Python worker —
+        the throughput ceiling a 1000-executor cluster must not have.
+        Round-robin over the sorted listing keeps every shard's file
+        list itself sorted (per-shard ordering, like Kinesis preserves
+        order within a shard but not across shards).
+        """
         new_files = sorted(set(end["files"]) - set(start["files"]))
-        return [_FilesPartition([os.path.join(self.spool_dir, f) for f in new_files])]
+        n = max(1, min(self.num_partitions, len(new_files)))
+        shards = [new_files[i::n] for i in range(n)]
+        return [
+            _FilesPartition([os.path.join(self.spool_dir, f) for f in shard])
+            for shard in shards
+            if shard
+        ] or [_FilesPartition([])]
 
     def read(self, partition: _FilesPartition):
         for path in partition.files:

@@ -58,24 +58,71 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def start_and_drain(start_query, attempts: int = 2):
+    """Start a StreamingQuery via ``start_query()`` (a zero-arg factory
+    that must generate a FRESH sink/query name per call) and drain it
+    with ``processAllAvailable``; one retry on the hardcoded-10 s
+    Python-worker connect flake. Returns the drained, still-running
+    query (caller stops it)."""
+    for attempt in range(1, attempts + 1):
+        query = start_query()
+        try:
+            query.processAllAvailable()
+            return query
+        except Exception as exc:  # noqa: BLE001
+            query.stop()
+            if attempt < attempts and "Python worker" in str(exc):
+                continue
+            raise
+
+
 def run_stream_to_memory(
     streaming_df: DataFrame,
     output_mode: str = "complete",
     timeout_sec: int = 120,
+    shuffle_partitions: int = 8,
 ) -> DataFrame:
     """Execute a streaming DataFrame to a memory sink until the finite
-    source drains (AvailableNow); return the sink contents."""
-    name = f"mem_{uuid.uuid4().hex[:12]}"
-    query = (
-        streaming_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    source drains (AvailableNow); return the sink contents.
+
+    Shuffle partitions are dialled down for the run (and restored after):
+    each stateful streaming query materializes one state-store instance
+    per shuffle partition per trigger, so at oracle scale (sf0.01) the
+    default 32+ partitions are pure fixed overhead. Results are
+    partition-count-independent. At production scale callers pass a
+    larger value sized to key cardinality."""
+    spark = streaming_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        query.awaitTermination(timeout_sec)
+        # One retry on the Python-worker connect flake: Spark's
+        # PROCESS_WAIT_TIMEOUT_MS is a hardcoded 10 s, and under heavy
+        # machine load a freshly forked planner worker can miss it.
+        # The query is deterministic over a finite source, so a clean
+        # restart is safe (fresh name + temp checkpoint, same result —
+        # a fresh name so a partially-filled append sink isn't reused).
+        for attempt in (1, 2):
+            name = f"mem_{uuid.uuid4().hex[:12]}"
+            query = (
+                streaming_df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                query.awaitTermination(timeout_sec)
+                break
+            except Exception as exc:  # noqa: BLE001
+                if attempt == 1 and "Python worker" in str(exc):
+                    continue
+                raise
+            finally:
+                if query.isActive:
+                    query.stop()
     finally:
-        if query.isActive:
-            query.stop()
-    return streaming_df.sparkSession.table(name)
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+    return spark.table(name)

@@ -1,0 +1,227 @@
+"""Kafka-shaped source: the reference's own invariants, executable here.
+
+Ports /root/reference/motorway/tests/test_kafka.py:67-174 against
+``OffsetTracker`` (commit-the-oldest-uncompleted + throttle caps) and
+adds Spark-level tests for the ``kafkalog`` stream source: bounded
+micro-batches under the caps, parallel per-partition reads, exactly-once
+drain, and committed-offset persistence across readers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from motorway_spark.sources.kafka import (
+    GET_RECORDS_LIMIT,
+    KafkaLogReader,
+    OffsetTracker,
+)
+
+
+# ---------------------------------------------------------------------------
+# OffsetTracker: reference test_kafka.py invariants, 1:1.
+# ---------------------------------------------------------------------------
+def test_success_commits_offset_plus_one():
+    # test_kafka.py:67-75
+    t = OffsetTracker()
+    t.consume(0, 1)
+    assert t.success(0, 1) == 2  # offset + 1
+    assert not t.uncompleted_ids[0]
+
+
+def test_success_multiple_uncompleted_ids():
+    # test_kafka.py:77-90 — commit only the oldest uncompleted offset
+    t = OffsetTracker()
+    for off in (1, 2, 3):
+        t.consume(0, off)
+    assert t.success(0, 2) == 1  # 1 still in flight
+    assert t.uncompleted_ids[0] == {1, 3}
+    assert t.success(0, 1) == 3  # now 3 is the oldest uncompleted
+    assert t.uncompleted_ids[0] == {3}
+
+
+def test_success_out_of_order_edge_case():
+    # test_kafka.py:92-105 — completing newest first never over-commits
+    t = OffsetTracker()
+    for off in (1, 2, 3):
+        t.consume(0, off)
+    assert t.success(0, 3) == 1
+    assert t.success(0, 2) is None  # 1 still uncompleted, no advance
+    assert t.committed_offsets[0] == 1
+    # 1 done: conservative commit to 2 (3's completion already forgotten)
+    assert t.success(0, 1) == 2
+
+
+def test_failed_removes_without_commit():
+    # test_kafka.py:107-113
+    t = OffsetTracker()
+    t.consume(0, 1)
+    t.failed(0, 1)
+    assert not t.uncompleted_ids[0]
+    assert t.committed_offsets[0] == 0
+
+
+def test_success_unknown_offset_is_noop():
+    # ramps.py:188-190 — warning path, no state change
+    t = OffsetTracker()
+    assert t.success(0, 99) is None
+    assert t.committed_offsets[0] == 0
+
+
+def test_throttle_per_partition_cap():
+    # test_kafka.py:116-140
+    t = OffsetTracker(max_uncompleted_per_partition=2, max_total_uncompleted=100)
+    for off in (1, 2):
+        t.consume(0, off)
+    for off in (3, 4, 5):
+        t.consume(1, off)
+    for off in (6, 7):
+        t.consume(2, off)
+    assert t.blocked_partitions() == [1]
+    assert t.too_many_uncompleted()
+
+    t2 = OffsetTracker(max_uncompleted_per_partition=3, max_total_uncompleted=100)
+    for part, offs in {0: (1, 2), 1: (3, 4, 5), 2: (6, 7)}.items():
+        for off in offs:
+            t2.consume(part, off)
+    assert not t2.too_many_uncompleted()
+
+
+def test_throttle_global_cap():
+    # test_kafka.py:142-174
+    t = OffsetTracker(max_uncompleted_per_partition=5, max_total_uncompleted=6)
+    for part, offs in {0: (1, 2), 1: (3, 4), 2: (5, 6, 7, 8)}.items():
+        for off in offs:
+            t.consume(part, off)
+    assert t.total_uncompleted() == 8
+    assert not t.blocked_partitions()  # no partition over its own cap
+    assert t.too_many_uncompleted()  # but globally throttled
+
+    t2 = OffsetTracker(max_uncompleted_per_partition=5, max_total_uncompleted=10)
+    for part, offs in {0: (1, 2), 1: (3, 4), 2: (5, 6)}.items():
+        for off in offs:
+            t2.consume(part, off)
+    assert not t2.too_many_uncompleted()
+
+
+# ---------------------------------------------------------------------------
+# kafkalog reader: offset arithmetic under the caps (no Spark needed).
+# ---------------------------------------------------------------------------
+def _write_topic(tmp_path, sizes: dict[int, int]) -> str:
+    log_dir = str(tmp_path / "topic")
+    os.makedirs(log_dir, exist_ok=True)
+    for part, n in sizes.items():
+        with open(f"{log_dir}/partition-{part}.jsonl", "w") as fh:
+            for i in range(n):
+                fh.write(json.dumps({"key": f"k{part}", "value": {"p": part, "i": i}}) + "\n")
+    return log_dir
+
+
+def test_latest_offset_bounded_by_records_limit(tmp_path):
+    log_dir = _write_topic(tmp_path, {0: 50, 1: 50})
+    r = KafkaLogReader({"path": log_dir, "getRecordsLimit": "10"})
+    end = r.latestOffset()["offsets"]
+    assert end == {"0": 10, "1": 10}  # per-trigger poll cap per partition
+    end2 = r.latestOffset()["offsets"]
+    assert end2 == {"0": 20, "1": 20}  # resumes where it left off
+
+
+def test_latest_offset_bounded_by_in_flight_caps(tmp_path):
+    log_dir = _write_topic(tmp_path, {0: 100, 1: 100, 2: 100})
+    r = KafkaLogReader(
+        {
+            "path": log_dir,
+            "getRecordsLimit": str(GET_RECORDS_LIMIT),
+            "maxUncompletedPerPartition": "30",
+            "maxTotalUncompleted": "50",
+        }
+    )
+    end = r.latestOffset()["offsets"]
+    # nothing committed yet: in-flight == read positions
+    per_part = [end.get(str(p), 0) for p in range(3)]
+    assert all(n <= 30 for n in per_part)
+    assert sum(per_part) <= 50
+    # without a commit, further polls can't exceed the global cap
+    end2 = r.latestOffset()["offsets"]
+    assert sum(end2.get(str(p), 0) for p in range(3)) <= 50
+    # commit releases the backpressure
+    r.commit({"offsets": end2})
+    end3 = r.latestOffset()["offsets"]
+    assert sum(end3.values()) > sum(end2.values())
+
+
+def test_commit_persists_group_offsets(tmp_path):
+    log_dir = _write_topic(tmp_path, {0: 5})
+    r = KafkaLogReader({"path": log_dir, "groupId": "g1"})
+    end = r.latestOffset()
+    r.commit(end)
+    # a new reader (restart) resumes from the committed offset
+    r2 = KafkaLogReader({"path": log_dir, "groupId": "g1"})
+    assert r2.initialOffset()["offsets"] == {"0": 5}
+    assert r2.latestOffset()["offsets"] == {"0": 5}  # nothing new
+    # a different group re-reads from zero
+    r3 = KafkaLogReader({"path": log_dir, "groupId": "g2"})
+    assert r3.initialOffset()["offsets"] == {}
+
+
+def test_partitions_are_parallel_and_ordered(tmp_path):
+    log_dir = _write_topic(tmp_path, {0: 8, 1: 4})
+    r = KafkaLogReader({"path": log_dir})
+    end = r.latestOffset()
+    parts = r.partitions({"offsets": {}}, end)
+    assert len(parts) == 2  # one InputPartition per Kafka partition
+    rows = {p.partition: list(r.read(p)) for p in parts}
+    assert [row[1] for row in rows[0]] == list(range(8))  # in-order offsets
+    assert [row[1] for row in rows[1]] == list(range(4))
+    assert all(row[0] == 1 for row in rows[1])
+
+
+def test_poison_message_skipped(tmp_path):
+    log_dir = _write_topic(tmp_path, {0: 3})
+    with open(f"{log_dir}/partition-0.jsonl", "a") as fh:
+        fh.write("NOT JSON\n")
+    r = KafkaLogReader({"path": log_dir})
+    end = r.latestOffset()
+    (part,) = r.partitions({"offsets": {}}, end)
+    rows = list(r.read(part))
+    assert len(rows) == 3  # crash isolation: poison line dropped
+
+
+# ---------------------------------------------------------------------------
+# End-to-end: real StreamingQuery over the kafkalog source.
+# ---------------------------------------------------------------------------
+def test_kafkalog_streaming_exactly_once(spark, tmp_path):
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from motorway_spark.sources import register_sources
+    from motorway_spark.streaming.runner import start_and_drain
+
+    register_sources(spark)
+    log_dir = _write_topic(tmp_path, {0: 40, 1: 25, 2: 10})
+    stream = (
+        spark.readStream.format("kafkalog")
+        .option("path", log_dir)
+        .option("getRecordsLimit", "16")  # force multiple micro-batches
+        .load()
+    )
+    query = start_and_drain(
+        lambda: stream.writeStream.format("memory")
+        .queryName(f"kafkalog_{uuid.uuid4().hex[:8]}")
+        .outputMode("append")
+        .start()
+    )
+    name = query.name
+    query.stop()
+    out = spark.table(name)
+    counts = {
+        row["partition"]: row["n"]
+        for row in out.groupBy("partition").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {0: 40, 1: 25, 2: 10}
+    # exactly-once: every (partition, offset) exactly one row
+    assert out.select("partition", "offset").distinct().count() == 75

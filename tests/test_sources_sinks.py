@@ -61,6 +61,61 @@ def test_spool_source_stream_and_delete_on_commit(spark, tmp_path):
     assert spark.table(name).count() == 6
 
 
+def test_spool_source_multi_partition(spark, tmp_path):
+    """Kinesis-shard model: a batch's files shard into numPartitions
+    parallel InputPartitions with per-shard ordering, and delete-on-
+    commit exactness is unchanged (contrib/amazon_kinesis/
+    ramps.py:186-315, leases replaced by Spark's scheduler)."""
+    import uuid
+
+    from motorway_spark.sources.spool import SpoolStreamReader
+    from motorway_spark.streaming.runner import start_and_drain
+
+    register_sources(spark)
+    spool = tmp_path / "spool_mp"
+    spool.mkdir()
+    for i in range(10):
+        (spool / f"msg{i:03d}.json").write_text(
+            json.dumps({"id": f"m{i}", "body": {"group": f"g{i % 3}", "v": i}})
+        )
+
+    # planner-level: shards are disjoint, cover the batch, per-shard sorted
+    reader = SpoolStreamReader({"path": str(spool), "numPartitions": "3"})
+    end = reader.latestOffset()
+    parts = reader.partitions({"files": []}, end)
+    assert len(parts) == 3
+    all_files = [f for p in parts for f in p.files]
+    assert len(all_files) == len(set(all_files)) == 10
+    for p in parts:
+        assert p.files == sorted(p.files)  # per-shard ordering preserved
+
+    # end-to-end: parallel read is still exactly-once + delete-on-commit
+    df = (
+        spark.readStream.format("spooldir")
+        .option("path", str(spool))
+        .option("numPartitions", "3")
+        .load()
+    )
+    query = start_and_drain(
+        lambda: df.writeStream.format("memory")
+        .queryName(f"spmp_{uuid.uuid4().hex[:8]}")
+        .outputMode("append")
+        .start()
+    )
+    name = query.name
+    out = spark.table(name).collect()
+    assert len(out) == 10
+    assert sorted(r["message_id"] for r in out) == [f"m{i}" for i in range(10)]
+    (spool / "late.json").write_text(
+        json.dumps({"id": "late", "body": {"group": "g0", "v": 99}})
+    )
+    query.processAllAvailable()
+    query.stop()
+    remaining = [f for f in os.listdir(spool) if f.endswith(".json")]
+    assert remaining == ["late.json"]
+    assert spark.table(name).count() == 11
+
+
 def test_upsert_sink_merge_and_replay(spark, tmp_path):
     table = str(tmp_path / "word_counts")
     sink = UpsertParquetSink(spark, table, key_cols=["word"])

@@ -114,19 +114,23 @@ def test_checkpoint_restart_no_duplicates(spark, tmp_path):
 def test_metrics_listener(spark):
     import uuid
 
-    name = f"mp_{uuid.uuid4().hex[:8]}"
+    from motorway_spark.streaming.runner import start_and_drain
+
     register_sources(spark)
     listener = MetricsListener()
     spark.streams.addListener(listener)
     try:
-        stream = spark.readStream.format("sentences").option("count", 6).load()
-        query = (
-            stream.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .start()
-        )
-        query.processAllAvailable()
+        def start():
+            stream = spark.readStream.format("sentences").option("count", 6).load()
+            return (
+                stream.writeStream.format("memory")
+                .queryName(f"mp_{uuid.uuid4().hex[:8]}")
+                .outputMode("append")
+                .start()
+            )
+
+        query = start_and_drain(start)
+        name = query.name
         query.stop()
         import time
 

@@ -61,13 +61,15 @@ def test_wordcount_streaming(spark):
     # Python stream sources don't support Trigger.AvailableNow (Spark
     # falls back to one batch); processAllAvailable drains the rolling
     # offsets instead.
-    query = (
-        counts.writeStream.format("memory")
-        .queryName(name)
+    from motorway_spark.streaming.runner import start_and_drain
+
+    query = start_and_drain(
+        lambda: counts.writeStream.format("memory")
+        .queryName(f"wc_{uuid.uuid4().hex[:8]}")
         .outputMode("complete")
         .start()
     )
-    query.processAllAvailable()
+    name = query.name
     query.stop()
     result = {
         r["word"]: r["count"] for r in spark.table(name).collect()
