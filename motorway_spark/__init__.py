@@ -22,7 +22,15 @@ per-row in a hot path.
 
 from motorway_spark.session import get_session, stop_session
 from motorway_spark.catalog import Catalog, load_tables
+from motorway_spark.decorators import batch_process
 
 __version__ = "0.1.0"
 
-__all__ = ["get_session", "stop_session", "Catalog", "load_tables", "__version__"]
+__all__ = [
+    "get_session",
+    "stop_session",
+    "Catalog",
+    "load_tables",
+    "batch_process",
+    "__version__",
+]

@@ -43,6 +43,41 @@ class DataFrameRamp(Ramp):
         return self._df
 
 
+#: per-source-format option that caps records (or files) per trigger —
+#: where a ``@batch_process(limit=…)`` tag lands after pushdown.
+_RATE_CAP_OPTION = {
+    "sentences": "batchSize",
+    "spooldir": "maxFilesPerTrigger",
+    "kafkalog": "getRecordsLimit",
+    "kafka": "maxOffsetsPerTrigger",  # built-in connector, same idea
+}
+
+
+class FormatRamp(Ramp):
+    """A ramp declared as (format, options), built at compile time.
+
+    Declaring the source this way (instead of handing the Pipeline an
+    already-built DataFrame) is what lets ``@batch_process(limit=…)``
+    tags push their per-trigger cap down into the source options —
+    the Spark location of the reference's GET_RECORDS_LIMIT-style
+    intake caps (contrib/kafka/ramps.py:32,109).
+    """
+
+    def __init__(self, fmt: str, options: dict | None = None, streaming: bool = True):
+        self.fmt = fmt
+        self.options = dict(options or {})
+        self.streaming = streaming
+        self.rate_limit: int | None = None  # set by Pipeline from tags
+
+    def dataframe(self, spark: SparkSession) -> DataFrame:
+        options = dict(self.options)
+        cap = _RATE_CAP_OPTION.get(self.fmt)
+        if self.rate_limit is not None and cap is not None and cap not in options:
+            options[cap] = str(self.rate_limit)
+        reader = spark.readStream if self.streaming else spark.read
+        return reader.format(self.fmt).options(**options).load()
+
+
 class Intersection:
     """Transform contract: DataFrame → DataFrame (1:N row semantics are
     expressed with explode/filter/flatMap-shaped declarative ops — the
@@ -72,6 +107,7 @@ class Pipeline:
             tuple[Intersection, str, str, str | None, int | None, bool]
         ] = []
         self._sinks: list[tuple[str, Callable[[DataFrame], object]]] = []
+        self._batch_tags: list[tuple[float, int]] = []  # (wait, limit)
 
     # -- definition API (motorway-shaped) ------------------------------
     def add_ramp(self, ramp: Ramp | DataFrame, output_stream: str) -> "Pipeline":
@@ -102,6 +138,17 @@ class Pipeline:
         """
         if not isinstance(intersection, Intersection):
             intersection = FnIntersection(intersection)
+        # honor @batch_process tags on the callable or process method
+        # (reference decorators.py:5-11 attribute contract)
+        for target in (
+            getattr(intersection, "_fn", None),
+            getattr(type(intersection), "process", None),
+        ):
+            if target is not None and getattr(target, "batch_process", False):
+                self._batch_tags.append(
+                    (float(getattr(target, "wait")), int(getattr(target, "limit")))
+                )
+                break
         self._intersections.append(
             (intersection, input_stream, output_stream, grouping_key, processes,
              strict_grouping)
@@ -117,6 +164,10 @@ class Pipeline:
         """Resolve every named stream to its DataFrame (the logical
         plan DAG — the analogue of the reference's _stream_consumers
         edge dict, pipeline.py:56-63)."""
+        limit = self.batch_limit()
+        for ramp in self._ramps.values():
+            if isinstance(ramp, FormatRamp) and limit is not None:
+                ramp.rate_limit = limit  # @batch_process limit pushdown
         streams: dict[str, DataFrame] = {
             name: ramp.dataframe(self.spark) for name, ramp in self._ramps.items()
         }
@@ -157,13 +208,47 @@ class Pipeline:
     def stream(self, name: str) -> DataFrame:
         return self.compile()[name]
 
+    # -- micro-batching (reference @batch_process) ---------------------
+    def batch_wait(self) -> float | None:
+        """Smallest tagged ``wait`` — Spark micro-batching is per-query,
+        so the strictest cadence across tagged intersections wins."""
+        return min((w for w, _ in self._batch_tags), default=None)
+
+    def batch_limit(self) -> int | None:
+        """Smallest tagged ``limit`` (strictest intake cap wins)."""
+        return min((lim for _, lim in self._batch_tags), default=None)
+
+    def trigger_kwargs(self) -> dict:
+        """The ``writeStream.trigger(**kwargs)`` implied by the tags:
+        ``wait`` → ProcessingTime cadence; untagged → AvailableNow-style
+        drain is the caller's choice (empty dict = engine default)."""
+        wait = self.batch_wait()
+        if wait is None:
+            return {}
+        wait = int(wait) if float(wait).is_integer() else wait
+        return {"processingTime": f"{wait} seconds"}
+
     # -- execution -----------------------------------------------------
-    def run(self) -> list[object]:
+    def run(self, trigger: dict | None = None) -> list[object]:
         """Materialize every sink. Batch inputs → writer(df) directly;
         streaming inputs → the writer receives the streaming DataFrame
-        and is expected to return a StreamingQuery."""
+        and is expected to return a StreamingQuery.
+
+        ``trigger``: optional ``writeStream.trigger`` kwargs (e.g.
+        ``{"processingTime": "5 seconds"}`` or ``{"availableNow":
+        True}``) passed to writers that accept a second argument;
+        defaults to the cadence implied by ``@batch_process`` tags.
+        """
+        import inspect
+
         streams = self.compile()
+        trigger = trigger if trigger is not None else self.trigger_kwargs()
         results = []
         for stream_name, writer in self._sinks:
-            results.append(writer(streams[stream_name]))
+            df = streams[stream_name]
+            try:
+                accepts_trigger = len(inspect.signature(writer).parameters) >= 2
+            except (TypeError, ValueError):
+                accepts_trigger = False
+            results.append(writer(df, trigger) if accepts_trigger else writer(df))
         return results

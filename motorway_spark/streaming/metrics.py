@@ -12,6 +12,7 @@ stand-in).
 
 from __future__ import annotations
 
+import datetime
 import json
 from collections import defaultdict
 
@@ -19,13 +20,52 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQueryListener
 
 
+def percentile_from_dict(freq: dict[float, int], p: float) -> float:
+    """P-th percentile from an {observation: frequency} dict (nearest-
+    rank over the expanded multiset) — the reference computes its 95th
+    percentile from exactly this frequency-dict shape
+    (motorway/utils.py:13-34, controller.py:52-53) so batch-duration
+    stats never require storing one entry per observation."""
+    assert 0 < p <= 100, "Percentile must be in range (0, 100)"
+    total = sum(freq.values())
+    if total == 0:
+        return 0.0
+    rank = total * (float(p) / 100)
+    cumulative = 0
+    for obs in sorted(freq):
+        cumulative += freq[obs]
+        if cumulative >= rank:
+            return obs
+    return max(freq)  # pragma: no cover — float-edge fallback
+
+
+def _empty_minute() -> dict:
+    # reference histogram bucket shape (controller.py:56-59)
+    return {"error_count": 0, "success_count": 0, "timeout_count": 0, "processed_count": 0}
+
+
 class MetricsListener(StreamingQueryListener):
-    """Collects per-query progress into controller-style counters."""
+    """Collects per-query progress into controller-style counters.
+
+    Stat parity with ControllerIntersection.get_default_process_dict
+    (controller.py:43-60): success/failed/processed counts, average and
+    95th-percentile batch duration (from a duration-frequency dict, not
+    a raw list), and a 60-slot per-minute histogram; ``api_status``
+    serves the ``/api/status/`` payload shape (webserver.py:66-73).
+    """
 
     def __init__(self):
         self.progress: list[dict] = []
         self.totals: dict[str, dict] = defaultdict(
-            lambda: {"batches": 0, "rows": 0, "errors": 0}
+            lambda: {
+                "status": "running",
+                "batches": 0,
+                "rows": 0,
+                "errors": 0,
+                "duration_ms_total": 0,
+                "frequency": defaultdict(int),  # duration_ms -> count
+                "histogram": {m: _empty_minute() for m in range(60)},
+            }
         )
 
     # StreamingQueryListener contract ----------------------------------
@@ -36,34 +76,72 @@ class MetricsListener(StreamingQueryListener):
         p = json.loads(event.progress.json)
         name = p.get("name") or p.get("id")
         rows = int(p.get("numInputRows") or 0)
+        duration_ms = int((p.get("durationMs") or {}).get("triggerExecution", 0))
         self.progress.append(
             {
                 "query": name,
                 "batch_id": int(p.get("batchId", -1)),
                 "num_input_rows": rows,
                 "rows_per_sec": float(p.get("processedRowsPerSecond") or 0.0),
-                "batch_duration_ms": int(
-                    (p.get("durationMs") or {}).get("triggerExecution", 0)
-                ),
+                "batch_duration_ms": duration_ms,
                 "timestamp": p.get("timestamp"),
             }
         )
         totals = self.totals[name]
         totals["batches"] += 1
         totals["rows"] += rows
+        totals["duration_ms_total"] += duration_ms
+        totals["frequency"][duration_ms] += 1
+        minute = datetime.datetime.now().minute
+        totals["histogram"][minute]["success_count"] += 1
+        totals["histogram"][minute]["processed_count"] += rows
 
     def onQueryIdle(self, event) -> None:
         pass
 
     def onQueryTerminated(self, event) -> None:
         if event.exception is not None:
-            self.totals[str(event.id)]["errors"] += 1
+            totals = self.totals[str(event.id)]
+            totals["errors"] += 1
+            totals["status"] = "failed"
+            totals["histogram"][datetime.datetime.now().minute]["error_count"] += 1
 
     # controller-style views -------------------------------------------
     def status(self) -> dict[str, dict]:
-        """Processed/waiting/error counters per query — the shape of
-        the reference's /api/status/ payload."""
-        return {name: dict(t) for name, t in self.totals.items()}
+        """Per-query stats in the reference's process-statistics shape
+        (controller.py:43-60): counters + avg + p95 + histogram."""
+        out = {}
+        for name, t in self.totals.items():
+            batches = t["batches"]
+            out[name] = {
+                "status": t["status"],
+                "success": batches - t["errors"],
+                "failed": t["errors"],
+                "processed": t["rows"],
+                "batches": batches,
+                "rows": t["rows"],
+                "errors": t["errors"],
+                "avg_time_taken_ms": (t["duration_ms_total"] / batches) if batches else 0.0,
+                "95_percentile_ms": percentile_from_dict(dict(t["frequency"]), 95),
+                "frequency": dict(t["frequency"]),
+                "total_frequency": sum(t["frequency"].values()),
+                "histogram": {m: dict(b) for m, b in t["histogram"].items()},
+            }
+        return out
+
+    def api_status(self) -> dict:
+        """The ``/api/status/`` payload (webserver.py:66-73): grouped
+        process statistics + the trailing-minutes histogram slice."""
+        status = self.status()
+        now_minute = datetime.datetime.now().minute
+        last_minutes = {
+            name: {
+                m: stats["histogram"][m]
+                for m in ((now_minute - i) % 60 for i in range(5))
+            }
+            for name, stats in status.items()
+        }
+        return {"groups": status, "last_minutes": last_minutes}
 
     def progress_df(self, spark: SparkSession) -> DataFrame:
         schema = (

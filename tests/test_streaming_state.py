@@ -141,3 +141,70 @@ def test_metrics_listener(spark):
         assert listener.progress_df(spark).count() >= 1
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_percentile_from_dict():
+    """Reference utils.py:13-34 percentile semantics over a frequency
+    dict (nearest-rank on the expanded multiset)."""
+    from motorway_spark.streaming.metrics import percentile_from_dict
+
+    freq = {10: 1, 20: 1, 30: 1, 40: 1}
+    assert percentile_from_dict(freq, 50) == 20
+    assert percentile_from_dict(freq, 100) == 40
+    assert percentile_from_dict({5: 100}, 95) == 5
+    # 99 observations of 1ms and one 1000ms outlier: p95 unaffected
+    assert percentile_from_dict({1: 99, 1000: 1}, 95) == 1
+    assert percentile_from_dict({}, 95) == 0.0
+
+
+def test_metrics_controller_stats_parity(spark):
+    """status() carries the reference's process-statistics shape
+    (controller.py:43-60): avg + 95th percentile + minute histogram;
+    api_status() serves the /api/status/ payload (webserver.py:66-73)."""
+    import uuid
+
+    from motorway_spark.streaming.runner import start_and_drain
+
+    register_sources(spark)
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        def start():
+            stream = (
+                spark.readStream.format("sentences")
+                .option("count", 9)
+                .option("batchSize", 3)
+                .load()
+            )
+            return (
+                stream.writeStream.format("memory")
+                .queryName(f"ms_{uuid.uuid4().hex[:8]}")
+                .outputMode("append")
+                .start()
+            )
+
+        query = start_and_drain(start)
+        name = query.name
+        query.stop()
+        import time
+
+        time.sleep(2)  # listener events are async
+        stats = listener.status()[name]
+        assert stats["status"] == "running"
+        assert stats["processed"] == 9
+        assert stats["failed"] == 0
+        assert stats["batches"] >= 3
+        assert stats["avg_time_taken_ms"] > 0
+        # nearest-rank percentile returns a real observation
+        assert stats["95_percentile_ms"] in stats["frequency"]
+        assert stats["total_frequency"] == stats["batches"]
+        assert set(stats["histogram"].keys()) == set(range(60))
+        assert sum(m["success_count"] for m in stats["histogram"].values()) == stats["batches"]
+        assert sum(m["processed_count"] for m in stats["histogram"].values()) == 9
+
+        payload = listener.api_status()
+        assert set(payload.keys()) == {"groups", "last_minutes"}
+        assert name in payload["groups"]
+        assert len(payload["last_minutes"][name]) == 5
+    finally:
+        spark.streams.removeListener(listener)

@@ -107,3 +107,76 @@ def test_null_grouping_key_raises(spark):
         )
     )
     assert pipe2.stream("out").count() == 2
+
+
+def test_batch_process_facade(spark):
+    """@batch_process(wait, limit) parity (reference decorators.py:5-11,
+    examples at contrib/kafka/intersections.py:35): the limit pushes
+    down to the ramp's per-trigger cap, the wait sets the trigger
+    cadence, and the observed micro-batches respect the cap."""
+    import uuid
+
+    from motorway_spark.decorators import batch_process
+    from motorway_spark.pipeline import FormatRamp
+    from motorway_spark.streaming.metrics import MetricsListener
+    from motorway_spark.streaming.runner import start_and_drain
+
+    register_sources(spark)
+
+    @batch_process(wait=1, limit=4)
+    def split_tagged(df):
+        return split_words(df)
+
+    pipe = (
+        Pipeline(spark)
+        .add_ramp(FormatRamp("sentences", {"count": "10"}), "sentence")
+        .add_intersection(split_tagged, "sentence", "word")
+        .add_intersection(count_words, "word", "counts", grouping_key="word")
+    )
+    assert pipe.batch_wait() == 1
+    assert pipe.batch_limit() == 4
+    assert pipe.trigger_kwargs() == {"processingTime": "1 seconds"}
+
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        counts = pipe.stream("counts")
+        query = start_and_drain(
+            lambda: counts.writeStream.format("memory")
+            .queryName(f"bp_{uuid.uuid4().hex[:8]}")
+            .outputMode("complete")
+            .trigger(**pipe.trigger_kwargs())
+            .start()
+        )
+        name = query.name
+        query.stop()
+        result = {r["word"]: r["count"] for r in spark.table(name).collect()}
+        assert result == dict(EXPECTED)
+        import time
+
+        time.sleep(2)  # listener events are async
+        # limit-shaped micro-batches: 10 sentences / cap 4 -> >=3
+        # batches, every batch <= 4 input rows
+        batches = [
+            p for p in listener.progress
+            if p["query"] == name and p["num_input_rows"] > 0
+        ]
+        assert len(batches) >= 3
+        assert all(p["num_input_rows"] <= 4 for p in batches)
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def test_run_passes_trigger_to_writers(spark):
+    """Pipeline.run forwards trigger kwargs to two-arg sink writers."""
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    seen = {}
+
+    def writer(frame, trigger):
+        seen["trigger"] = trigger
+        return frame.count()
+
+    pipe = Pipeline(spark).add_ramp(df, "in").add_sink("in", writer)
+    (n,) = pipe.run(trigger={"availableNow": True})
+    assert n == 1
+    assert seen["trigger"] == {"availableNow": True}
