@@ -204,6 +204,85 @@ _SQL_MINHASH = f"""
 """
 
 
+def band_candidates(
+    bands: DataFrame, max_bucket_width: int | None = None
+) -> DataFrame:
+    """Candidate pairs from (doc_id, band, bucket) rows via bucket-
+    equality self-join.
+
+    ``max_bucket_width`` is the hot-bucket cap SCALE.md promises: a
+    bucket holding w near-identical docs (boilerplate, templated pages)
+    contributes w² join output — one 10M-doc hot bucket is 10^14 pairs
+    and kills the stage. Buckets wider than the cap are dropped from
+    candidate generation entirely (their members are better handled by
+    dedup_exact first — docs that similar are usually byte-identical
+    after normalization). The hot-bucket list is found with one cheap
+    count aggregate on the already-computed band rows and is tiny by
+    construction, so it broadcast-anti-joins back; candidate output is
+    then bounded by cap × (rows in capped buckets), linear not
+    quadratic. ``None`` = exact LSH semantics (the oracle-checked
+    form)."""
+    if max_bucket_width is not None:
+        hot = (
+            bands.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_w"))
+            .filter(F.col("_w") > max_bucket_width)
+            .select("band", "bucket")
+        )
+        bands = bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh[16]) signature rows. Shingles explode to rows so
+    md5 + the affine family run inside whole-stage codegen (nested
+    array lambdas are interpreted in Catalyst — measured 16x slower);
+    the 16 min-aggregates collapse back to one signature row per doc
+    with map-side partial agg, so the shuffle carries one row per
+    (doc × partition), not per shingle."""
+    sh = docs.select(
+        "doc_id", F.explode(_char_shingles(F.col("text"))).alias("s")
+    ).withColumn("h", _h64(F.col("s")) % MH_P)
+    return (
+        sh.groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.lit(MH_A[i]) * F.col("h") + F.lit(MH_B[i])) % MH_P).alias(
+                    f"m{i}"
+                )
+                for i in range(N_MINHASH)
+            ]
+        )
+        .select(
+            "doc_id", F.array(*[F.col(f"m{i}") for i in range(N_MINHASH)]).alias("mh")
+        )
+    )
+
+
+def minhash_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) LSH rows from signature rows."""
+    return sig.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"),
+        F.col("mh"),
+    ).select(
+        "doc_id",
+        "band",
+        F.md5(
+            F.array_join(
+                F.slice(F.col("mh"), F.col("band") * 4 + 1, 4), ","
+            ).cast("binary")
+        ).alias("bucket"),
+    )
+
+
 @query(
     "dedup_minhash",
     oracle=f"""
@@ -241,49 +320,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     counterpart/oracle is dedup_ngram_jaccard.
     """
     docs = Catalog(spark, sf_dir).documents
-    # Shingles explode to rows so md5 + the affine family run inside
-    # whole-stage codegen (nested array lambdas are interpreted in
-    # Catalyst — measured 16x slower); the 16 min-aggregates collapse
-    # back to one signature row per doc with map-side partial agg, so
-    # the shuffle carries one row per (doc × partition), not per shingle.
-    sh = docs.select(
-        "doc_id", F.explode(_char_shingles(F.col("text"))).alias("s")
-    ).withColumn("h", _h64(F.col("s")) % MH_P)
-    sig = (
-        sh.groupBy("doc_id")
-        .agg(
-            *[
-                F.min((F.lit(MH_A[i]) * F.col("h") + F.lit(MH_B[i])) % MH_P).alias(
-                    f"m{i}"
-                )
-                for i in range(N_MINHASH)
-            ]
-        )
-        .select(
-            "doc_id", F.array(*[F.col(f"m{i}") for i in range(N_MINHASH)]).alias("mh")
-        )
-    )
-    bands = sig.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"),
-        F.col("mh"),
-    ).select(
-        "doc_id",
-        "band",
-        F.md5(
-            F.array_join(
-                F.slice(F.col("mh"), F.col("band") * 4 + 1, 4), ","
-            ).cast("binary")
-        ).alias("bucket"),
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    sig = minhash_signatures(docs)
+    # Exact LSH semantics here (cap=None) so the DuckDB oracle matches
+    # bit-for-bit; the production form at 100 TB passes a bucket-width
+    # cap — see band_candidates and tests/test_dedup_scale.py.
+    cand = band_candidates(minhash_bands(sig), max_bucket_width=None)
     sa = sig.alias("sa")
     sb = sig.alias("sb")
     est = (

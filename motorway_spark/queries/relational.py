@@ -303,6 +303,39 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, l_linenumber,
+           COUNT(*) AS n, {sql_dsum('l_quantity', 'sum_qty')},
+           CAST(GROUPING(l_returnflag) * 4 + GROUPING(l_linestatus) * 2
+                + GROUPING(l_linenumber) AS INT) AS gid
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linenumber), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube sugar over;
+    SURVEY.md §2b). Expressed through the SQL surface — Spark's
+    DataFrame API exposes only rollup/cube, GROUPING SETS is SQL-only —
+    and disambiguated by GROUPING() bits: (flag,status) totals, per-
+    shipmode totals, and the grand total in ONE shuffle pass (Catalyst
+    Expand + single aggregate, not three scans unioned)."""
+    Catalog(spark, sf_dir).register_temp_views()
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, l_linenumber,
+               COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 4)
+                 AS sum_qty,
+               CAST(GROUPING(l_returnflag) * 4 + GROUPING(l_linestatus) * 2
+                    + GROUPING(l_linenumber) AS INT) AS gid
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linenumber), ())
+        """
+    )
+
+
+@query(
     "agg_percentile",
     oracle="""
     SELECT o_orderstatus,
