@@ -7,6 +7,8 @@ K4's select-update-insert (contrib/sql_alchemy/intersections.py:57-98)
 as an idempotent MERGE.
 """
 
+from motorway_spark.sinks.kafka import KafkaLogSink
+from motorway_spark.sinks.spool import SpoolDirSink
 from motorway_spark.sinks.upsert import UpsertParquetSink
 
-__all__ = ["UpsertParquetSink"]
+__all__ = ["UpsertParquetSink", "KafkaLogSink", "SpoolDirSink"]

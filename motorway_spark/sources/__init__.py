@@ -10,12 +10,14 @@ from replayable offsets + checkpoint instead of at-least-once ack trees).
 
 from motorway_spark.sources.generator import SentenceSource, SENTENCES, register_sources
 from motorway_spark.sources.kafka import KafkaLogSource, OffsetTracker
+from motorway_spark.sources.pagedapi import PagedApiSource
 from motorway_spark.sources.spool import SpoolDirSource
 
 __all__ = [
     "SentenceSource",
     "SpoolDirSource",
     "KafkaLogSource",
+    "PagedApiSource",
     "OffsetTracker",
     "SENTENCES",
     "register_sources",

@@ -114,8 +114,10 @@ class SentenceSource(DataSource):
 def register_sources(spark) -> None:
     """Register all custom sources on a session (idempotent)."""
     from motorway_spark.sources.kafka import KafkaLogSource
+    from motorway_spark.sources.pagedapi import PagedApiSource
     from motorway_spark.sources.spool import SpoolDirSource
 
     spark.dataSource.register(SentenceSource)
     spark.dataSource.register(SpoolDirSource)
     spark.dataSource.register(KafkaLogSource)
+    spark.dataSource.register(PagedApiSource)

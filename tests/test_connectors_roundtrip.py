@@ -1,0 +1,218 @@
+"""Connector round-trips: Kafka-shaped sink, SQS-shaped send sink,
+paged-API source.
+
+Closes the reference's remaining connector rows (SURVEY.md §2a
+K1/K3/S5-S7) the same way it tests them itself: mocked transport, real
+delivery semantics — keyed partitioning, replay idempotence, cursor
+bookmarks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from motorway_spark.sinks import KafkaLogSink, SpoolDirSink
+from motorway_spark.sources import register_sources
+from motorway_spark.sources.kafka import KafkaLogReader
+from motorway_spark.sources.pagedapi import PagedApiStreamReader
+from motorway_spark.streaming.runner import start_and_drain
+
+
+# ---------------------------------------------------------------------------
+# KafkaLogSink (K1 twin of contrib/kafka/intersections.py:15-91)
+# ---------------------------------------------------------------------------
+def test_kafka_sink_keyed_partitioning_and_replay(spark, tmp_path):
+    log_dir = str(tmp_path / "topic_out")
+    sink = KafkaLogSink(spark, log_dir, num_partitions=3, key_col="k", value_col="v")
+
+    batch = spark.createDataFrame(
+        [Row(k=f"key{i % 5}", v=i) for i in range(20)]
+    )
+    sink.produce_batch(batch, batch_id=0)
+
+    reader = KafkaLogReader({"path": log_dir})
+    end = reader.latestOffset()
+    rows = [
+        r
+        for p in reader.partitions({"offsets": {}}, end)
+        for r in reader.read(p)
+    ]
+    assert len(rows) == 20
+    # keyed partitioning: every copy of a key lives in ONE partition
+    key_parts = {}
+    for part, _off, key, _val in rows:
+        key_parts.setdefault(key, set()).add(part)
+    assert all(len(parts) == 1 for parts in key_parts.values())
+
+    # replayed micro-batch (same id) produces nothing (idempotence)
+    sink.produce_batch(batch, batch_id=0)
+    assert sum(reader._log_end_offsets().values()) == 20
+    # a NEW batch id appends
+    sink.produce_batch(spark.createDataFrame([Row(k="key0", v=99)]), batch_id=1)
+    assert sum(reader._log_end_offsets().values()) == 21
+
+
+def test_kafka_source_to_sink_roundtrip(spark, tmp_path):
+    """topic A --stream--> transform --foreachBatch--> topic B, then
+    assert topic B holds the transformed records exactly once."""
+    import uuid
+
+    register_sources(spark)
+    src_dir = str(tmp_path / "topic_a")
+    os.makedirs(src_dir)
+    with open(f"{src_dir}/partition-0.jsonl", "w") as fh:
+        for i in range(12):
+            fh.write(json.dumps({"key": f"u{i % 4}", "value": {"n": i}}) + "\n")
+
+    out_dir = str(tmp_path / "topic_b")
+    sink = KafkaLogSink(spark, out_dir, num_partitions=2, key_col="key", value_col="n2")
+
+    stream = (
+        spark.readStream.format("kafkalog")
+        .option("path", src_dir)
+        .option("getRecordsLimit", "5")  # multiple micro-batches
+        .load()
+    )
+    doubled = stream.select(
+        "key", (F.get_json_object("value", "$.n").cast("int") * 2).alias("n2")
+    )
+    query = start_and_drain(
+        lambda: doubled.writeStream.foreachBatch(sink.foreach_batch())
+        .queryName(f"rt_{uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    query.stop()
+
+    reader = KafkaLogReader({"path": out_dir})
+    end = reader.latestOffset()
+    vals = sorted(
+        json.loads(r[3])
+        for p in reader.partitions({"offsets": {}}, end)
+        for r in reader.read(p)
+    )
+    assert vals == sorted(i * 2 for i in range(12))
+
+
+# ---------------------------------------------------------------------------
+# SpoolDirSink (K3 twin: SQS send_message, idempotent by message id)
+# ---------------------------------------------------------------------------
+def test_spool_sink_send_and_replay(spark, tmp_path):
+    spool = str(tmp_path / "queue_out")
+    sink = SpoolDirSink(spool, id_col="mid", body_cols=["group", "v"])
+    batch = spark.createDataFrame(
+        [Row(mid=f"m{i}", group=f"g{i % 2}", v=i) for i in range(6)]
+    )
+    sink.send_batch(batch, batch_id=0)
+    files = sorted(f for f in os.listdir(spool) if f.endswith(".json"))
+    assert files == [f"m{i}.json" for i in range(6)]
+    # replay: same ids overwrite byte-identically, no duplicates
+    sink.send_batch(batch, batch_id=0)
+    assert sorted(f for f in os.listdir(spool) if f.endswith(".json")) == files
+    with open(os.path.join(spool, "m3.json")) as fh:
+        assert json.load(fh) == {"id": "m3", "body": {"group": "g1", "v": 3}}
+
+
+def test_spool_sink_feeds_spool_source(spark, tmp_path):
+    """Full queue loop: send via sink, consume via the spooldir source."""
+    import uuid
+
+    register_sources(spark)
+    spool = str(tmp_path / "queue_loop")
+    sink = SpoolDirSink(spool, id_col="mid", body_cols=["group", "v"])
+    sink.send_batch(
+        spark.createDataFrame([Row(mid=f"m{i}", group="g0", v=i) for i in range(4)]),
+        batch_id=0,
+    )
+    df = spark.readStream.format("spooldir").option("path", spool).load()
+    query = start_and_drain(
+        lambda: df.writeStream.format("memory")
+        .queryName(f"ql_{uuid.uuid4().hex[:8]}")
+        .outputMode("append")
+        .start()
+    )
+    name = query.name
+    query.stop()
+    out = spark.table(name).collect()
+    assert sorted(r["message_id"] for r in out) == [f"m{i}" for i in range(4)]
+
+
+# ---------------------------------------------------------------------------
+# PagedApiSource (S5-S7 twin: cursor-paginated SaaS collections)
+# ---------------------------------------------------------------------------
+def _write_pages(api_dir: str, n_pages: int, per_page: int, start: int = 0):
+    os.makedirs(api_dir, exist_ok=True)
+    for p in range(start, start + n_pages):
+        nxt = f"page-{p + 1:03d}.json" if p < start + n_pages - 1 else None
+        records = [
+            {"id": f"rec-{p}-{i}", "amount": p * 100 + i} for i in range(per_page)
+        ]
+        with open(f"{api_dir}/page-{p:03d}.json", "w") as fh:
+            json.dump({"records": records, "next": nxt}, fh)
+
+
+def test_pagedapi_reader_walks_cursor_chain(tmp_path):
+    api_dir = str(tmp_path / "api")
+    _write_pages(api_dir, n_pages=5, per_page=3)
+    r = PagedApiStreamReader({"path": api_dir, "maxPagesPerTrigger": "2"})
+    start = r.initialOffset()
+    end1 = r.latestOffset()
+    assert end1["count"] == 2  # capped at 2 pages per trigger
+    parts = r.partitions(start, end1)
+    rows = [row for p in parts for row in r.read(p)]
+    assert len(rows) == 6
+    assert rows[0][0] == "rec-0-0"  # stable record ids
+    end2 = r.latestOffset()
+    assert end2["count"] == 4
+    end3 = r.latestOffset()
+    assert end3["count"] == 5
+    assert end3["cursor"] == "__done__"
+
+
+def test_pagedapi_bookmark_resumes(tmp_path):
+    api_dir = str(tmp_path / "api_bm")
+    _write_pages(api_dir, n_pages=3, per_page=2)
+    r = PagedApiStreamReader({"path": api_dir, "maxPagesPerTrigger": "2"})
+    end = r.latestOffset()
+    r.commit(end)
+    # restart: a FRESH reader resumes from the committed bookmark,
+    # not from page zero (stronger than the reference's re-list loop)
+    r2 = PagedApiStreamReader({"path": api_dir, "maxPagesPerTrigger": "2"})
+    assert r2.initialOffset()["count"] == 2
+    end2 = r2.latestOffset()
+    pages = r2.partitions(end, end2)
+    rows = [row for p in pages for row in r2.read(p)]
+    assert [row[0] for row in rows] == ["rec-2-0", "rec-2-1"]
+
+
+def test_pagedapi_streaming_end_to_end(spark, tmp_path):
+    import uuid
+
+    register_sources(spark)
+    api_dir = str(tmp_path / "api_e2e")
+    _write_pages(api_dir, n_pages=4, per_page=5)
+    stream = (
+        spark.readStream.format("pagedapi")
+        .option("path", api_dir)
+        .option("maxPagesPerTrigger", "1")  # one page per micro-batch
+        .load()
+    )
+    query = start_and_drain(
+        lambda: stream.writeStream.format("memory")
+        .queryName(f"api_{uuid.uuid4().hex[:8]}")
+        .outputMode("append")
+        .start()
+    )
+    name = query.name
+    query.stop()
+    out = spark.table(name)
+    assert out.count() == 20
+    assert out.select("record_id").distinct().count() == 20  # exactly once
+    amounts = {
+        json.loads(r["payload"])["amount"] for r in out.collect()
+    }
+    assert amounts == {p * 100 + i for p in range(4) for i in range(5)}
