@@ -149,3 +149,50 @@ class MetricsListener(StreamingQueryListener):
             " rows_per_sec double, batch_duration_ms long, timestamp string"
         )
         return spark.createDataFrame(self.progress or [], schema=schema)
+
+
+class StatusServer:
+    """HTTP view over a MetricsListener — the reference's Flask
+    webserver (motorway/webserver.py:18-80) reduced to its API surface:
+    ``GET /api/status/`` returns the grouped stats + trailing-minute
+    histograms as JSON. Runs a stdlib ThreadingHTTPServer on a
+    background thread (Flask isn't in this environment, and a
+    dependency-free server is the right weight for a driver-side
+    debug endpoint — at scale the real observability path is the
+    Spark UI / StreamingQueryListener metrics sink anyway)."""
+
+    def __init__(self, listener: MetricsListener, host: str = "127.0.0.1", port: int = 0):
+        import http.server
+        import threading
+
+        metrics = listener
+
+        class _Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 (stdlib contract)
+                if self.path.rstrip("/") == "/api/status":
+                    body = json.dumps(metrics.api_status()).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Access-Control-Allow-Origin", "*")
+                    self.end_headers()
+                    self.wfile.write(body)
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+
+            def log_message(self, *args):  # silence per-request stderr
+                pass
+
+        self._server = http.server.ThreadingHTTPServer((host, port), _Handler)
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, name="motorway-status", daemon=True
+        )
+
+    def start(self) -> "StatusServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()

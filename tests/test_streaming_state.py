@@ -208,3 +208,47 @@ def test_metrics_controller_stats_parity(spark):
         assert len(payload["last_minutes"][name]) == 5
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_status_server_serves_api_status(spark):
+    """GET /api/status/ parity with the reference webserver
+    (webserver.py:66-73): JSON payload with groups + last_minutes."""
+    import json as _json
+    import urllib.request
+
+    from motorway_spark.streaming.metrics import StatusServer
+
+    listener = MetricsListener()
+    # seed one synthetic progress event (no real query needed)
+    class _P:
+        json = _json.dumps(
+            {"name": "q1", "batchId": 0, "numInputRows": 7,
+             "durationMs": {"triggerExecution": 12}}
+        )
+
+    class _E:
+        progress = _P()
+
+    listener.onQueryProgress(_E())
+    server = StatusServer(listener).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/api/status/", timeout=10
+        ) as resp:
+            assert resp.status == 200
+            payload = _json.loads(resp.read())
+        assert payload["groups"]["q1"]["processed"] == 7
+        assert payload["groups"]["q1"]["95_percentile_ms"] == 12
+        assert "last_minutes" in payload
+        # non-API paths 404
+        import urllib.error
+
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{server.port}/nope", timeout=10
+            )
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as err:
+            assert err.code == 404
+    finally:
+        server.stop()
