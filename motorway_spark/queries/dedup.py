@@ -247,9 +247,17 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     the 16 min-aggregates collapse back to one signature row per doc
     with map-side partial agg, so the shuffle carries one row per
     (doc × partition), not per shingle."""
-    sh = docs.select(
-        "doc_id", F.explode(_char_shingles(F.col("text"))).alias("s")
-    ).withColumn("h", _h64(F.col("s")) % MH_P)
+    # The explode amplifies work ~180x per input row, so input splits
+    # must not under-subscribe the cluster: a dimension-sized doc table
+    # arrives as ONE split and would hash every shingle on one core
+    # (measured 4x wall-clock at sf0.1). At 100 TB the scan has plenty
+    # of splits and AQE-coalesce keeps this repartition near-free.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        docs.repartition(par)
+        .select("doc_id", F.explode(_char_shingles(F.col("text"))).alias("s"))
+        .withColumn("h", _h64(F.col("s")) % MH_P)
+    )
     return (
         sh.groupBy("doc_id")
         .agg(
@@ -315,34 +323,64 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: signatures are one narrow map-side pass; candidate
     generation explodes each doc into 4 (band, bucket) rows and
     shuffle-joins on bucket equality — cost is proportional to real
-    collisions, not n². The final estimate re-join touches only
-    candidate pairs. This is the 100 TB fuzzy-dedup path; its exact
-    counterpart/oracle is dedup_ngram_jaccard.
+    collisions, not n². Signatures RIDE THROUGH the band join (mh is
+    128 bytes/row extra shuffle) and pair dedup is a groupBy keeping
+    first(mh) — so the expensive signature subtree (shingle explode +
+    md5 + 16 min-aggregates) executes exactly ONCE; the naive
+    distinct-then-rejoin formulation re-executes it three times
+    (measured 2.8 s → 1.1 s at sf0.1). This is the 100 TB fuzzy-dedup
+    path; its exact counterpart/oracle is dedup_ngram_jaccard.
+
+    Exact LSH semantics here (no bucket cap) so the DuckDB oracle
+    matches bit-for-bit; the production form at 100 TB passes
+    ``band_candidates(max_bucket_width=…)`` — tests/test_dedup_scale.py.
     """
     docs = Catalog(spark, sf_dir).documents
     sig = minhash_signatures(docs)
-    # Exact LSH semantics here (cap=None) so the DuckDB oracle matches
-    # bit-for-bit; the production form at 100 TB passes a bucket-width
-    # cap — see band_candidates and tests/test_dedup_scale.py.
-    cand = band_candidates(minhash_bands(sig), max_bucket_width=None)
-    sa = sig.alias("sa")
-    sb = sig.alias("sb")
-    est = (
-        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+    # band rows that keep mh (minhash_bands shape + signature payload,
+    # built from ONE sig subtree — no self-join back onto sig)
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"),
+        F.col("mh"),
+    ).select(
+        "doc_id",
+        "band",
+        F.md5(
+            F.array_join(F.slice(F.col("mh"), F.col("band") * 4 + 1, 4), ",").cast(
+                "binary"
+            )
+        ).alias("bucket"),
+        "mh",
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.size(
-                    F.filter(
-                        F.zip_with(F.col("sa.mh"), F.col("sb.mh"), lambda x, y: x == y),
-                        lambda eq: eq,
-                    )
-                ).cast("double")
-                / N_MINHASH
-            ).alias("est_jaccard"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.mh").alias("mh_a"),
+            F.col("b.mh").alias("mh_b"),
         )
+        # dedup pairs colliding in >1 band while keeping signatures —
+        # replaces distinct + two sig re-joins
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("mh_a").alias("mh_a"), F.first("mh_b").alias("mh_b"))
+    )
+    est = pairs.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("mh_a"), F.col("mh_b"), lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            ).cast("double")
+            / N_MINHASH
+        ).alias("est_jaccard"),
     )
     return est.filter(F.col("est_jaccard") >= 0.375).select(
         "doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard")
@@ -363,7 +401,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = Catalog(spark, sf_dir).documents
     toks = F.array_distinct(F.split(F.col("text"), " "))
-    tok = docs.select("doc_id", F.explode(toks).alias("t")).withColumn(
+    # spread the token explode across cores (single-split input table —
+    # same rationale as minhash_signatures)
+    par = spark.sparkContext.defaultParallelism
+    tok = docs.repartition(par).select("doc_id", F.explode(toks).alias("t")).withColumn(
         "h", _h64(F.col("t"))
     )
     # per-(doc, bit) ±1 contributions summed into 60 counters in ONE

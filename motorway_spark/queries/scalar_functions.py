@@ -224,7 +224,15 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array HOFs: transform / filter / aggregate. The sum folds run
     left-to-right sequentially in both engines → deterministic doubles;
-    rounded anyway at the boundary."""
+    rounded anyway at the boundary.
+
+    PERFORMANCE WARNING — do not copy this shape into a hot path:
+    Catalyst HOF lambdas (`F.transform`/`F.aggregate`/`F.filter`) are
+    INTERPRETED, not codegen'd — measured 4-16× slower than the
+    equivalent codegen form (SCALE.md). This query exists to declare
+    the HOF surface itself; for hot paths use the explode+aggregate
+    form (minhash_signatures) or an unrolled `F.expr` chain
+    (similarity._dot) — both whole-stage-codegen'd."""
     emb = Catalog(spark, sf_dir).embeddings
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     return emb.select(

@@ -34,31 +34,37 @@ TOP_K = 5
 DIM = 64  # embeddings fixture dimension (FIXTURES.md §3)
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot(a: Column | str, b: Column | str) -> Column:
     """Unrolled left-to-right dot product. The naive ``F.aggregate``
     fold is an interpreted Catalyst HOF (~10x slower); a 64-term
     addition chain is whole-stage-codegen'd AND keeps the exact
     left-to-right summation order of DuckDB's list fold, so doubles
-    stay bit-identical cross-engine."""
-    terms = [
-        F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+    stay bit-identical cross-engine.
+
+    Built as ONE ``F.expr`` string: composing 64 terms with Column
+    operators costs ~192 py4j round-trips (~1 s of driver time per
+    plan build, measured); one SQL string is a single call."""
+    an = a if isinstance(a, str) else _col_sql(a)
+    bn = b if isinstance(b, str) else _col_sql(b)
+    terms = " + ".join(
+        f"CAST(element_at({an}, {i}) AS DOUBLE) * CAST(element_at({bn}, {i}) AS DOUBLE)"
         for i in range(1, DIM + 1)
-    ]
-    acc = terms[0]
-    for t in terms[1:]:
-        acc = acc + t
-    return acc
+    )
+    return F.expr(f"({terms})")
 
 
-def _norm(a: Column) -> Column:
-    terms = [
-        F.element_at(a, i).cast("double") * F.element_at(a, i).cast("double")
+def _norm(a: Column | str) -> Column:
+    an = a if isinstance(a, str) else _col_sql(a)
+    terms = " + ".join(
+        f"CAST(element_at({an}, {i}) AS DOUBLE) * CAST(element_at({an}, {i}) AS DOUBLE)"
         for i in range(1, DIM + 1)
-    ]
-    acc = terms[0]
-    for t in terms[1:]:
-        acc = acc + t
-    return F.sqrt(acc)
+    )
+    return F.expr(f"sqrt({terms})")
+
+
+def _col_sql(col: Column) -> str:
+    """Column → SQL fragment (works for simple named columns)."""
+    return str(col._jc)  # noqa: SLF001 — py4j Column.toString is the SQL name
 
 
 _SQL_DOT = (
@@ -94,15 +100,27 @@ def sim_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast, so the corpus streams with no shuffle; top-k per query
     is a bounded window."""
     emb = Catalog(spark, sf_dir).embeddings
+    # norms are per-VECTOR, so compute them once on each side instead of
+    # per candidate pair — cuts the pair-row expression from 3 unrolled
+    # 64-term folds to 1 (smaller codegen, q×n fewer flops)
     q = F.broadcast(
         emb.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            _norm("embedding").alias("q_norm"),
         )
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    # the corpus×queries nested-loop amplifies work N_QUERIES-fold, so
+    # a single-split corpus file must fan out first (measured: the
+    # whole scan otherwise runs on one core at bench SFs)
+    par = spark.sparkContext.defaultParallelism
+    c = emb.repartition(par).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm("embedding").alias("c_norm"),
+    )
     cosine = F.round(
-        _dot(F.col("q_emb"), F.col("c_emb"))
-        / (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))),
+        _dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm")),
         6,
     )
     pairs = (
@@ -138,9 +156,7 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir).embeddings
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_emb"))
-    cosine = _dot(F.col("a_emb"), F.col("b_emb")) / (
-        _norm(F.col("a_emb")) * _norm(F.col("b_emb"))
-    )
+    cosine = _dot("a_emb", "b_emb") / (_norm("a_emb") * _norm("b_emb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine_raw", cosine)
@@ -172,8 +188,12 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket = sign pattern of the 8 projections, as a bit-string key
     bucket = F.concat(
         *[
-            F.when(_dot(F.col("embedding"), F.array(*[F.lit(v) for v in p])) > 0, "1")
-            .otherwise("0")
+            F.when(
+                # "D" suffix = Spark double literal (a bare decimal
+                # literal would parse as DECIMAL and change the math)
+                _dot("embedding", "array(" + ", ".join(f"{v!r}D" for v in p) + ")") > 0,
+                "1",
+            ).otherwise("0")
             for p in planes
         ]
     )
@@ -185,9 +205,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "bucket"
     )
     cosine = F.round(
-        _dot(F.col("q_emb"), F.col("c_emb"))
-        / (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))),
-        6,
+        _dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")), 6
     )
     pairs = (
         q.join(c, "bucket")

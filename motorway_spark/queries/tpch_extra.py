@@ -415,3 +415,179 @@ def q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(F.round(F.sum(profit).cast("double"), 4).alias("sum_profit"))
     )
+
+
+@query(
+    "q17_small_quantity",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice', 'total_revenue')}, COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average)
+    gating a fact filter. Decorrelated the way Catalyst would: the
+    per-part average is ONE aggregate over lineitem joined back on
+    partkey — no per-row subquery execution, one extra shuffle keyed
+    the same as the probe join (0.5 factor instead of TPC-H's 0.2 so
+    the fixture yields a nonempty, discriminating result)."""
+    cat = Catalog(spark, sf_dir)
+    brand_parts = F.broadcast(cat.part.filter(F.col("p_brand") == "Brand#1"))
+    li = cat.lineitem
+    part_avg = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    return (
+        li.join(brand_parts, F.col("p_partkey") == F.col("l_partkey"))
+        .join(part_avg, F.col("avg_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            dsum("l_extendedprice", "total_revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH partsupp AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(l_extendedprice / l_quantity) AS ps_supplycost
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey)
+    SELECT p.p_partkey, p.p_name, s.s_name,
+           ROUND(ps.ps_supplycost, 4) AS supplycost
+    FROM part p, partsupp ps, supplier s, nation n, region r
+    WHERE p.p_partkey = ps.ps_partkey AND ps.ps_suppkey = s.s_suppkey
+      AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+      AND r.r_name = 'EUROPE' AND p.p_size = 10
+      AND ps.ps_supplycost = (SELECT MIN(ps2.ps_supplycost) FROM partsupp ps2,
+                                     supplier s2, nation n2, region r2
+                              WHERE ps2.ps_partkey = p.p_partkey
+                                AND ps2.ps_suppkey = s2.s_suppkey
+                                AND s2.s_nationkey = n2.n_nationkey
+                                AND n2.n_regionkey = r2.r_regionkey
+                                AND r2.r_name = 'EUROPE')
+    ORDER BY p.p_partkey, s.s_name
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: min-per-group correlated subquery over a
+    derived partsupp (fixtures carry no partsupp table; unit price
+    MIN(extendedprice/quantity) per (part, supplier) stands in for
+    ps_supplycost — the join/subquery structure is the point).
+
+    Decorrelated as a window MIN over the region-filtered partsupp —
+    one pass, no re-aggregation join; ties keep every min-cost
+    supplier exactly like the correlated form."""
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    partsupp = (
+        cat.lineitem.filter(F.col("l_quantity") > 0)
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"))
+    )
+    region = F.broadcast(
+        cat.nation.join(
+            cat.region.filter(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey")
+    )
+    euro_supp = cat.supplier.join(
+        region, F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    w = Window.partitionBy("ps_partkey")
+    candidates = (
+        partsupp.join(euro_supp, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+    )
+    size10 = F.broadcast(cat.part.filter(F.col("p_size") == 10))
+    return (
+        candidates.join(size10, F.col("p_partkey") == F.col("ps_partkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.round("ps_supplycost", 4).alias("supplycost"),
+        )
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey,
+             MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                      THEN 1 ELSE 0 END) AS was_late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY l_orderkey, l_suppkey)
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, late l1
+    WHERE s_suppkey = l1.l_suppkey AND l1.was_late = 1
+      AND EXISTS (SELECT 1 FROM late l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.was_late = 1)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole-blame anti-join ladder — suppliers who
+    alone were late on a multi-supplier order (EXISTS another supplier
+    + NOT EXISTS another LATE supplier). Fixtures lack
+    l_receiptdate/l_commitdate, so "late" = shipped >90 days after the
+    order date — the exists/not-exists structure is the point.
+
+    Decorrelated: per-(order, supplier) lateness aggregates once; the
+    two correlated EXISTS become ONE per-order aggregate (supplier
+    count + late-supplier count) broadcast-free self-join — the plan
+    Catalyst produces for the classic formulation, written explicitly.
+    """
+    cat = Catalog(spark, sf_dir)
+    late = (
+        cat.lineitem.join(
+            cat.orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("was_late")
+        )
+    )
+    per_order = late.groupBy(F.col("l_orderkey").alias("ord")).agg(
+        F.count("*").alias("n_supp"),
+        F.sum("was_late").alias("n_late"),
+    )
+    blamed = (
+        late.filter(F.col("was_late") == 1)
+        .join(per_order, F.col("ord") == F.col("l_orderkey"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        blamed.join(cat.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
