@@ -269,3 +269,97 @@ def sim_knn_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+@query("sim_ann_ivf")  # rows-only: k-means centroids are engine/seed-specific
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via IVF (inverted-file) coarse quantization — the
+    second standard ANN scheme next to sim_ann_lsh, completing the
+    LSH/IVF pair every vector store ships.
+
+    MLlib KMeans (fixed seed) learns n_cells centroids; every corpus
+    vector is assigned to its nearest cell (the "inverted file"); each
+    query probes its n_probe closest cells and exact-reranks only
+    those cells' members. Recall/cost dial = n_probe/n_cells.
+
+    Scale shape: training samples a bounded fraction (KMeans over 100 TB
+    trains on a sample — standard IVF practice); assignment is one
+    broadcast-centroid map pass; the probe join is cell-equality — a
+    plain shuffle join on an int key, linear like the LSH variant, vs
+    the all-pairs product of sim_pairs_threshold. Cells ARE the
+    partition-pruning story for vectors: at 100 TB the corpus would be
+    written partitioned by cell id, so a probe reads n_probe/n_cells
+    of the data.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    n_cells, n_probe = 8, 2
+    emb = Catalog(spark, sf_dir).embeddings
+    par = spark.sparkContext.defaultParallelism
+    vecs = emb.repartition(par).select(
+        "vec_id", "embedding", array_to_vector(F.col("embedding")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=20240613, featuresCol="features").fit(vecs)
+    assigned = model.transform(vecs).select(
+        "vec_id", "embedding", F.col("prediction").alias("cell")
+    )
+
+    # per-query probe list: distance from each query to each centroid,
+    # keep the n_probe nearest cells (centroids are a tiny local list —
+    # the computation is a plan-literal crossjoin-free expression)
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    dist_cols = [
+        F.expr(
+            "("
+            + " + ".join(
+                f"(CAST(element_at(q_emb, {i+1}) AS DOUBLE) - {c[i]!r}D)"
+                f" * (CAST(element_at(q_emb, {i+1}) AS DOUBLE) - {c[i]!r}D)"
+                for i in range(DIM)
+            )
+            + ")"
+        ).alias(f"d{ci}")
+        for ci, c in enumerate(centers)
+    ]
+    probe = (
+        q.select("query_id", "q_emb", F.array(*dist_cols).alias("dists"))
+        .select(
+            "query_id",
+            "q_emb",
+            F.explode(
+                F.slice(
+                    F.expr(
+                        "array_sort(transform(dists, (d, i) -> struct(d AS dist, i AS cell)))"
+                    ),
+                    1,
+                    n_probe,
+                )
+            ).alias("p"),
+        )
+        .select("query_id", "q_emb", F.col("p.cell").alias("cell"))
+    )
+    cosine = F.round(
+        _dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")), 6
+    )
+    pairs = (
+        probe.join(
+            assigned.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("c_emb"),
+                "cell",
+            ),
+            "cell",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cell", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )

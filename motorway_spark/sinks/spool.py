@@ -13,6 +13,13 @@ reference relies on (ramp.py:57-64) made idempotent, which is exactly
 SQS-with-deduplication-id semantics. Writes run executor-side via
 ``foreachPartition``; distinct messages are distinct files, so
 parallel tasks never contend.
+
+This same contract is the Salesforce-sink twin (K5,
+/root/reference/motorway/contrib/salesforce/intersections.py:13-41):
+a per-record UPSERT on an external-ID field against a REST endpoint —
+``id_col`` is the external id, re-sending a record replaces the
+previous version (create-or-update), and replays are no-ops. Swap the
+file write for an HTTP PATCH and the semantics carry over unchanged.
 """
 
 from __future__ import annotations

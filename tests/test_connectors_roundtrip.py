@@ -216,3 +216,24 @@ def test_pagedapi_streaming_end_to_end(spark, tmp_path):
         json.loads(r["payload"])["amount"] for r in out.collect()
     }
     assert amounts == {p * 100 + i for p in range(4) for i in range(5)}
+
+
+def test_spool_sink_external_id_upsert(spark, tmp_path):
+    """K5 twin semantics (salesforce/intersections.py:13-41): sending a
+    record with an existing external id REPLACES the stored object
+    (upsert-by-external-id), independent of batch replay handling."""
+    spool = str(tmp_path / "sobjects")
+    sink = SpoolDirSink(spool, id_col="ext_id", body_cols=["amount", "stage"])
+    sink.send_batch(
+        spark.createDataFrame([Row(ext_id="opp-1", amount=100, stage="new")]),
+        batch_id=0,
+    )
+    # later batch updates the same external id with new field values
+    sink.send_batch(
+        spark.createDataFrame([Row(ext_id="opp-1", amount=250, stage="won")]),
+        batch_id=1,
+    )
+    files = [f for f in os.listdir(spool) if f.endswith(".json")]
+    assert files == ["opp-1.json"]  # one object per external id
+    with open(os.path.join(spool, "opp-1.json")) as fh:
+        assert json.load(fh)["body"] == {"amount": 250, "stage": "won"}
