@@ -52,8 +52,16 @@ class SpoolStreamReader(DataSourceStreamReader):
         return {"files": []}
 
     def latestOffset(self) -> dict:
-        current = self._list()[: self.max_files]
-        merged = sorted(set(self._seen) | set(current))
+        """Advance by at most ``maxFilesPerTrigger`` NEW files per poll.
+
+        The cap bounds per-trigger intake (R4 backpressure), not total
+        progress: filtering against already-seen names lets the source
+        advance past the cap even when ``deleteOnCommit`` is off (the
+        replayable-log mode) — taking the first N of the raw listing
+        would wedge on the same N files forever in that mode."""
+        seen = set(self._seen)
+        new = [f for f in self._list() if f not in seen][: self.max_files]
+        merged = sorted(seen | set(new))
         self._seen = merged
         return {"files": merged}
 

@@ -225,3 +225,54 @@ def test_kafkalog_streaming_exactly_once(spark, tmp_path):
     assert counts == {0: 40, 1: 25, 2: 10}
     # exactly-once: every (partition, offset) exactly one row
     assert out.select("partition", "offset").distinct().count() == 75
+
+
+def test_kafkalog_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Stop mid-stream, append records, restart from the SAME Spark
+    checkpoint: the committed group offsets + checkpoint WAL must
+    resume without re-emitting (the reference's restart-from-committed
+    guarantee, ramps.py:183-198, under Spark's own recovery)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from motorway_spark.sources import register_sources
+    from motorway_spark.streaming.runner import start_and_drain
+
+    register_sources(spark)
+    log_dir = _write_topic(tmp_path, {0: 10, 1: 10})
+    chk = str(tmp_path / "chk")
+    out_dir = str(tmp_path / "out")
+
+    def start():
+        # parquet sink: fault-tolerant (memory sink refuses checkpoint
+        # recovery), so the restart resumes from the WAL for real
+        stream = (
+            spark.readStream.format("kafkalog")
+            .option("path", log_dir)
+            .option("getRecordsLimit", "4")
+            .load()
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .start()
+        )
+
+    query = start_and_drain(start)
+    query.stop()
+    assert spark.read.parquet(out_dir).count() == 20
+
+    # producer appends while the query is DOWN
+    with open(f"{log_dir}/partition-0.jsonl", "a") as fh:
+        for i in range(10, 15):
+            fh.write(json.dumps({"key": "k0", "value": {"p": 0, "i": i}}) + "\n")
+
+    query2 = start_and_drain(start)
+    query2.stop()
+    out = spark.read.parquet(out_dir)
+    # 25 distinct (partition, offset) pairs, each exactly once
+    assert out.count() == 25
+    assert out.select("partition", "offset").distinct().count() == 25

@@ -141,3 +141,26 @@ def test_upsert_sink_merge_and_replay(spark, tmp_path):
         "b": 2,
         "c": 3,
     }
+
+
+def test_spool_source_rate_cap_bounds_batches(spark, tmp_path):
+    """R4 backpressure: maxFilesPerTrigger must actually bound every
+    micro-batch (the reference proves its caps throttle intake,
+    tests/test_kafka.py:116-174 — same invariant, file-count form)."""
+    from motorway_spark.sources.spool import SpoolStreamReader
+
+    spool = tmp_path / "spool_rate"
+    spool.mkdir()
+    for i in range(25):
+        (spool / f"m{i:03d}.json").write_text(
+            json.dumps({"id": f"m{i}", "body": {"group": "g", "v": i}})
+        )
+    reader = SpoolStreamReader({"path": str(spool), "maxFilesPerTrigger": "10"})
+    start = reader.initialOffset()
+    seen: set[str] = set()
+    for expected in (10, 20, 25):
+        end = reader.latestOffset()
+        batch = set(end["files"]) - set(start["files"])
+        assert len(end["files"]) == expected
+        assert len(batch - seen) <= 10  # per-trigger intake bounded
+        seen |= set(end["files"])
