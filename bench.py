@@ -28,6 +28,7 @@ BENCH_QUERIES = [
     "q5_local_supplier",
     "q10_returned_items",
     "agg_cube",
+    "agg_grouping_sets",
     "wordcount",
     "topk_per_group",
     "win_running",
@@ -38,7 +39,12 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "sim_knn_cosine",
     "sim_knn_matmul",
+    "sim_ann_lsh",
     "stream_tumbling_window",
+    # round-2 additions
+    "q17_small_quantity",
+    "q2_min_cost_supplier",
+    "q21_waiting_supplier",
 ]
 
 

@@ -191,38 +191,49 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_pairs_threshold. Exact cosine rerank runs only on the deduped
     union of per-table collisions.
     """
+    import numpy as np
+    import pandas as pd
+
     n_tables, k_bits = 8, 4
     emb = Catalog(spark, sf_dir).embeddings
     planes = _hyperplanes(n_planes=n_tables * k_bits)
+    # 64 × 32 projection matrix rides the closure; ALL table buckets
+    # come from one BLAS matmul per Arrow batch. The declarative
+    # alternative — 32 unrolled 64-term sign expressions per row —
+    # builds a ~10k-node expression tree that blows up analyzer AND
+    # codegen (measured 9 s plan build + 12 s exec at sf0.1 vs <1 s
+    # here): past a few hundred nodes, vector math belongs in numpy
+    # behind mapInPandas, exactly like sim_knn_matmul.
+    planes_mat = np.array(planes, dtype=np.float64).T
+    bit_weights = 1 << np.arange(k_bits - 1, -1, -1)
 
-    def table_bucket(t: int):
-        # bucket = sign pattern of table t's k hyperplanes ("D" suffix
-        # = Spark double literal; bare decimals parse as DECIMAL)
-        return F.concat(
-            *[
-                F.when(
-                    _dot(
-                        "embedding",
-                        "array(" + ", ".join(f"{v!r}D" for v in planes[t * k_bits + j]) + ")",
+    def assign_buckets(batches):
+        for pdf in batches:
+            vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
+            signs = (vecs @ planes_mat) > 0  # batch × (tables·bits)
+            out = []
+            for t in range(n_tables):
+                codes = signs[:, t * k_bits : (t + 1) * k_bits] @ bit_weights
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"],
+                            "embedding": pdf["embedding"],
+                            "tbl": t,
+                            "bucket": codes.astype(np.int32),
+                        }
                     )
-                    > 0,
-                    "1",
-                ).otherwise("0")
-                for j in range(k_bits)
-            ]
-        )
+                )
+            yield pd.concat(out)
 
-    tables = F.array(
-        *[
-            F.struct(F.lit(t).alias("tbl"), table_bucket(t).alias("bucket"))
-            for t in range(n_tables)
-        ]
-    )
-    bucketed = emb.select("vec_id", "embedding", F.explode(tables).alias("tb")).select(
-        "vec_id",
-        "embedding",
-        F.col("tb.tbl").alias("tbl"),
-        F.col("tb.bucket").alias("bucket"),
+    par = spark.sparkContext.defaultParallelism
+    bucketed = (
+        emb.repartition(par)
+        .select("vec_id", "embedding")
+        .mapInPandas(
+            assign_buckets,
+            schema="vec_id long, embedding array<float>, tbl int, bucket int",
+        )
     )
     q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
