@@ -294,11 +294,14 @@ def minhash_bands(sig: DataFrame) -> DataFrame:
 @query(
     "dedup_minhash",
     oracle=f"""
-    WITH sig AS (
+    WITH sig AS MATERIALIZED (
+      -- MATERIALIZED: DuckDB inlines CTEs by default, and sig is
+      -- referenced 3x (bands, sa, sb) — inlining recomputes the whole
+      -- shingle+minhash pipeline each time (measured 3x slower)
       SELECT doc_id, {_SQL_MINHASH} AS mh
       FROM (SELECT doc_id, {_SQL_CHAR_SHINGLES} AS sh FROM documents)
       WHERE len(sh) > 0),
-    bands AS (
+    bands AS MATERIALIZED (
       SELECT doc_id, band,
              md5(array_to_string(mh[band*4+1 : band*4+4], ',')) AS bucket
       FROM sig, UNNEST(range(0, {N_BANDS})) AS t(band)),
@@ -481,3 +484,114 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pairs.orderBy("doc_a", "doc_b")
+
+
+@query(
+    "dedup_cluster_canonical",
+    oracle=f"""
+    WITH sig AS MATERIALIZED (
+      -- MATERIALIZED throughout: DuckDB inlines CTEs by default; the
+      -- nested references here (edges->pairs->cand->bands->sig, many
+      -- paths) would recompute the minhash pipeline exponentially —
+      -- measured 216 s inlined vs ~15 s materialized at sf0.01
+      SELECT doc_id, {_SQL_MINHASH} AS mh
+      FROM (SELECT doc_id, {_SQL_CHAR_SHINGLES} AS sh FROM documents)
+      WHERE len(sh) > 0),
+    bands AS MATERIALIZED (
+      SELECT doc_id, band,
+             md5(array_to_string(mh[band*4+1 : band*4+4], ',')) AS bucket
+      FROM sig, UNNEST(range(0, {N_BANDS})) AS t(band)),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id),
+    pairs AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM cand
+      JOIN sig sa ON doc_a = sa.doc_id
+      JOIN sig sb ON doc_b = sb.doc_id
+      WHERE CAST(len(list_filter(range(1, {N_MINHASH}+1),
+                 i -> sa.mh[i] = sb.mh[i])) AS DOUBLE) / {N_MINHASH} >= 0.375),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    verts AS (SELECT DISTINCT src AS doc FROM edges),
+    reach AS (
+      WITH RECURSIVE r(doc, other) AS (
+        SELECT doc, doc FROM verts
+        UNION
+        SELECT r.doc, e.dst FROM r JOIN edges e ON r.other = e.src)
+      SELECT * FROM r)
+    SELECT doc AS doc_id, MIN(other) AS cluster_id,
+           CAST(doc = MIN(other) AS BOOLEAN) AS is_canonical
+    FROM reach GROUP BY doc
+    """,
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution: near-dup pairs only say "a ~ b";
+    a training pipeline must keep ONE doc per transitive duplicate
+    group. Connected components over the minhash pair graph via
+    iterative min-label propagation: every vertex repeatedly adopts the
+    smallest label among itself and its neighbors until a fixpoint —
+    cluster_id = min doc_id of the component, is_canonical marks the
+    keeper. The DuckDB oracle computes the same components with a
+    recursive CTE (transitive closure), so the iterative Spark
+    algorithm is exact-checked end to end.
+
+    Scale shape: each iteration is one (edges ⋈ labels) shuffle join on
+    vertex id + a min-aggregate — the hash-partitioned form of Pregel
+    label propagation; iterations = component diameter (near-dup
+    clusters are shallow — boilerplate families, not long chains).
+    The driver loop only checks a scalar convergence count per
+    iteration; labels stay distributed. GraphFrames/GraphX would
+    package this; the raw DataFrame form avoids the dependency and
+    shows the algebra.
+    """
+    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    # localCheckpoint TRUNCATES LINEAGE — without it every iteration's
+    # plan embeds all previous iterations (and the whole minhash
+    # pipeline), growing exponentially until the driver OOMs during
+    # planning. This is the iterative-algorithm idiom on Spark: the
+    # per-iteration plan must stay O(1), state lives in materialized
+    # partitions (GraphX does exactly this internally).
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        .distinct()
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("label", F.col("doc"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # diameter bound; fixture clusters are shallow
+        neighbor_min = (
+            edges.join(labels, F.col("dst") == F.col("doc"))
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, F.col("doc") == F.col("src"), "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("doc").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("doc") == F.col("label")).alias("is_canonical"),
+    )

@@ -131,3 +131,55 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(0), n_frames - 1, F.lit(10))
         ).alias("frame_idx"),
     )
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id,
+             1 + octet_length(encode(text)) % 1920 AS width,
+             1 + octet_length(encode(text)) % 1080 AS height
+      FROM documents)
+    SELECT doc_id, width, height,
+           CAST(CASE WHEN width >= height
+                THEN 256 ELSE FLOOR(256.0 * width / height) END AS INT) AS out_w,
+           CAST(CASE WHEN width >= height
+                THEN FLOOR(256.0 * height / width) ELSE 256 END AS INT) AS out_h
+    FROM meta
+    WHERE width > 256 OR height > 256
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning + (stubbed) execution: the aspect-preserving
+    target geometry (long edge → 256) is pure metadata math — computed
+    JVM-side and oracle-checked, and the pruning predicate (only
+    images larger than the target ever decode) keeps the payload
+    column unscanned for the rest. The actual pixel resample belongs in
+    the same mapInPandas stage as _decode_stub and is stubbed with it
+    (no PIL in this container); the plumbing that matters at 100 TB —
+    metadata pruning before decode, Arrow batching after — is real."""
+    mm = _with_payload(Catalog(spark, sf_dir).documents)
+    meta = mm.select(
+        "doc_id",
+        (1 + F.col("n_bytes") % 1920).alias("width"),
+        (1 + F.col("n_bytes") % 1080).alias("height"),
+    )
+    long_edge = F.lit(256.0)
+    return (
+        meta.filter((F.col("width") > 256) | (F.col("height") > 256))
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            F.when(
+                F.col("width") >= F.col("height"), F.lit(256)
+            ).otherwise(
+                F.floor(long_edge * F.col("width") / F.col("height")).cast("int")
+            ).alias("out_w"),
+            F.when(
+                F.col("width") >= F.col("height"),
+                F.floor(long_edge * F.col("height") / F.col("width")).cast("int"),
+            ).otherwise(F.lit(256)).alias("out_h"),
+        )
+    )
