@@ -1,0 +1,148 @@
+"""Composite training-data preparation pipeline — the north-star ops
+chained the way a pre-training corpus actually uses them.
+
+One declarative plan per run: quality filter → exact dedup (keep
+first) → near-dup cluster resolution (keep canonical) → per-source
+corpus accounting. Each stage is an already-oracle-checked operator
+(text_quality, dedup_exact_keep_first, dedup_cluster_canonical); this
+query proves they COMPOSE — the oracle replays the entire pipeline in
+DuckDB SQL, so stage wiring errors (wrong join key, dropped rows,
+filter-before-dedup vs after) hash-fail loudly.
+
+Scale shape: the stages share one documents scan per branch, every
+join is keyed on doc_id (no shuffle wider than the corpus), and the
+only iterative piece (connected components) is already lineage-
+truncated. At 100 TB this exact plan is the nightly corpus-refresh
+job: filter early (quality prunes ~45% before any pairwise work),
+dedup on narrow keys, account per source at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from motorway_spark.catalog import Catalog
+from motorway_spark.queries.registry import query
+from motorway_spark.queries.dedup import (
+    _SQL_CHAR_SHINGLES,
+    _SQL_MINHASH,
+    N_BANDS,
+    N_MINHASH,
+    dedup_cluster_canonical,
+    dedup_exact_keep_first,
+)
+from motorway_spark.queries.text import _PUNCT_SQL, _sql_stopword_hits, STOPWORDS
+
+QUALITY_FLOOR = 0.65
+
+
+@query(
+    "pipeline_training_prep",
+    oracle=f"""
+    WITH quality AS MATERIALIZED (
+      WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+      m AS (SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
+                   CAST(len(regexp_extract_all(text, '{_PUNCT_SQL}')) AS DOUBLE)
+                     / length(text) AS punct_ratio,
+                   CAST({_sql_stopword_hits(STOPWORDS['en'])} AS DOUBLE) / len(toks)
+                     AS stop_ratio
+            FROM t)
+      SELECT doc_id,
+             ROUND(0.4 * least(n_tokens / 50.0, 1.0)
+                 + 0.3 * uniq_ratio
+                 + 0.2 * least(stop_ratio * 5, 1.0)
+                 + 0.1 * (1.0 - least(punct_ratio * 10, 1.0)), 6) AS quality_score
+      FROM m),
+    keepfirst AS MATERIALIZED (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents)
+      WHERE rn = 1),
+    sig AS MATERIALIZED (
+      SELECT doc_id, {_SQL_MINHASH} AS mh
+      FROM (SELECT doc_id, {_SQL_CHAR_SHINGLES} AS sh FROM documents)
+      WHERE len(sh) > 0),
+    bands AS MATERIALIZED (
+      SELECT doc_id, band,
+             md5(array_to_string(mh[band*4+1 : band*4+4], ',')) AS bucket
+      FROM sig, UNNEST(range(0, {N_BANDS})) AS t(band)),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id),
+    pairs AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM cand
+      JOIN sig sa ON doc_a = sa.doc_id
+      JOIN sig sb ON doc_b = sb.doc_id
+      WHERE CAST(len(list_filter(range(1, {N_MINHASH}+1),
+                 i -> sa.mh[i] = sb.mh[i])) AS DOUBLE) / {N_MINHASH} >= 0.375),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    verts AS MATERIALIZED (SELECT DISTINCT src AS doc FROM edges),
+    reach AS MATERIALIZED (
+      WITH RECURSIVE r(doc, other) AS (
+        SELECT doc, doc FROM verts
+        UNION
+        SELECT r.doc, e.dst FROM r JOIN edges e ON r.other = e.src)
+      SELECT * FROM r),
+    comp AS MATERIALIZED (
+      SELECT doc AS doc_id, MIN(other) AS cluster_id FROM reach GROUP BY doc),
+    kept AS (
+      SELECT d.doc_id, d.source,
+             len(string_split(d.text, ' ')) AS ws_tokens,
+             q.quality_score
+      FROM documents d
+      JOIN quality q USING (doc_id)
+      JOIN keepfirst kf USING (doc_id)
+      LEFT JOIN comp c USING (doc_id)
+      WHERE q.quality_score >= {QUALITY_FLOOR}
+        AND (c.doc_id IS NULL OR c.cluster_id = c.doc_id))
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ws_tokens) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_quality
+    FROM kept
+    GROUP BY source
+    """,
+)
+def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality ≥ {floor} → exact-dedup keep-first → near-dup keep
+    canonical → per-source (docs, whitespace tokens, avg quality)."""
+    from motorway_spark.queries.text import text_quality
+
+    docs = Catalog(spark, sf_dir).documents
+    quality = text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    keepfirst = dedup_exact_keep_first(spark, sf_dir).select("doc_id")
+    clusters = dedup_cluster_canonical(spark, sf_dir).select(
+        F.col("doc_id").alias("c_doc_id"), "is_canonical"
+    )
+    kept = (
+        docs.join(quality, "doc_id")
+        .join(keepfirst, "doc_id")
+        .join(clusters, F.col("doc_id") == F.col("c_doc_id"), "left")
+        .filter(
+            (F.col("quality_score") >= QUALITY_FLOOR)
+            & (F.col("c_doc_id").isNull() | F.col("is_canonical"))
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).alias("ws_tokens"),
+            "quality_score",
+        )
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws_tokens").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum(F.col("quality_score").cast("decimal(38,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_quality"),
+    )

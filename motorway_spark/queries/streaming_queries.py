@@ -374,6 +374,93 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_kafka_topic_agg",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_kafka_topic_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kafka-shaped source under the oracle gate: the events table
+    is published once into an on-disk topic (4 key-hashed partitions,
+    the kafkalog layout), consumed as a real stream through
+    KafkaLogReader's capped offset ranges, and aggregated — matching
+    batch SQL over the original table proves the topic round-trip and
+    the source's exactly-once offset accounting end to end (reference
+    KafkaRamp contract, contrib/kafka/ramps.py:17-235).
+
+    Values survive the JSON hop bit-exactly (shortest-round-trip float
+    text), so the decimal-sum convention holds across table → topic →
+    stream → aggregate."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from motorway_spark.sources import register_sources
+
+    register_sources(spark)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    topic = f"/tmp/motorway_topics/{tag}/events"
+    marker = f"{topic}/_READY"
+    if not os.path.exists(marker):
+        # publish once, driver-side (dimension-sized fixture): 4
+        # partitions keyed by user_id — Kafka's keyed-producer layout
+        os.makedirs(topic, exist_ok=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "event_type", "value"],
+        ).to_pylist()
+        parts: dict[int, list] = {p: [] for p in range(4)}
+        for r in tbl:
+            parts[r["user_id"] % 4].append(r)
+        for p, rows in parts.items():
+            tmp = f"{topic}/partition-{p}.jsonl.tmp"
+            with open(tmp, "w") as fh:
+                for r in rows:
+                    fh.write(
+                        json.dumps(
+                            {
+                                "key": str(r["user_id"]),
+                                "value": {
+                                    "event_type": r["event_type"],
+                                    "value": r["value"],
+                                },
+                            }
+                        )
+                        + "\n"
+                    )
+            os.replace(tmp, f"{topic}/partition-{p}.jsonl")
+        open(marker, "w").close()
+
+    import uuid
+
+    stream = (
+        spark.readStream.format("kafkalog")
+        .option("path", topic)
+        .option("getRecordsLimit", "5000")
+        # fresh consumer group per invocation: a reused group resumes
+        # from its committed offsets and would read an empty stream
+        .option("groupId", f"oracle-{uuid.uuid4().hex[:8]}")
+        .load()
+    )
+    agg = (
+        stream.select(
+            F.get_json_object("value", "$.event_type").alias("event_type"),
+            F.get_json_object("value", "$.value").cast("double").alias("value"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(dec("value")).cast("double"), 4).alias("sum_value"),
+        )
+    )
+    return run_stream_to_memory(agg, output_mode="complete")
+
+
+@query(
     "stream_stream_join",
     oracle="""
     SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
