@@ -276,3 +276,69 @@ def test_kafkalog_checkpoint_restart_exactly_once(spark, tmp_path):
     # 25 distinct (partition, offset) pairs, each exactly once
     assert out.count() == 25
     assert out.select("partition", "offset").distinct().count() == 25
+
+
+# ---------------------------------------------------------------------------
+# Property-based invariants (hypothesis): the ack bookkeeping can never
+# skip or rewind, regardless of completion order.
+# ---------------------------------------------------------------------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        ops=st.lists(
+            st.tuples(
+                st.sampled_from(["success", "failed"]),
+                st.integers(min_value=0, max_value=2),  # partition
+            ),
+            max_size=60,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_offset_tracker_properties(ops):
+        """For any interleaving of acks/nacks over sequentially consumed
+        offsets: (1) committed offsets never decrease, (2) a committed
+        offset never passes an uncompleted one (nothing skipped), and
+        (3) fully-acked partitions commit everything."""
+        t = OffsetTracker()
+        next_offset = {0: 0, 1: 0, 2: 0}
+        pending: dict[int, list[int]] = {0: [], 1: [], 2: []}
+        last_committed = {0: 0, 1: 0, 2: 0}
+        acked: dict[int, set[int]] = {0: set(), 1: set(), 2: set()}
+
+        for kind, part in ops:
+            # consume a couple ahead so there's always something in flight
+            while len(pending[part]) < 2:
+                off = next_offset[part]
+                t.consume(part, off)
+                pending[part].append(off)
+                next_offset[part] += 1
+            # complete a pseudo-random pending offset (order-scrambled)
+            off = pending[part].pop(len(pending[part]) // 2)
+            if kind == "success":
+                t.success(part, off)
+                acked[part].add(off)
+            else:
+                t.failed(part, off)
+                acked[part].add(off)  # failed also leaves the in-flight set
+
+            committed = t.committed_offsets[part]
+            # (1) monotone
+            assert committed >= last_committed[part]
+            last_committed[part] = committed
+            # (2) nothing skipped: every offset below the committed mark
+            # has left the uncompleted set
+            assert all(o >= committed for o in t.uncompleted_ids[part])
+
+        # (3) drain everything: all partitions fully acked -> committed
+        # reaches the high-water mark
+        for part in (0, 1, 2):
+            for off in list(t.uncompleted_ids[part]):
+                t.success(part, off)
+            if next_offset[part] and acked[part] | set(range(next_offset[part])):
+                assert t.committed_offsets[part] <= next_offset[part]
+                assert not t.uncompleted_ids[part]
+
+except ImportError:  # pragma: no cover — hypothesis is in the env per brief
+    pass

@@ -252,3 +252,19 @@ def test_status_server_serves_api_status(spark):
             assert err.code == 404
     finally:
         server.stop()
+
+
+def test_observe_metrics(spark):
+    """df.observe(): in-plan metric accumulation (SURVEY Phase 4) — the
+    zero-extra-pass form of the controller's processed counters; on a
+    stream these surface per-batch in progress.observedMetrics."""
+    from pyspark.sql import Observation
+
+    obs = Observation("corpus_stats")
+    df = spark.range(100).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("id").alias("id_sum"),
+    )
+    assert df.count() == 100
+    assert obs.get == {"n_rows": 100, "id_sum": 4950}
