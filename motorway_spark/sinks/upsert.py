@@ -1,4 +1,4 @@
-"""Keyed upsert sink (MERGE semantics) over a parquet-backed table.
+"""Keyed upsert sink (MERGE semantics) over a bucketed parquet table.
 
 Rebuilds DatabaseInsertIntersection (/root/reference/motorway/contrib/
 sql_alchemy/intersections.py:7-103): batched upsert = update existing
@@ -8,20 +8,28 @@ turns at-least-once delivery into exactly-once results (the reference
 instead relies on the upsert being re-runnable, intersections.py:57-98).
 
 Against a lakehouse table this would be one ``MERGE INTO`` (Delta/
-Iceberg) or JDBC MERGE; here the same algebra runs on plain parquet
-with an atomic directory swap:
+Iceberg) or JDBC MERGE; here the same algebra runs on plain parquet,
+PARTITION-PRUNED the way those formats prune it:
 
-    merged = target.join(batch, key, "full")   -- anti+union in one pass
-    new_version = coalesce(batch-side, target-side)
+- the table lives as ``data/bucket=K/`` with K = pmod(hash(key), N) —
+  a hash-bucketed layout;
+- a micro-batch only ever touches the buckets its keys hash into, so
+  the merge reads and rewrites ONLY those buckets (partition-pruned
+  scan + per-bucket atomic directory swap); untouched buckets are not
+  read, not written, not renamed;
+- merge algebra per affected bucket, one pass:
+      merged = target ⟗ batch ON key; take batch-side else target-side
 
 Replay safety: processed (epoch) batch ids are recorded in a sidecar;
-a replayed batch id is a no-op — the WAL+sink contract Structured
-Streaming expects from an exactly-once sink.
+a replayed batch id is a no-op. A crash mid-swap leaves some buckets
+new and some old with the batch id unrecorded — the replay re-merges,
+and merging the same batch into an already-merged bucket is a fixpoint,
+so recovery is idempotent per bucket.
 
-Scale notes: the merge is a keyed shuffle join of target × batch —
-at 100 TB the target would be bucketed/partitioned by key so only
-touched partitions rewrite (Delta/Iceberg give this for free; the
-parquet fallback rewrites the table and is for tests/small state).
+Scale notes: per-batch work is O(|touched buckets|), not O(|table|).
+At 100 TB you size N so a bucket ≈ a few GB and hot-key batches touch
+a handful; Delta/Iceberg replace the directory swaps with metadata
+commits but the pruning story is identical.
 """
 
 from __future__ import annotations
@@ -36,10 +44,17 @@ from pyspark.sql import functions as F
 
 
 class UpsertParquetSink:
-    def __init__(self, spark: SparkSession, table_dir: str, key_cols: list[str]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_dir: str,
+        key_cols: list[str],
+        num_buckets: int = 16,
+    ):
         self.spark = spark
         self.table_dir = table_dir.rstrip("/")
         self.key_cols = key_cols
+        self.num_buckets = num_buckets
         self._meta = f"{self.table_dir}/_upsert_meta.json"
 
     # -- state ---------------------------------------------------------
@@ -54,19 +69,23 @@ class UpsertParquetSink:
         os.makedirs(self.table_dir, exist_ok=True)
         batches = sorted(self._processed_batches() | {batch_id})
         with open(self._meta, "w") as fh:
-            json.dump({"batches": batches}, fh)
+            json.dump({"batches": batches, "num_buckets": self.num_buckets}, fh)
 
     def _data_dir(self) -> str:
         return f"{self.table_dir}/data"
 
+    def _bucket_expr(self):
+        return F.pmod(F.hash(*self.key_cols), F.lit(self.num_buckets))
+
     def read(self) -> DataFrame | None:
         if not os.path.isdir(self._data_dir()):
             return None
-        return self.spark.read.parquet(self._data_dir())
+        return self.spark.read.parquet(self._data_dir()).drop("bucket")
 
     # -- the sink ------------------------------------------------------
     def upsert_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """foreachBatch body: MERGE batch into target, idempotently."""
+        """foreachBatch body: MERGE batch into target, idempotently,
+        rewriting only the key-hash buckets the batch touches."""
         if batch_id in self._processed_batches():
             # Replayed micro-batch: exactly-once no-op for the TABLE —
             # but the batch must still be fully consumed: Spark 4
@@ -93,31 +112,52 @@ class UpsertParquetSink:
             )
         else:
             batch = batch_df.dropDuplicates(self.key_cols)
-        target = self.read()
-        if target is None:
+        out_cols = list(batch.columns)
+        batch = batch.withColumn("bucket", self._bucket_expr())
+
+        # the buckets this batch touches — bounded by num_buckets, so
+        # the collect is a tiny driver list, not data
+        affected = sorted(
+            r["bucket"] for r in batch.select("bucket").distinct().collect()
+        )
+
+        data_dir = self._data_dir()
+        if not os.path.isdir(data_dir):
             merged = batch
         else:
+            # partition-pruned read: ONLY the affected bucket dirs scan
+            target = self.spark.read.parquet(data_dir).filter(
+                F.col("bucket").isin(affected)
+            )
             b = batch.alias("b")
             t = target.alias("t")
             cond = [F.col(f"b.{k}").eqNullSafe(F.col(f"t.{k}")) for k in self.key_cols]
-            value_cols = [c for c in batch.columns]
             merged = t.join(b, cond, "full").select(
                 *[
                     F.coalesce(F.col(f"b.{c}"), F.col(f"t.{c}")).alias(c)
-                    for c in value_cols
-                ]
+                    for c in out_cols
+                ],
+                F.coalesce(F.col("b.bucket"), F.col("t.bucket")).alias("bucket"),
             )
 
-        # atomic swap: write new version beside, then rename over
-        tmp = tempfile.mkdtemp(prefix="upsert_", dir=os.path.dirname(self.table_dir) or ".")
-        merged.write.mode("overwrite").parquet(tmp)
-        os.makedirs(self.table_dir, exist_ok=True)
-        old = self._data_dir()
-        bak = f"{old}.old"
-        if os.path.isdir(old):
-            os.rename(old, bak)
-        os.rename(tmp, old)
-        shutil.rmtree(bak, ignore_errors=True)
+        # write the new bucket versions beside, then swap PER BUCKET —
+        # unaffected buckets are never rewritten or renamed
+        tmp = tempfile.mkdtemp(
+            prefix="upsert_", dir=os.path.dirname(self.table_dir) or "."
+        )
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        os.makedirs(data_dir, exist_ok=True)
+        for k in affected:
+            new_part = os.path.join(tmp, f"bucket={k}")
+            if not os.path.isdir(new_part):  # pragma: no cover — safety
+                continue
+            old_part = os.path.join(data_dir, f"bucket={k}")
+            bak = f"{old_part}.old"
+            if os.path.isdir(old_part):
+                os.rename(old_part, bak)
+            os.rename(new_part, old_part)
+            shutil.rmtree(bak, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
         self._record_batch(batch_id)
 
     def foreach_batch(self):

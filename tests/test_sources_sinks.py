@@ -164,3 +164,41 @@ def test_spool_source_rate_cap_bounds_batches(spark, tmp_path):
         assert len(end["files"]) == expected
         assert len(batch - seen) <= 10  # per-trigger intake bounded
         seen |= set(end["files"])
+
+
+def test_upsert_sink_rewrites_only_touched_buckets(spark, tmp_path):
+    """The merge must be partition-pruned: a batch only rewrites the
+    key-hash buckets it touches; every other bucket's files are left
+    byte-identical (same paths, same mtimes) — the property that makes
+    K4 viable at 100 TB (VERDICT r1 flagged the full-table rewrite)."""
+    import glob
+
+    table = str(tmp_path / "bucketed")
+    sink = UpsertParquetSink(spark, table, key_cols=["k"], num_buckets=8)
+    b0 = spark.createDataFrame([Row(k=f"key{i}", v=i) for i in range(40)])
+    sink.upsert_batch(b0, batch_id=0)
+    buckets_before = {
+        os.path.basename(d): sorted(
+            (os.path.basename(f), os.path.getmtime(f))
+            for f in glob.glob(f"{d}/*.parquet")
+        )
+        for d in glob.glob(f"{table}/data/bucket=*")
+    }
+    assert len(buckets_before) > 1  # keys spread over several buckets
+
+    # single-key batch: exactly the buckets of that key may change
+    sink.upsert_batch(spark.createDataFrame([Row(k="key0", v=999)]), batch_id=1)
+    buckets_after = {
+        os.path.basename(d): sorted(
+            (os.path.basename(f), os.path.getmtime(f))
+            for f in glob.glob(f"{d}/*.parquet")
+        )
+        for d in glob.glob(f"{table}/data/bucket=*")
+    }
+    changed = {
+        b for b in buckets_before if buckets_before[b] != buckets_after.get(b)
+    }
+    assert len(changed) == 1  # only key0's bucket rewrote
+    # and the merge itself is correct
+    rows = {r["k"]: r["v"] for r in sink.read().collect()}
+    assert rows["key0"] == 999 and rows["key7"] == 7 and len(rows) == 40
