@@ -457,7 +457,10 @@ def stream_kafka_topic_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(dec("value")).cast("double"), 4).alias("sum_value"),
         )
     )
-    return run_stream_to_memory(agg, output_mode="complete")
+    # Python Data Sources don't support AvailableNow (one-batch
+    # fallback would stop at the 10k in-flight cap on bigger SFs):
+    # drain with processAllAvailable so commits release the caps
+    return run_stream_to_memory(agg, output_mode="complete", drain="process_all")
 
 
 @query(

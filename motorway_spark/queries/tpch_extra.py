@@ -460,7 +460,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem WHERE l_quantity > 0
       GROUP BY l_partkey, l_suppkey)
     SELECT p.p_partkey, p.p_name, s.s_name,
-           ROUND(ps.ps_supplycost, 4) AS supplycost
+           FLOOR(ps.ps_supplycost * 10000 + 0.5) / 10000 AS supplycost
     FROM part p, partsupp ps, supplier s, nation n, region r
     WHERE p.p_partkey = ps.ps_partkey AND ps.ps_suppkey = s.s_suppkey
       AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
@@ -517,7 +517,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             "p_name",
             "s_name",
-            F.round("ps_supplycost", 4).alias("supplycost"),
+            # explicit half-up in pure double math: ROUND() tie handling
+            # differs cross-engine exactly at 4-decimal midpoints (the
+            # sf0.1 sweep caught spark=…3787 vs duckdb=…3788)
+            (F.floor(F.col("ps_supplycost") * 10000 + 0.5) / 10000).alias(
+                "supplycost"
+            ),
         )
         .orderBy("p_partkey", "s_name")
     )

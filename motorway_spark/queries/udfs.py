@@ -70,8 +70,9 @@ def udf_python_row_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_grouped_minmax",
     oracle="""
     SELECT lang, doc_id,
-           ROUND(CAST(n_chars - min_c AS DOUBLE)
-                 / CAST(GREATEST(max_c - min_c, 1) AS DOUBLE), 6) AS scaled
+           FLOOR(CAST(n_chars - min_c AS DOUBLE)
+                 / CAST(GREATEST(max_c - min_c, 1) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS scaled
     FROM (SELECT lang, doc_id, n_chars,
                  MIN(n_chars) OVER (PARTITION BY lang) AS min_c,
                  MAX(n_chars) OVER (PARTITION BY lang) AS max_c
@@ -82,17 +83,25 @@ def udf_grouped_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas UDAF: per-group min-max scaling — each language
     group arrives as one pandas frame (the vectorized form of the
     reference's per-key stateful intersection T4). Integer min/max keep
-    it exactly reproducible cross-engine."""
+    it exactly reproducible cross-engine.
+
+    Rounding is explicit half-up in pure double arithmetic
+    (floor(x·1e6 + 0.5)/1e6) on BOTH engines: min-max scaling of
+    integer spans produces dyadic ties exactly at the 6th decimal
+    (e.g. k/128 = .4453125), where numpy rounds half-even and DuckDB
+    half-away — found by the sf0.1 sweep, invisible at sf0.01."""
+    import numpy as np
 
     def scale(pdf: pd.DataFrame) -> pd.DataFrame:
         lo = int(pdf["n_chars"].min())
         hi = int(pdf["n_chars"].max())
         span = max(hi - lo, 1)
+        raw = (pdf["n_chars"] - lo) / float(span)
         return pd.DataFrame(
             {
                 "lang": pdf["lang"],
                 "doc_id": pdf["doc_id"],
-                "scaled": ((pdf["n_chars"] - lo) / float(span)).round(6),
+                "scaled": np.floor(raw * 1e6 + 0.5) / 1e6,
             }
         )
 

@@ -179,27 +179,30 @@ class KafkaLogReader(DataSourceStreamReader):
         return {"offsets": dict(self._committed())}
 
     def latestOffset(self) -> dict:
-        """Advance each partition, bounded by the reference's caps.
+        """Advance each partition, bounded by the reference's caps
+        applied PER TRIGGER.
 
-        In-flight (read-but-uncommitted) records never exceed the
-        per-partition cap, and the batch never adds more than the
-        global cap across partitions — KafkaRamp's backpressure
-        expressed as offset arithmetic.
+        The reference caps *cumulative unacked* records and pauses
+        consumption until acks catch up (ramps.py:74-93). In Spark the
+        WAL already guarantees at most one micro-batch is in flight —
+        batch N completes before N+1 plans — so the equivalent bound
+        is on per-trigger intake. Bounding *cumulative uncommitted*
+        here instead would DEADLOCK a capped backlog: the engine fires
+        ``commit(N)`` only when batch N+1 starts, but would never
+        start N+1 because a blocked latestOffset reports no new data
+        (found by the sf0.1 sweep: a 100k-row topic truncated at the
+        10k global cap).
         """
-        committed = self._committed()
         ends = self._log_end_offsets()
-        global_budget = self.max_total - sum(
-            self._positions.get(p, 0) - committed.get(p, 0) for p in ends
-        )
+        global_budget = self.max_total
         new_positions = dict(self._positions)
         for part in sorted(ends):
             pos = new_positions.get(part, 0)
-            in_flight = pos - committed.get(part, 0)
             headroom = min(
                 ends[part] - pos,  # available in the log
                 self.records_limit,  # per-trigger poll cap
-                self.max_per_partition - in_flight,  # partition cap
-                max(global_budget, 0),  # global cap
+                self.max_per_partition,  # per-partition trigger cap
+                max(global_budget, 0),  # global trigger cap
             )
             if headroom > 0:
                 new_positions[part] = pos + headroom

@@ -81,9 +81,19 @@ def run_stream_to_memory(
     output_mode: str = "complete",
     timeout_sec: int = 120,
     shuffle_partitions: int = 8,
+    drain: str = "available_now",
 ) -> DataFrame:
     """Execute a streaming DataFrame to a memory sink until the finite
-    source drains (AvailableNow); return the sink contents.
+    source drains; return the sink contents.
+
+    ``drain``: "available_now" (default) uses Trigger.AvailableNow —
+    correct for built-in sources. Python Data Sources do NOT support
+    AvailableNow (Spark silently falls back to ONE micro-batch, so a
+    source with per-trigger/in-flight caps surfaces only its first
+    batch — the sf0.1 sweep caught exactly this truncation); for those
+    pass "process_all", which runs the default micro-batch trigger and
+    drains with ``processAllAvailable()`` so commits release the caps
+    batch by batch.
 
     Shuffle partitions are dialled down for the run (and restored after):
     each stateful streaming query materializes one state-store instance
@@ -103,15 +113,19 @@ def run_stream_to_memory(
         # a fresh name so a partially-filled append sink isn't reused).
         for attempt in (1, 2):
             name = f"mem_{uuid.uuid4().hex[:12]}"
-            query = (
+            writer = (
                 streaming_df.writeStream.format("memory")
                 .queryName(name)
                 .outputMode(output_mode)
-                .trigger(availableNow=True)
-                .start()
             )
+            if drain == "available_now":
+                writer = writer.trigger(availableNow=True)
+            query = writer.start()
             try:
-                query.awaitTermination(timeout_sec)
+                if drain == "available_now":
+                    query.awaitTermination(timeout_sec)
+                else:
+                    query.processAllAvailable()
                 break
             except Exception as exc:  # noqa: BLE001
                 if attempt == 1 and "Python worker" in str(exc):
