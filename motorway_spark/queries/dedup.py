@@ -595,3 +595,57 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_id"),
         (F.col("doc") == F.col("label")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection (dedup via the vector space).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH pairs AS MATERIALIZED (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+    SELECT d.doc_id, d.source, MIN(p.doc_a) AS dup_of,
+           COUNT(*) AS n_near_dups
+    FROM pairs p
+    JOIN documents d ON d.doc_id = p.doc_b
+    WHERE p.cosine >= 0.25
+    GROUP BY d.doc_id, d.source
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup over the documents table: a document is
+    a near-duplicate when its embedding (joined on doc_id = vec_id) has
+    cosine >= 0.25 with any LOWER-id document; output names the earliest
+    such partner as the canonical survivor.
+
+    All-pairs form = the exact oracle twin of this family; production
+    candidate generation at 100 TB is sim_ann_lsh / sim_ann_ivf
+    (similarity.py) feeding the same rerank + min-partner reduction.
+    The dot product is the unrolled codegen chain from similarity._dot
+    (bit-identical to DuckDB's sequential list fold).
+    """
+    from motorway_spark.queries.similarity import _dot, _norm
+
+    emb = Catalog(spark, sf_dir).embeddings
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "source")
+    a = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("a_emb"))
+    b = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("b_emb"))
+    cosine = _dot("a_emb", "b_emb") / (_norm("a_emb") * _norm("b_emb"))
+    dups = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= 0.25)
+        .groupBy("doc_b")
+        .agg(F.min("doc_a").alias("dup_of"), F.count("*").alias("n_near_dups"))
+    )
+    return dups.join(docs, F.col("doc_b") == F.col("doc_id")).select(
+        "doc_id", "source", "dup_of", "n_near_dups"
+    )

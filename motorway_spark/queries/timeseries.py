@@ -1,0 +1,284 @@
+"""Time-series operators: sessionization, hypertable rollup, range joins.
+
+North-star extensions beyond the reference's streaming surface — the
+batch time-series toolkit a 100 TB event pipeline needs (reference
+analogue: motorway's per-queue time handling is stream-only; these are
+their set-oriented twins over the ``events`` table).
+
+Scale notes per operator:
+
+- ``sessionize_events``: one hash exchange on user_id + one
+  in-partition sort; state per partition is bounded by events-per-user.
+  Identical shape to the as-of join (joins.py) — survives billions of
+  events/user-day because nothing is materialized per session until the
+  final agg.
+- ``hypertable_rollup``: the TimescaleDB continuous-aggregate pattern —
+  the fine (hour) rollup is computed once from raw data, the coarse
+  (day) rollup re-aggregates the HOUR aggregates, not the raw events.
+  At 100 TB the second pass reads ~1/3600th of the input; decimal
+  partial sums re-aggregate exactly (associative), so the day numbers
+  are bit-identical to a from-raw computation.
+- ``range_join_point_in_interval``: the equality-dominant temporal
+  join (point ∈ interval with a shared key): Catalyst plans a plain
+  shuffle hash join on (user_id, day) with the range predicate applied
+  post-match — linear, no nested-loop.
+- ``range_join_interval_overlap``: overlap join WITHOUT a selective
+  equality key — the hard case. Naive form is a per-day cross join
+  (O(n² per day)); instead each interval explodes into the hour chunks
+  it covers and pairs join on chunk equality (the Timescale/ALA chunk
+  trick). Candidates are bounded per chunk, duplicates from
+  multi-chunk overlaps removed by ``distinct`` — exact semantics, hash
+  join physical plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from motorway_spark.catalog import Catalog
+from motorway_spark.queries.registry import query
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min, reference's queue timeout scale
+HOUR_US = 3_600 * 1_000_000
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    return ev.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+
+
+@query(
+    "sessionize_events",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+    m AS (SELECT user_id, event_id, ts_us,
+            CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS new_sess
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    s AS (SELECT user_id, ts_us,
+            CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS session_no
+          FROM m)
+    SELECT user_id, session_no, COUNT(*) AS n_events,
+           MIN(ts_us) AS start_us,
+           CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS duration_us
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a >30-min silence starts a new session.
+
+    The classic gaps-and-islands formulation — lag() marks session
+    starts, a running sum numbers them, then one groupBy per
+    (user, session). Streaming twin: stream_session_window
+    (streaming_queries.py) computes the same sessions incrementally.
+    """
+    ev = _events_us(spark, sf_dir).select("user_id", "event_id", "ts_us")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    new_sess = F.when(
+        F.lag("ts_us").over(w).isNull()
+        | (F.col("ts_us") - F.lag("ts_us").over(w) > SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    sess_no = F.sum(new_sess).over(
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.withColumn("session_no", sess_no)
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts_us").alias("start_us"),
+            (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+        )
+    )
+
+
+@query(
+    "hypertable_rollup",
+    oracle="""
+    WITH hourly AS MATERIALIZED (
+      SELECT date_trunc('hour', ts) AS bucket_ts, COUNT(*) AS n_events,
+             SUM(CAST(value AS DECIMAL(38,6))) AS sum_dec
+      FROM events GROUP BY 1)
+    SELECT 'hour' AS resolution, epoch_us(bucket_ts) AS bucket_us,
+           CAST(n_events AS BIGINT) AS n_events,
+           ROUND(CAST(sum_dec AS DOUBLE), 4) AS sum_value
+    FROM hourly
+    UNION ALL
+    SELECT 'day' AS resolution, epoch_us(date_trunc('day', bucket_ts)) AS bucket_us,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(sum_dec) AS DOUBLE), 4) AS sum_value
+    FROM hourly GROUP BY 2
+    """,
+)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time-bucket rollup (continuous-aggregate shape).
+
+    Day rows re-aggregate the HOUR aggregates (exact: decimal partial
+    sums are associative) — the coarse resolution costs a shuffle over
+    ~n/3600 rows, not a second scan of the raw table.
+    """
+    ev = Catalog(spark, sf_dir).events
+    hourly = (
+        ev.select(
+            F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+            F.col("value").cast("decimal(38,6)").alias("v"),
+        )
+        .groupBy("bucket_ts")
+        .agg(F.count("*").alias("n_events"), F.sum("v").alias("sum_dec"))
+    )
+    daily = (
+        hourly.groupBy(F.date_trunc("day", "bucket_ts").alias("bucket_ts"))
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sum_dec").alias("sum_dec"))
+    )
+
+    def _finish(df: DataFrame, res: str) -> DataFrame:
+        return df.select(
+            F.lit(res).alias("resolution"),
+            F.unix_micros("bucket_ts").alias("bucket_us"),
+            F.col("n_events"),
+            F.round(F.col("sum_dec").cast("double"), 4).alias("sum_value"),
+        )
+
+    return _finish(hourly, "hour").unionAll(_finish(daily, "day"))
+
+
+def _purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (user, day) purchase-activity interval [first, last] in µs."""
+    ev = _events_us(spark, sf_dir)
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.col("user_id"),
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(F.min("ts_us").alias("s_us"), F.max("ts_us").alias("e_us"))
+    )
+
+
+_SQL_INTERVALS = """
+    iv AS MATERIALIZED (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             MIN(epoch_us(ts)) AS s_us, MAX(epoch_us(ts)) AS e_us
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+"""
+
+
+@query(
+    "range_join_point_in_interval",
+    oracle=f"""
+    WITH {_SQL_INTERVALS}
+    SELECT iv.user_id, CAST(iv.day AS VARCHAR) AS day,
+           COUNT(e.event_id) AS n_clicks_in_span
+    FROM iv JOIN events e
+      ON e.user_id = iv.user_id
+     AND CAST(date_trunc('day', e.ts) AS DATE) = iv.day
+     AND epoch_us(e.ts) BETWEEN iv.s_us AND iv.e_us
+     AND e.event_type = 'click'
+    GROUP BY iv.user_id, iv.day
+    """,
+)
+def range_join_point_in_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal point-in-interval join with a shared equality key:
+    clicks that fall inside the same user's same-day purchase span.
+
+    The equality keys (user_id, day) carry the join — Catalyst plans a
+    shuffle hash join with the BETWEEN as a cheap post-probe filter;
+    nothing quadratic survives at any scale.
+    """
+    iv = _purchase_intervals(spark, sf_dir)
+    clicks = (
+        _events_us(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.date_trunc("day", "ts").cast("date").alias("c_day"),
+            F.col("ts_us").alias("c_ts_us"),
+            F.col("event_id"),
+        )
+    )
+    return (
+        iv.join(
+            clicks,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_day") == F.col("day"))
+            & F.col("c_ts_us").between(F.col("s_us"), F.col("e_us")),
+        )
+        .groupBy("user_id", F.col("day").cast("string").alias("day"))
+        .agg(F.count("event_id").alias("n_clicks_in_span"))
+    )
+
+
+@query(
+    "range_join_interval_overlap",
+    oracle=f"""
+    WITH {_SQL_INTERVALS}
+    SELECT CAST(a.day AS VARCHAR) AS day, COUNT(*) AS n_pairs,
+           CAST(SUM(LEAST(a.e_us, b.e_us) - GREATEST(a.s_us, b.s_us)) AS BIGINT)
+             AS sum_overlap_us
+    FROM iv a JOIN iv b
+      ON a.day = b.day AND a.user_id < b.user_id
+     AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+    GROUP BY a.day
+    """,
+)
+def range_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join without a selective equality key — per day,
+    every pair of users whose purchase-activity intervals overlap.
+
+    Scale path (chunk bucketing): each interval explodes into the hour
+    chunks it covers; pairs meet on chunk EQUALITY (hash join), the
+    exact overlap predicate then filters, and ``distinct`` removes
+    multi-chunk duplicates. Per-chunk candidate counts bound the work;
+    the all-pairs-per-day nested loop never materializes. DuckDB's
+    IEJoin handles the oracle side natively.
+    """
+    iv = _purchase_intervals(spark, sf_dir).withColumn(
+        "chunk",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_us div {HOUR_US}"),  # exact integer floor-div
+                F.expr(f"e_us div {HOUR_US}"),
+            )
+        ),
+    )
+    a = iv.select(
+        F.col("day"),
+        F.col("chunk"),
+        F.col("user_id").alias("user_a"),
+        F.col("s_us").alias("a_s"),
+        F.col("e_us").alias("a_e"),
+    )
+    b = iv.select(
+        F.col("day").alias("b_day"),
+        F.col("chunk").alias("b_chunk"),
+        F.col("user_id").alias("user_b"),
+        F.col("s_us").alias("b_s"),
+        F.col("e_us").alias("b_e"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("chunk") == F.col("b_chunk"))
+            & (F.col("user_a") < F.col("user_b"))
+            & (F.col("a_s") <= F.col("b_e"))
+            & (F.col("b_s") <= F.col("a_e")),
+        )
+        .select(
+            "day",
+            "user_a",
+            "user_b",
+            (F.least("a_e", "b_e") - F.greatest("a_s", "b_s")).alias("overlap_us"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy(F.col("day").cast("string").alias("day")).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("overlap_us").alias("sum_overlap_us"),
+    )

@@ -596,3 +596,184 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q13: customer order-count distribution (left outer join + double groupBy).
+# ---------------------------------------------------------------------------
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join with a join-side predicate, then
+    a distribution over per-key counts (two cascaded aggregations —
+    the second one is tiny, keyed by the count itself).
+
+    Deviation from spec: the orders filter is on o_orderpriority
+    (fixtures have no o_comment column).
+    """
+    cat = Catalog(spark, sf_dir)
+    orders = cat.orders.filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cat.customer.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# Q16: supplier-count per part group with a NOT IN anti-subquery.
+# ---------------------------------------------------------------------------
+@query(
+    "q16_parts_supplier",
+    oracle="""
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 4, 7, 10, 15, 22, 25, 29)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT) per part group, excluding
+    blacklisted suppliers via an anti join (Catalyst decorrelates the
+    NOT IN into a left-anti broadcast join — the blacklist is tiny).
+
+    Deviations from spec: lineitem stands in for partsupp as the
+    part-supplier relation; the supplier blacklist predicate is
+    s_acctbal < 0 (no s_comment column in fixtures).
+    """
+    cat = Catalog(spark, sf_dir)
+    parts = cat.part.filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 4, 7, 10, 15, 22, 25, 29)
+    )
+    bad_supp = cat.supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        cat.lineitem.join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11: important stock — share-of-total threshold via scalar subquery.
+# ---------------------------------------------------------------------------
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH value_by_part AS MATERIALIZED (
+      SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS val
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE s_nationkey < 5
+      GROUP BY l_partkey)
+    SELECT l_partkey AS partkey,
+           ROUND(CAST(val AS DOUBLE), 4) AS part_value
+    FROM value_by_part, (SELECT SUM(val) AS tot FROM value_by_part) t
+    WHERE val * 1000 > tot
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group value, filtered against a scalar
+    aggregate of the SAME derived table (share-of-total > 0.1%).
+
+    Spark-first: the per-part aggregate computes once; the grand total
+    is a 1-row broadcast cross join (Catalyst turns the scalar subquery
+    into exactly that). The threshold compares EXACT decimals scaled by
+    an integer (val*1000 > tot) — no double rounding at the boundary,
+    so both engines make identical keep/drop decisions.
+
+    Deviation from spec: value = sum of lineitem extendedprice routed
+    through suppliers in nations 0-4 (fixtures have no partsupp).
+    """
+    cat = Catalog(spark, sf_dir)
+    supp = cat.supplier.filter(F.col("s_nationkey") < 5).select("s_suppkey")
+    value_by_part = (
+        cat.lineitem.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(dec("l_extendedprice")).alias("val"))
+    )
+    total = value_by_part.agg(F.sum("val").alias("tot"))
+    return (
+        value_by_part.crossJoin(F.broadcast(total))
+        .filter(F.col("val") * 1000 > F.col("tot"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("val").cast("double"), 4).alias("part_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20: dominant suppliers — correlated >half-of-part-total quantity.
+# ---------------------------------------------------------------------------
+@query(
+    "q20_dominant_supplier",
+    oracle="""
+    WITH shipped AS MATERIALIZED (
+      SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS DECIMAL(38,6))) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%red%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey)
+    SELECT DISTINCT s_suppkey, s_name
+    FROM shipped
+    JOIN (SELECT l_partkey, SUM(qty) AS tot_qty FROM shipped GROUP BY l_partkey) tot
+      USING (l_partkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE qty * 2 > tot_qty
+    """,
+)
+def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: semi-join against a correlated aggregate
+    threshold — suppliers who shipped more than half of a red part's
+    1996 volume. The per-(supplier, part) aggregate re-aggregates to
+    per-part totals (partial-reuse, same trick as hypertable_rollup),
+    then a same-key join applies the exact-decimal threshold
+    (qty*2 > tot, integer-scaled — no boundary rounding).
+
+    Deviation from spec: lineitem shipments stand in for partsupp
+    availability (no partsupp fixture).
+    """
+    cat = Catalog(spark, sf_dir)
+    red_parts = cat.part.filter(F.col("p_name").like("%red%")).select("p_partkey")
+    shipped = (
+        cat.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
+    )
+    totals = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty").alias("tot_qty")
+    )
+    dominant = (
+        shipped.join(totals, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("qty") * 2 > F.col("tot_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return dominant.join(
+        cat.supplier, F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("s_suppkey", "s_name")
