@@ -21,6 +21,7 @@ from motorway_spark.queries.registry import QUERIES, ORACLES, query, get_queries
 # already verified green in round 1 (relational, tpch_extra, joins,
 # windows) register LAST.
 from motorway_spark.queries import timeseries  # noqa: F401,E402
+from motorway_spark.queries import profiling  # noqa: F401,E402
 from motorway_spark.queries import dedup  # noqa: F401,E402
 from motorway_spark.queries import pipelines  # noqa: F401,E402
 from motorway_spark.queries import similarity  # noqa: F401,E402

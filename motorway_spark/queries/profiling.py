@@ -1,0 +1,157 @@
+"""Dataset introspection at scale: column profiling + heavy hitters.
+
+North-star extensions: before any 100 TB training-data run you profile
+the input (null rates, cardinalities, ranges) and find dominating keys
+(skew detection — the thing that melts shuffles). Reference analogue:
+motorway only exposes per-queue message counters (controller.py); these
+are the set-oriented, data-aware versions.
+
+Scale notes:
+
+- ``profile_columns``: ONE scan computes every per-column statistic as
+  a single wide aggregate row (count/nulls/approx-free distinct/min/
+  max per column, all codegen'd), then a driver-free ``stack`` unpivots
+  it to one row per column. No per-column scans, no collect.
+- ``topk_heavy_hitters``: the two-pass candidate/verify pattern used
+  everywhere in this repo for scale (cf. LSH → exact rerank): pass 1
+  runs Misra-Gries summaries per partition inside Arrow batches —
+  by the averaging argument, any key with global count > n/CAPACITY
+  survives in at least one partition's summary, so the union of
+  per-partition candidates is a superset of every true heavy hitter.
+  Pass 2 exactly recounts ONLY the candidates (broadcast semi join —
+  no full-cardinality shuffle) and takes the deterministic top-k.
+  The result is EXACT (oracle-paired), while shuffle width is bounded
+  by n_partitions x CAPACITY instead of key cardinality. Capacity
+  scales with 1/skew: the fixture user distribution is near-uniform
+  (the adversarial case), so CAPACITY=4096 here; a production Zipf
+  workload needs far less.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from motorway_spark.catalog import Catalog
+from motorway_spark.queries.registry import query
+
+TOP_K = 10
+MG_CAPACITY = 4096  # > n/min(top-k count) at every fixture SF (uniform keys)
+
+# (column, kind) pairs for the orders table; kind drives the min/max
+# string rendering so both engines format identically.
+_ORDER_COLS = (
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "double"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+)
+
+
+def _render(kind: str, inner_sql: str) -> str:
+    """Engine-portable string rendering of a min/max value (computed
+    natively first — string min/max would order '100' < '99')."""
+    if kind == "double":
+        return f"printf('%.4f', {inner_sql})"
+    # STRING is valid in both Spark SQL and DuckDB (VARCHAR is not a
+    # bare type in Spark); timestamps at midnight render identically.
+    return f"CAST({inner_sql} AS STRING)"
+
+
+def _oracle_profile() -> str:
+    parts = []
+    for col, kind in _ORDER_COLS:
+        parts.append(
+            f"""
+    SELECT '{col}' AS col_name,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           {_render(kind, f'MIN({col})')} AS min_repr,
+           {_render(kind, f'MAX({col})')} AS max_repr
+    FROM orders"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("profile_columns", oracle=_oracle_profile())
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan column profiler over orders: per column, row/null/
+    distinct counts and min/max rendered as strings. All statistics are
+    one wide codegen'd aggregate (1 row), unpivoted via ``stack`` —
+    the per-column UNION the oracle runs would be N scans at 100 TB."""
+    orders = Catalog(spark, sf_dir).orders
+    aggs = []
+    for col, kind in _ORDER_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{col}__rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias(f"{col}__nulls"),
+            F.count_distinct(col).alias(f"{col}__distinct"),
+            F.expr(_render(kind, f"MIN({col})")).alias(f"{col}__min"),
+            F.expr(_render(kind, f"MAX({col})")).alias(f"{col}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', {col}__rows, {col}__nulls, {col}__distinct, {col}__min, {col}__max"
+        for col, _ in _ORDER_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_ORDER_COLS)}, {stack_args}) AS "
+            "(col_name, n_rows, n_nulls, n_distinct, min_repr, max_repr)"
+        )
+    )
+
+
+def _mg_summarize(batches, key_col: str, capacity: int):
+    """Misra-Gries summary over one partition's Arrow batches: yields the
+    surviving candidate keys. Vectorized value_counts per batch, then a
+    counter-merge; on overflow every counter drops by the
+    (capacity+1)-th largest value (``cut``), so at most ``capacity``
+    survive. Guarantee: each overflow removes >= (capacity+1)*cut total
+    mass, so any key's undercount is <= n/(capacity+1) — every key with
+    true count > n/(capacity+1) survives in the summary.
+    """
+    import pandas as pd
+
+    counters: dict = {}
+    for pdf in batches:
+        for key, cnt in pdf[key_col].value_counts().items():
+            counters[key] = counters.get(key, 0) + int(cnt)
+        if len(counters) > capacity:
+            cut = sorted(counters.values(), reverse=True)[capacity]
+            counters = {k: v - cut for k, v in counters.items() if v - cut > 0}
+    yield pd.DataFrame({key_col: pd.array(list(counters.keys()), dtype="int64")})
+
+
+@query(
+    "topk_heavy_hitters",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    ORDER BY n_events DESC, user_id
+    LIMIT {TOP_K}
+    """,
+)
+def topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k dominating keys via Misra-Gries candidates + exact
+    recount (see module docstring for the scale argument). Ties at the
+    k-th count break on user_id, so the result is deterministic."""
+    events = Catalog(spark, sf_dir).events.select("user_id")
+    candidates = (
+        events.repartition(8)  # fixtures are one row group = one task
+        .mapInPandas(
+            lambda batches: _mg_summarize(batches, "user_id", MG_CAPACITY),
+            "user_id bigint",
+        )
+        .distinct()
+    )
+    return (
+        events.join(F.broadcast(candidates), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(TOP_K)
+    )

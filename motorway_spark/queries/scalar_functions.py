@@ -399,3 +399,36 @@ def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").alias("good_cast"),
         F.col("o_orderstatus").eqNullSafe(maybe_null).alias("nsafe_eq"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS band,
+           o_orderkey | 4096 AS bor,
+           xor(o_orderkey, o_custkey) AS bxor,
+           CAST((o_orderkey & 255) << 2 AS BIGINT) AS shifted,
+           CAST(o_orderkey >> 3 AS BIGINT) AS rshifted,
+           CAST(bit_count(o_orderkey) AS BIGINT) AS popcount,
+           CAST(~o_orderkey AS BIGINT) AS flipped
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator surface: and/or/xor, shifts, popcount, not —
+    the primitives behind the engine's hash-bucket/bitmask tricks
+    (simhash band keys, hash-ring groupers). All codegen'd JVM
+    expressions; popcount/not cast to BIGINT on both engines (Spark
+    bit_count returns INT, DuckDB returns TINYINT)."""
+    orders = Catalog(spark, sf_dir).orders.filter(F.col("o_orderkey") <= 2000)
+    return orders.select(
+        "o_orderkey",
+        F.expr("o_orderkey & 255").alias("band"),
+        F.expr("o_orderkey | 4096").alias("bor"),
+        F.expr("o_orderkey ^ o_custkey").alias("bxor"),
+        F.expr("CAST(shiftleft(o_orderkey & 255, 2) AS BIGINT)").alias("shifted"),
+        F.expr("CAST(shiftright(o_orderkey, 3) AS BIGINT)").alias("rshifted"),
+        F.expr("CAST(bit_count(o_orderkey) AS BIGINT)").alias("popcount"),
+        F.expr("CAST(~o_orderkey AS BIGINT)").alias("flipped"),
+    )
