@@ -45,6 +45,12 @@ BENCH_QUERIES = [
     "q17_small_quantity",
     "q2_min_cost_supplier",
     "q21_waiting_supplier",
+    # round-2 continuation: timeseries + profiling families
+    "sessionize_events",
+    "hypertable_rollup",
+    "range_join_interval_overlap",
+    "topk_heavy_hitters",
+    "profile_columns",
 ]
 
 

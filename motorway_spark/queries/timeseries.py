@@ -122,7 +122,11 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Day rows re-aggregate the HOUR aggregates (exact: decimal partial
     sums are associative) — the coarse resolution costs a shuffle over
-    ~n/3600 rows, not a second scan of the raw table.
+    ~n/3600 rows, not a second scan of the raw table. Physically this
+    relies on exchange reuse: both union branches canonicalize to the
+    same hourly shuffle, and the final adaptive plan feeds the daily
+    re-agg from a ReusedExchange (asserted in test_plan_audit) — the
+    raw scan and hourly partial aggregation run ONCE.
     """
     ev = Catalog(spark, sf_dir).events
     hourly = (

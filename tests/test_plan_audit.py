@@ -91,3 +91,62 @@ def test_q1_partial_aggregation(spark):
     the shuffle carries group states, not rows."""
     plan = _plan(spark, "q1_pricing_summary")
     assert plan.count("HashAggregate") >= 2
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: timeseries / profiling families.
+# ---------------------------------------------------------------------------
+NEW_JOIN_QUERIES = [
+    "range_join_point_in_interval",
+    "range_join_interval_overlap",
+    "topk_heavy_hitters",
+    "q13_customer_distribution",
+    "q16_parts_supplier",
+    "q20_dominant_supplier",
+]
+
+
+@pytest.mark.parametrize("name", NEW_JOIN_QUERIES)
+def test_new_joins_no_cartesian(spark, name):
+    """Range joins et al. must ride equality keys (hash/sort-merge),
+    never CartesianProduct — chunk bucketing exists precisely so the
+    interval-overlap join has an equality key to hash on."""
+    assert "CartesianProduct" not in _plan(spark, name)
+
+
+def test_interval_overlap_has_equality_join(spark):
+    """The chunked overlap join must plan as an equi join (hash or
+    sort-merge), not a nested loop: chunk equality carries it."""
+    plan = _plan(spark, "range_join_interval_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_heavy_hitters_broadcast_semi_recount(spark):
+    """Pass 2 recount must be a broadcast LEFT SEMI against the small
+    candidate set — no full-cardinality shuffle of the fact table."""
+    plan = _plan(spark, "topk_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+
+
+def test_profile_columns_single_scan(spark):
+    """All per-column statistics must come from ONE scan of orders
+    (wide aggregate + stack), not a scan per column."""
+    from motorway_spark.queries import QUERIES
+
+    df = QUERIES["profile_columns"](spark, SF)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert simple.count("FileScan parquet") == 1
+
+
+def test_hypertable_rollup_reuses_hourly_exchange(spark):
+    """The daily branch must re-aggregate the hourly exchange
+    (ReusedExchange in the final adaptive plan), not re-scan raw
+    events — the continuous-aggregate contract."""
+    from motorway_spark.queries import QUERIES
+
+    df = QUERIES["hypertable_rollup"](spark, SF)
+    df.collect()  # AQE finalizes reuse at runtime
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final
