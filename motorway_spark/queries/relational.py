@@ -454,3 +454,18 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         F.round(F.sum("pq").cast("double"), 4).alias("sum_qty"),
     )
+
+
+@query("agg_percentile_approx")  # no oracle: quantile sketches differ per engine
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (quantile sketch) — the scale path for
+    percentiles over 100 TB: a bounded-memory mergeable sketch per
+    partition instead of a full sort. Rows-only check (sketch results
+    are engine-specific); agg_percentile is the exact twin the oracle
+    verifies."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", [0.5, 0.9, 0.99], 10_000
+        ).cast("array<double>").alias("approx_pcts")
+    )

@@ -432,3 +432,38 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(bit_count(o_orderkey) AS BIGINT)").alias("popcount"),
         F.expr("CAST(~o_orderkey AS BIGINT)").alias("flipped"),
     )
+
+
+@query(
+    "fn_url",
+    oracle="""
+    SELECT c_custkey,
+           lower(c_mktsegment) || '.example.com' AS host,
+           '/u/' || CAST(c_custkey AS STRING) AS path,
+           'seg=' || c_mktsegment AS query,
+           'https' AS protocol
+    FROM customer WHERE c_custkey <= 2000
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing surface: parse_url(HOST/PATH/QUERY/PROTOCOL) over a
+    URL constructed from row values. DuckDB has no parse_url, so the
+    oracle derives each component from the same inputs directly —
+    Spark's parser is checked against construction ground truth."""
+    cust = Catalog(spark, sf_dir).customer.filter(F.col("c_custkey") <= 2000)
+    url = F.concat(
+        F.lit("https://"),
+        F.lower("c_mktsegment"),
+        F.lit(".example.com/u/"),
+        F.col("c_custkey").cast("string"),
+        F.lit("?seg="),
+        F.col("c_mktsegment"),
+    )
+    with_url = cust.withColumn("url", url)
+    return with_url.select(
+        "c_custkey",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+    )

@@ -93,3 +93,38 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum(dec("s_acctbal")).cast("double"), 4).alias("total_bal"),
     )
+
+
+@query(
+    "scan_orc",
+    oracle=f"""
+    SELECT s_nationkey, COUNT(*) AS n, {sql_dsum('s_acctbal', 'total_bal')}
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source (Spark's second first-class columnar format). The
+    derived copy is written driver-side via pyarrow.orc (binary format,
+    so doubles are trivially bit-exact); the oracle reads the original
+    parquet — passing proves the columnar round-trip is value-exact.
+    DuckDB cannot read ORC, so the oracle compares CONTENT via parquet
+    rather than re-scanning the ORC file."""
+    import pyarrow.orc as orc
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = f"/tmp/motorway_scans/{tag}"
+    out = f"{out_dir}/supplier.orc"
+    if not os.path.exists(out):
+        os.makedirs(out_dir, exist_ok=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"), columns=_SUPPLIER_COLS
+        )
+        tmp = out + ".tmp"
+        orc.write_table(tbl, tmp)
+        os.replace(tmp, out)
+    df = spark.read.orc(out)
+    return df.groupBy("s_nationkey").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(dec("s_acctbal")).cast("double"), 4).alias("total_bal"),
+    )
