@@ -396,3 +396,46 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted join (skew mitigation; exact by construction).
+# ---------------------------------------------------------------------------
+@query(
+    "join_salted_skew",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n_items,
+           {sql_dsum('l_extendedprice', 'revenue')}
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manually salted equi join — the skew lever for when AQE's
+    skew-join split isn't available (e.g. a stream-static join) or a
+    single key dominates beyond what splitting fixes.
+
+    Fact rows get a deterministic salt in [0, 8); the (smaller) build
+    side explodes x8 so every (key, salt) pair exists; the join runs on
+    (key, salt), spreading one hot key over 8 reducers. Join output is
+    IDENTICAL to the unsalted join (the oracle runs the plain join), so
+    correctness never depends on the salt — only shuffle balance does.
+    agg_salted_skew (relational.py) is the aggregation-side twin.
+    """
+    cat = Catalog(spark, sf_dir)
+    n_salt = 8
+    li = cat.lineitem.withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salt))
+    )
+    orders_exp = cat.orders.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return (
+        li.join(
+            orders_exp,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (li["salt"] == orders_exp["salt"]),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_items"), dsum("l_extendedprice", "revenue"))
+    )
