@@ -146,3 +146,70 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_quality"),
     )
+
+
+@query(
+    "pipeline_engagement_report",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+    m AS (SELECT user_id, event_id, ts_us,
+            CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS new_sess
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    s AS (SELECT user_id, ts_us,
+            CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS session_no
+          FROM m),
+    sess AS MATERIALIZED (
+      SELECT user_id, session_no, COUNT(*) AS n_events,
+             CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS duration_us
+      FROM s GROUP BY user_id, session_no),
+    per_user AS MATERIALIZED (
+      SELECT user_id, COUNT(*) AS n_sessions,
+             CAST(SUM(n_events) AS BIGINT) AS n_events,
+             CAST(SUM(duration_us) AS BIGINT) AS engaged_us
+      FROM sess GROUP BY user_id)
+    SELECT CASE WHEN n_sessions >= 70 THEN 'heavy'
+                WHEN n_sessions >= 55 THEN 'regular'
+                ELSE 'light' END AS tier,
+           COUNT(*) AS n_users,
+           CAST(SUM(n_sessions) AS BIGINT) AS total_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS total_events,
+           CAST(SUM(engaged_us) AS BIGINT) AS total_engaged_us
+    FROM per_user GROUP BY 1
+    """,
+)
+def pipeline_engagement_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite product-analytics chain over the timeseries family:
+    sessionize (gaps-and-islands window) → per-user session rollup →
+    activity-tier report. Stages reuse the oracle-checked
+    sessionize_events operator unchanged; the oracle replays the whole
+    chain in one DuckDB statement, so wiring errors between stages
+    hash-fail loudly (same composition contract as
+    pipeline_training_prep).
+
+    Scale shape: one events scan, one hash exchange on user_id (the
+    window), then every later aggregate is keyed per user or per tier —
+    strictly narrowing. No stage widens beyond the session count.
+    """
+    from motorway_spark.queries.timeseries import sessionize_events
+
+    sess = sessionize_events(spark, sf_dir)
+    per_user = sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.sum("duration_us").alias("engaged_us"),
+    )
+    tier = (
+        F.when(F.col("n_sessions") >= 70, "heavy")
+        .when(F.col("n_sessions") >= 55, "regular")
+        .otherwise("light")
+    )
+    return per_user.groupBy(tier.alias("tier")).agg(
+        F.count("*").alias("n_users"),
+        F.sum("n_sessions").alias("total_sessions"),
+        F.sum("n_events").alias("total_events"),
+        F.sum("engaged_us").alias("total_engaged_us"),
+    )

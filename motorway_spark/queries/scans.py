@@ -128,3 +128,54 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum(dec("s_acctbal")).cast("double"), 4).alias("total_bal"),
     )
+
+
+@query(
+    "scan_csv_corrupt",
+    oracle=f"""
+    SELECT s_nationkey, COUNT(*) AS n, {sql_dsum('s_acctbal', 'total_bal')}
+    FROM supplier WHERE s_suppkey % 10 <> 3 GROUP BY s_nationkey
+    """,
+)
+def scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-record error isolation at the scan (reference semantics:
+    swallow the bad record, keep the stream alive — ramp.py failed()/
+    intersection error handling). The derived CSV corrupts s_acctbal to
+    'N/A' on every s_suppkey % 10 == 3 row; DROPMALFORMED discards
+    exactly those rows at parse time, and the oracle applies the same
+    predicate to the clean parquet — passing proves the engine drops
+    ONLY the malformed records, bit-exact on the survivors."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = f"/tmp/motorway_scans/{tag}"
+    out = f"{out_dir}/supplier_corrupt.csv"
+    if not os.path.exists(out):
+        import pyarrow.parquet as pq
+
+        os.makedirs(out_dir, exist_ok=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"), columns=_SUPPLIER_COLS
+        )
+        tmp = out + ".tmp"
+        with open(tmp, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(_SUPPLIER_COLS)
+            for r in tbl.to_pylist():
+                if r["s_suppkey"] % 10 == 3:
+                    r = {**r, "s_acctbal": "N/A"}  # unparseable double
+                w.writerow(
+                    [
+                        repr(r[c]) if isinstance(r[c], float) else r[c]
+                        for c in _SUPPLIER_COLS
+                    ]
+                )
+        os.replace(tmp, out)
+    df = (
+        spark.read.schema(_SUPPLIER_SCHEMA)
+        .option("header", "true")
+        .option("mode", "DROPMALFORMED")
+        .csv(out)
+    )
+    return df.groupBy("s_nationkey").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(dec("s_acctbal")).cast("double"), 4).alias("total_bal"),
+    )

@@ -1,0 +1,109 @@
+"""Boundary semantics for the timeseries family.
+
+The oracle gate proves cross-engine equality on fixtures; these pin the
+EDGE semantics the fixtures may never hit: the session gap comparison
+is strict (>), interval overlap is closed ([s,e] touching counts), and
+chunking never changes overlap results.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from motorway_spark.queries.timeseries import SESSION_GAP_US
+
+BASE = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _sessionize(spark, rows):
+    """Run the sessionize logic on synthetic (user_id, event_id, ts_us)."""
+    from pyspark.sql import Window
+
+    ev = spark.createDataFrame(rows, "user_id bigint, event_id bigint, ts_us bigint")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    new_sess = F.when(
+        F.lag("ts_us").over(w).isNull()
+        | (F.col("ts_us") - F.lag("ts_us").over(w) > SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    sess_no = F.sum(new_sess).over(
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = ev.withColumn("session_no", sess_no).collect()
+    return {r["event_id"]: r["session_no"] for r in out}
+
+
+def test_session_gap_is_strict(spark):
+    """A gap of EXACTLY 30 min stays in the same session; 30 min + 1 µs
+    starts a new one (gap comparison is strictly greater-than)."""
+    t0 = 1_700_000_000_000_000
+    rows = [
+        (1, 1, t0),
+        (1, 2, t0 + SESSION_GAP_US),          # exactly 30 min later
+        (1, 3, t0 + 2 * SESSION_GAP_US + 1),  # 30 min + 1 µs after event 2
+    ]
+    sess = _sessionize(spark, rows)
+    assert sess[1] == sess[2] == 1
+    assert sess[3] == 2
+
+
+def test_session_numbering_per_user(spark):
+    """Sessions number independently per user (partition isolation)."""
+    t0 = 1_700_000_000_000_000
+    rows = [
+        (1, 1, t0),
+        (2, 2, t0 + 5),
+        (2, 3, t0 + SESSION_GAP_US + 10),  # new session for user 2 only
+    ]
+    sess = _sessionize(spark, rows)
+    assert sess[1] == 1 and sess[2] == 1 and sess[3] == 2
+
+
+def test_interval_overlap_closed_bounds_and_chunking(spark):
+    """Intervals touching at a single microsecond DO overlap (closed
+    bounds), and the chunked join finds pairs whose overlap spans a
+    chunk boundary exactly once (distinct dedups multi-chunk hits)."""
+    from motorway_spark.queries.timeseries import HOUR_US
+
+    day = "2024-01-01"
+    # a: [10:00, 11:30], b: [11:30, 12:00]  -> touch at 11:30 (overlap 0 µs)
+    # c: [10:30, 12:30] overlaps a across two hour chunks
+    h10 = 1_704_103_200_000_000  # 2024-01-01T10:00:00Z in µs
+    iv = spark.createDataFrame(
+        [
+            (day, 1, h10, h10 + int(1.5 * HOUR_US)),
+            (day, 2, h10 + int(1.5 * HOUR_US), h10 + 2 * HOUR_US),
+            (day, 3, h10 + HOUR_US // 2, h10 + int(2.5 * HOUR_US)),
+        ],
+        "day string, user_id bigint, s_us bigint, e_us bigint",
+    )
+    chunked = iv.withColumn(
+        "chunk",
+        F.explode(F.sequence(F.expr(f"s_us div {HOUR_US}"), F.expr(f"e_us div {HOUR_US}"))),
+    )
+    a = chunked.select("day", "chunk", F.col("user_id").alias("user_a"),
+                       F.col("s_us").alias("a_s"), F.col("e_us").alias("a_e"))
+    b = chunked.select(F.col("chunk").alias("b_chunk"), F.col("user_id").alias("user_b"),
+                       F.col("s_us").alias("b_s"), F.col("e_us").alias("b_e"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("chunk") == F.col("b_chunk"))
+            & (F.col("user_a") < F.col("user_b"))
+            & (F.col("a_s") <= F.col("b_e"))
+            & (F.col("b_s") <= F.col("a_e")),
+        )
+        .select("user_a", "user_b",
+                (F.least("a_e", "b_e") - F.greatest("a_s", "b_s")).alias("overlap_us"))
+        .distinct()
+        .collect()
+    )
+    got = {(r["user_a"], r["user_b"]): r["overlap_us"] for r in pairs}
+    assert got[(1, 2)] == 0           # touching intervals overlap with 0 µs
+    assert got[(1, 3)] == HOUR_US     # 10:30-11:30, found once despite 2 shared chunks
+    assert got[(2, 3)] == HOUR_US // 2
+    assert len(got) == 3
