@@ -286,3 +286,68 @@ def range_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.sum("overlap_us").alias("sum_overlap_us"),
     )
+
+
+@query(
+    "scd2_intervals",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+    m AS (SELECT user_id, event_id, event_type, ts_us,
+            CASE WHEN lag(event_type) OVER w IS NULL
+                   OR event_type <> lag(event_type) OVER w
+                 THEN 1 ELSE 0 END AS changed
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    isl AS (SELECT user_id, event_type, ts_us,
+              CAST(SUM(changed) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS island
+            FROM m),
+    rec AS (SELECT user_id, island, event_type,
+              MIN(ts_us) AS valid_from_us, COUNT(*) AS n_events
+            FROM isl GROUP BY user_id, island, event_type)
+    SELECT user_id, event_type, valid_from_us,
+           lead(valid_from_us) OVER w2 AS valid_to_us,
+           lead(valid_from_us) OVER w2 IS NULL AS is_current,
+           n_events
+    FROM rec WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from_us, island)
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture → SCD type-2 validity intervals: per user,
+    each run of consecutive identical event_types becomes one record
+    valid from its first event until the next state change (NULL
+    valid_to = current state). This is the batch twin of what the
+    upsert sink (sinks/upsert.py) does record-at-a-time: replaying a
+    change stream into versioned dimension rows.
+
+    Scale shape: gaps-and-islands on value change — one hash exchange
+    on user_id, two in-partition window passes (change marking, then
+    lead over the collapsed islands). The second window runs over
+    ~one row per state change, not per event; nothing widens.
+    """
+    ev = _events_us(spark, sf_dir).select("user_id", "event_id", "event_type", "ts_us")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changed = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.col("event_type") != F.lag("event_type").over(w)),
+        1,
+    ).otherwise(0)
+    island = F.sum(changed).over(
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rec = (
+        ev.withColumn("island", island)
+        .groupBy("user_id", "island", "event_type")
+        .agg(F.min("ts_us").alias("valid_from_us"), F.count("*").alias("n_events"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from_us", "island")
+    return rec.select(
+        "user_id",
+        "event_type",
+        "valid_from_us",
+        F.lead("valid_from_us").over(w2).alias("valid_to_us"),
+        F.lead("valid_from_us").over(w2).isNull().alias("is_current"),
+        "n_events",
+    )
