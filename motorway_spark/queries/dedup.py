@@ -11,9 +11,10 @@ ladder, each expressed Spark-first:
 - MinHash: k md5-derived hash functions over char-4-gram shingles,
   banded LSH (#bands × rows/band = k) so candidate generation is a
   bucket-equality shuffle join, never an all-pairs product;
-- SimHash: 64-bit sign-aggregated token-hash fingerprint; near-dups =
-  Hamming-adjacent fingerprints (rows-only check: 64 per-bit sums are
-  not reasonably expressible in one oracle SQL statement).
+- SimHash: 60-bit sign-aggregated token-hash fingerprint; near-dups =
+  Hamming-adjacent fingerprints. Fully oracle-paired: the md5-derived
+  token hashes are cross-engine deterministic, so DuckDB replays the
+  per-bit sums via an UNNEST(range(0,60)) explode.
 
 Hash determinism: both engines compute ``md5`` identically; the first
 15 hex chars parsed base-16 give a 60-bit non-negative int that Spark
@@ -390,7 +391,33 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # rows-only: 64 per-bit sums aren't one sane SQL statement
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+      FROM (SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS t
+            FROM documents)),
+    bits AS MATERIALIZED (
+      SELECT doc_id, j,
+             SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM tok, UNNEST(range(0, 60)) AS tj(j)
+      GROUP BY doc_id, j),
+    fp AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS fp
+      FROM bits GROUP BY doc_id),
+    bands AS MATERIALIZED (
+      SELECT doc_id, fp, band, (fp >> (band * 15)) & 32767 AS bucket
+      FROM fp, UNNEST(range(0, 4)) AS tb(band)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 8
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit sign-aggregated token-hash
     fingerprint, candidates via 16-bit band buckets, keep Hamming ≤ 8.
@@ -450,7 +477,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+            .cast("bigint")
+            .alias("hamming"),
         )
         .distinct()
     )
