@@ -514,3 +514,56 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("secs_to_purchase"),
     )
     return run_stream_to_memory(joined, output_mode="append")
+
+
+@query(
+    "stream_topk_heavy_hitters",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    ORDER BY n_events DESC, user_id
+    LIMIT 10
+    """,
+)
+def stream_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of topk_heavy_hitters (profiling.py): per-key
+    event counts live in the checkpointed state store
+    (applyInPandasWithState), and the deterministic top-k rank runs
+    batch-side over the final per-key emissions — the standard
+    stream-to-serving split: unbounded keyed state in the stream,
+    bounded rank at read time. Oracle = exact top-10 by count.
+
+    At 100 TB/day the state is one long per user; the rank never sees
+    raw events. (A pure in-stream top-k would need a global singleton
+    state — this two-stage split is the scalable formulation.)
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = stream_events(spark, sf_dir)
+
+    def update_count(key, pdf_iter, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    counted = events.select("user_id").groupBy("user_id").applyInPandasWithState(
+        update_count,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n_events long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_stream_to_memory(counted, output_mode="update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events")
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(10)
+    )
