@@ -777,3 +777,76 @@ def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dominant.join(
         cat.supplier, F.col("l_suppkey") == F.col("s_suppkey")
     ).select("s_suppkey", "s_name")
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE: calendar-spine gap filling (Spark 4 WITH RECURSIVE).
+# ---------------------------------------------------------------------------
+@query(
+    "sql_api_recursive_cte",
+    oracle="""
+    WITH RECURSIVE m(mo) AS (
+      SELECT DATE '1995-01-01'
+      UNION ALL
+      SELECT mo + INTERVAL 1 MONTH FROM m WHERE mo < DATE '1997-12-01')
+    SELECT CAST(mo AS STRING) AS month, COUNT(o_orderkey) AS n_big_orders
+    FROM m LEFT JOIN orders
+      ON date_trunc('month', o_orderdate) = mo AND o_totalprice >= 450000
+    GROUP BY mo
+    """,
+)
+def sql_api_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE) generating a 36-month
+    calendar spine, left-joined to big-order counts — the gap-filling
+    pattern: months with zero qualifying orders still appear with 0
+    (visible at sf0.001, where the tail threshold leaves real gaps).
+    The recursion is driver-cheap (36 iterations over one row each);
+    the join against the fact table is one ordinary hash join.
+    """
+    Catalog(spark, sf_dir).register_temp_views()
+    return spark.sql(
+        """
+        WITH RECURSIVE m(mo) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT add_months(mo, 1) FROM m WHERE mo < DATE '1997-12-01')
+        SELECT CAST(mo AS STRING) AS month, COUNT(o_orderkey) AS n_big_orders
+        FROM m LEFT JOIN orders
+          ON date_trunc('month', o_orderdate) = CAST(mo AS TIMESTAMP)
+         AND o_totalprice >= 450000
+        GROUP BY mo
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery: per-customer top-N (decorrelated).
+# ---------------------------------------------------------------------------
+@query(
+    "sql_api_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+    WHERE c.c_custkey <= 100
+    """,
+)
+def sql_api_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: each customer's top-2 orders by
+    price. Catalyst decorrelates the per-row subquery into a
+    window-rank join (DecorrelateInnerQuery), so execution is the
+    topk_per_group shape — no per-customer re-execution at scale.
+    """
+    Catalog(spark, sf_dir).register_temp_views()
+    return spark.sql(
+        """
+        SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+        WHERE c.c_custkey <= 100
+        """
+    )
