@@ -155,3 +155,69 @@ def topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_events"), "user_id")
         .limit(TOP_K)
     )
+
+
+Z_BITS = 16  # bits per dimension; 32-bit z-values cover keys < 65536
+
+
+def _z_expr(a: str, b: str) -> str:
+    """Bit-interleaved Morton (Z-order) value of two int columns as ONE
+    SQL expression string (one driver call, codegen'd — SCALE.md expr
+    rule)."""
+    terms = []
+    for j in range(Z_BITS):
+        terms.append(f"(shiftleft(({a} >> {j}) & 1, {2 * j}))")
+        terms.append(f"(shiftleft(({b} >> {j}) & 1, {2 * j + 1}))")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+_SQL_Z = (
+    lambda a, b: "CAST("
+    + " + ".join(
+        f"((({a} >> {j}) & 1) << {2 * j}) + ((({b} >> {j}) & 1) << {2 * j + 1})"
+        for j in range(Z_BITS)
+    )
+    + " AS BIGINT)"
+)
+
+
+@query(
+    "zorder_clustering",
+    oracle=f"""
+    WITH z AS (
+      SELECT l_partkey, l_suppkey,
+             {_SQL_Z('l_partkey', 'l_suppkey')} AS zval
+      FROM lineitem)
+    SELECT zval >> 26 AS zbucket, COUNT(*) AS n_rows,
+           MIN(l_partkey) AS p_min, MAX(l_partkey) AS p_max,
+           MIN(l_suppkey) AS s_min, MAX(l_suppkey) AS s_max
+    FROM z GROUP BY zval >> 26
+    """,
+)
+def zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering over (l_partkey, l_suppkey): the
+    space-filling-curve layout trick behind Delta/Iceberg OPTIMIZE
+    ZORDER. Interleaving the key bits makes each coarse z-bucket a
+    RECTANGLE in key space — the per-bucket (min, max) of BOTH columns
+    is tight, so a file written per bucket can be pruned by predicates
+    on EITHER key. The query materializes exactly that property: per
+    64-cell bucket, row count and both key ranges (at 100 TB these are
+    the file-level min/max stats the scan planner prunes on). Pure
+    integer bit math — bit-identical cross-engine.
+    """
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.select(
+            "l_partkey",
+            "l_suppkey",
+            F.expr(_z_expr("l_partkey", "l_suppkey")).alias("zval"),
+        )
+        .groupBy(F.expr("zval >> 26").alias("zbucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_partkey").alias("p_min"),
+            F.max("l_partkey").alias("p_max"),
+            F.min("l_suppkey").alias("s_min"),
+            F.max("l_suppkey").alias("s_max"),
+        )
+    )
