@@ -32,9 +32,12 @@ from motorway_spark.queries import scalar_functions  # noqa: F401,E402
 from motorway_spark.queries import scans  # noqa: F401,E402
 from motorway_spark.queries import streaming_queries  # noqa: F401,E402
 from motorway_spark.queries import setops  # noqa: F401,E402
-from motorway_spark.queries import relational  # noqa: F401,E402
+# tpch_extra/joins before relational/windows: they carry this round's new
+# entries (q11/q13/q16/q20, recursive CTE, lateral, salted join), which
+# should sweep before families that are fully green already.
 from motorway_spark.queries import tpch_extra  # noqa: F401,E402
 from motorway_spark.queries import joins  # noqa: F401,E402
+from motorway_spark.queries import relational  # noqa: F401,E402
 from motorway_spark.queries import windows  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLES", "query", "get_queries", "get_oracles"]
