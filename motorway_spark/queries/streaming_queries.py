@@ -567,3 +567,112 @@ def stream_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_events"), "user_id")
         .limit(10)
     )
+
+
+def _advance_runs(cur, pdf):
+    """Advance the (event_type, valid_from_us, n_events) current-run
+    state over one event-time-sorted batch. The first in-batch run
+    splices onto the carried state when the type continues across the
+    batch boundary — unit-tested directly (tests/test_scd2_stream.py)
+    because fixture streams may arrive in a single micro-batch."""
+    import numpy as np
+
+    if not len(pdf):
+        return cur
+    pdf = pdf.sort_values(["ts_us", "event_id"])
+    types = pdf["event_type"].to_numpy()
+    ts = pdf["ts_us"].to_numpy()
+    starts = np.nonzero(np.concatenate(([True], types[1:] != types[:-1])))[0]
+    if cur is not None and types[0] == cur[0]:
+        first_end = int(starts[1]) if len(starts) > 1 else len(types)
+        cur = (cur[0], cur[1], cur[2] + first_end)
+        starts = starts[1:]
+    for i, s in enumerate(starts):
+        e = int(starts[i + 1]) if i + 1 < len(starts) else len(types)
+        cur = (str(types[s]), int(ts[s]), e - int(s))
+    return cur
+
+
+@query(
+    "stream_scd2_current",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+    m AS (SELECT user_id, event_id, event_type, ts_us,
+            CASE WHEN lag(event_type) OVER w IS NULL
+                   OR event_type <> lag(event_type) OVER w
+                 THEN 1 ELSE 0 END AS changed
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    isl AS (SELECT user_id, event_type, ts_us,
+              CAST(SUM(changed) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS island
+            FROM m),
+    rec AS (SELECT user_id, island, event_type,
+              MIN(ts_us) AS valid_from_us, COUNT(*) AS n_events
+            FROM isl GROUP BY user_id, island, event_type)
+    SELECT user_id, event_type, valid_from_us, n_events
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY valid_from_us DESC, island DESC) AS rn FROM rec)
+    WHERE rn = 1
+    """,
+)
+def stream_scd2_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC current-state: per user, the CURRENT run of
+    identical event_types (type, since-when, run length), maintained in
+    the state store. The streaming twin of scd2_intervals' is_current
+    slice.
+
+    Unlike the counting/summing stateful ops, this one is
+    ORDER-SENSITIVE: the update function sorts each Arrow batch by
+    event time and walks run boundaries (numpy change-point detection,
+    no per-row Python), merging the first in-batch run with the carried
+    state when the type continues across a batch boundary. That
+    cross-batch splice is the CDC-correctness crux at 100 TB, where one
+    user's events span many micro-batches.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = stream_events(spark, sf_dir)
+
+    def update_current(key, pdf_iter, state: GroupState):
+        cur = tuple(state.get) if state.exists else None  # (type, from_us, n)
+        for pdf in pdf_iter:
+            cur = _advance_runs(cur, pdf)
+        if cur is not None:
+            state.update(cur)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "event_type": [cur[0]],
+                    "valid_from_us": [cur[1]],
+                    "n_events": [cur[2]],
+                }
+            )
+
+    base = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    current = base.groupBy("user_id").applyInPandasWithState(
+        update_current,
+        outputStructType="user_id long, event_type string, valid_from_us long, n_events long",
+        stateStructType="event_type string, valid_from_us long, n_events long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_stream_to_memory(current, output_mode="update")
+    from pyspark.sql import Window
+
+    # final emission per key = the one with the latest valid_from (and
+    # the longest run at that start, if re-emitted across batches)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("valid_from_us"), F.desc("n_events")
+    )
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "valid_from_us", "n_events")
+    )

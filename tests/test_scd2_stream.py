@@ -1,0 +1,70 @@
+"""Cross-batch splice semantics of the streaming CDC current-state op.
+
+The oracle gate may deliver all fixture events in ONE micro-batch, so
+the batch-boundary paths of stream_scd2_current's state update are
+pinned here directly on the extracted _advance_runs helper.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from motorway_spark.queries.streaming_queries import _advance_runs
+
+
+def _batch(rows):
+    return pd.DataFrame(rows, columns=["event_id", "event_type", "ts_us"])
+
+
+def test_run_continues_across_batch_boundary():
+    """Same type across the boundary: run length accumulates, the
+    valid_from of the ORIGINAL run start is preserved."""
+    cur = _advance_runs(None, _batch([(1, "click", 100), (2, "click", 200)]))
+    assert cur == ("click", 100, 2)
+    cur = _advance_runs(cur, _batch([(3, "click", 300), (4, "view", 400)]))
+    assert cur == ("view", 400, 1)
+
+
+def test_type_change_at_batch_boundary_resets_run():
+    cur = _advance_runs(None, _batch([(1, "click", 100)]))
+    cur = _advance_runs(cur, _batch([(2, "view", 200), (3, "view", 300)]))
+    assert cur == ("view", 200, 2)
+
+
+def test_multiple_runs_within_one_batch_keeps_last():
+    cur = _advance_runs(
+        None,
+        _batch(
+            [
+                (1, "click", 100),
+                (2, "view", 200),
+                (3, "view", 300),
+                (4, "click", 400),
+                (5, "click", 500),
+            ]
+        ),
+    )
+    assert cur == ("click", 400, 2)
+
+
+def test_splice_then_change_in_same_batch():
+    """Boundary continuation followed by an in-batch change: the
+    continuation must count ONLY the pre-change prefix."""
+    cur = _advance_runs(None, _batch([(1, "click", 100), (2, "click", 150)]))
+    cur = _advance_runs(
+        cur, _batch([(3, "click", 200), (4, "signup", 300), (5, "signup", 350)])
+    )
+    assert cur == ("signup", 300, 2)
+
+
+def test_out_of_order_batch_is_sorted_by_event_time():
+    cur = _advance_runs(
+        None, _batch([(2, "view", 300), (1, "click", 100), (3, "view", 200)])
+    )
+    # sorted order: click@100, view@200, view@300 -> current = view since 200
+    assert cur == ("view", 200, 2)
+
+
+def test_empty_batch_is_noop():
+    cur = ("click", 100, 3)
+    assert _advance_runs(cur, _batch([])) == cur
