@@ -351,3 +351,51 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from_us").over(w2).isNull().alias("is_current"),
         "n_events",
     )
+
+
+@query(
+    "sessionize_native",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+    m AS (SELECT user_id, event_id, ts_us,
+            CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w >= {SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS new_sess
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    s AS (SELECT user_id, ts_us,
+            CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS session_no
+          FROM m)
+    SELECT user_id,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) + {SESSION_GAP_US} AS session_end_us,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's BUILT-IN session_window aggregate —
+    the JVM-native twin of sessionize_events (which hand-rolls
+    gaps-and-islands). One groupBy, no window functions; Spark merges
+    overlapping [ts, ts+gap) intervals per key inside the aggregate.
+
+    Semantics note the oracle encodes: session_window uses a
+    HALF-OPEN gap (a new session starts when the gap is >= 30 min,
+    vs the strict > of the manual version), and each session's end is
+    last_event + gap. Both formulations shuffle once on user_id.
+    """
+    ev = _events_us(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window(F.col("ts"), "30 minutes").alias("sw"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
