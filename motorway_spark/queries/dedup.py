@@ -678,3 +678,64 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dups.join(docs, F.col("doc_b") == F.col("doc_id")).select(
         "doc_id", "source", "dup_of", "n_near_dups"
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance fuzzy join (blocked, exact).
+# ---------------------------------------------------------------------------
+@query(
+    "fuzzy_join_levenshtein",
+    oracle="""
+    SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+    FROM supplier a JOIN supplier b
+      ON a.s_suppkey < b.s_suppkey
+     AND abs(length(a.s_name) - length(b.s_name)) <= 1
+    WHERE levenshtein(a.s_name, b.s_name) <= 1
+    """,
+)
+def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy self-join: supplier-name pairs within
+    Levenshtein distance 1 — the record-linkage primitive (typo-level
+    entity matching) the dedup ladder lacks elsewhere.
+
+    Scale shape (the oracle runs the quadratic form; Spark does NOT):
+    equal-length strings at distance <= 1 differ by at most one
+    substitution, so one half of the string is IDENTICAL in any
+    matching pair — candidates come from two hash joins (block on the
+    first half, block on the second half), unioned and deduped, with
+    the exact levenshtein only on candidates (PassJoin-style partition
+    blocking). Work is linear in names per block; the all-pairs product
+    never materializes. A length pre-filter (lev >= length difference)
+    guards the general case.
+    """
+    supp = Catalog(spark, sf_dir).supplier.select("s_suppkey", "s_name")
+    blocked = supp.select(
+        "s_suppkey",
+        "s_name",
+        F.substring(F.col("s_name"), 1, 9).alias("block_head"),
+        F.expr("substring(s_name, 10)").alias("block_tail"),
+    )
+    pairs = None
+    for block in ("block_head", "block_tail"):
+        a = blocked.select(
+            F.col("s_suppkey").alias("supp_a"),
+            F.col("s_name").alias("name_a"),
+            F.col(block).alias("blk"),
+        )
+        b = blocked.select(
+            F.col("s_suppkey").alias("supp_b"),
+            F.col("s_name").alias("name_b"),
+            F.col(block).alias("blk"),
+        )
+        cand = a.join(b, "blk").filter(F.col("supp_a") < F.col("supp_b")).select(
+            "supp_a", "supp_b", "name_a", "name_b"
+        )
+        pairs = cand if pairs is None else pairs.unionAll(cand)
+    return (
+        pairs.distinct()
+        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= 1)
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("bigint"))
+        .filter(F.col("dist") <= 1)
+        .select("supp_a", "supp_b", "dist")
+    )
