@@ -68,3 +68,68 @@ def test_out_of_order_batch_is_sorted_by_event_time():
 def test_empty_batch_is_noop():
     cur = ("click", 100, 3)
     assert _advance_runs(cur, _batch([])) == cur
+
+
+# ---------------------------------------------------------------------------
+# Property: folding _advance_runs over ANY batch split of a sorted event
+# sequence equals computing the final run on the whole sequence at once.
+# ---------------------------------------------------------------------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @st.composite
+    def _event_stream(draw):
+        n = draw(st.integers(min_value=1, max_value=40))
+        types = draw(
+            st.lists(
+                st.sampled_from(["a", "b", "c"]), min_size=n, max_size=n
+            )
+        )
+        # strictly increasing event times keep the reference trivial
+        ts = sorted(
+            draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=10_000),
+                    min_size=n,
+                    max_size=n,
+                    unique=True,
+                )
+            )
+        )
+        cuts = draw(
+            st.lists(st.integers(min_value=1, max_value=n - 1), unique=True)
+            if n > 1
+            else st.just([])
+        )
+        return types, ts, sorted(cuts)
+
+    def _reference_final_run(types, ts):
+        start = 0
+        for i in range(1, len(types)):
+            if types[i] != types[i - 1]:
+                start = i
+        return (types[start], ts[start], len(types) - start)
+
+    @given(_event_stream())
+    @settings(max_examples=200, deadline=None)
+    def test_advance_runs_split_invariance(stream):
+        types, ts, cuts = stream
+        bounds = [0, *cuts, len(types)]
+        cur = None
+        for lo, hi in zip(bounds, bounds[1:]):
+            if lo == hi:
+                continue
+            cur = _advance_runs(
+                cur,
+                _batch(
+                    [
+                        (i, types[i], ts[i])
+                        for i in range(lo, hi)
+                    ]
+                ),
+            )
+        assert cur == _reference_final_run(types, ts)
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
