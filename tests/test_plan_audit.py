@@ -103,6 +103,10 @@ NEW_JOIN_QUERIES = [
     "q13_customer_distribution",
     "q16_parts_supplier",
     "q20_dominant_supplier",
+    "fuzzy_join_levenshtein",
+    "join_salted_skew",
+    "sql_api_lateral_topn",
+    "dedup_simhash",
 ]
 
 
