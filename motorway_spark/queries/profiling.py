@@ -3,8 +3,10 @@
 North-star extensions: before any 100 TB training-data run you profile
 the input (null rates, cardinalities, ranges) and find dominating keys
 (skew detection — the thing that melts shuffles). Reference analogue:
-motorway only exposes per-queue message counters (controller.py); these
-are the set-oriented, data-aware versions.
+motorway only exposes per-queue message counters (/root/reference/
+motorway/controller.py:43-60 process_statistics: success/processed
+counts, frequency dict); these are the set-oriented, data-aware
+versions of that introspection.
 
 Scale notes:
 

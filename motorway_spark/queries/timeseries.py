@@ -39,7 +39,10 @@ from pyspark.sql import functions as F
 from motorway_spark.catalog import Catalog
 from motorway_spark.queries.registry import query
 
-SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min, reference's queue timeout scale
+# 30 min: the reference's MESSAGE_TIMEOUT (/root/reference/motorway/
+# controller.py:31,176 — messages idle past this are timed out); here the
+# same constant delimits activity sessions.
+SESSION_GAP_US = 30 * 60 * 1_000_000
 HOUR_US = 3_600 * 1_000_000
 
 
