@@ -217,3 +217,50 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("shard_key")
     )
+
+
+@query(
+    "text_commonness_score",
+    oracle="""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents),
+    freq AS MATERIALIZED (
+      SELECT t, COUNT(*) AS corpus_count FROM tok GROUP BY t)
+    SELECT doc_id, COUNT(*) AS n_words,
+           CAST(SUM(corpus_count) AS BIGINT) AS common_sum,
+           ROUND(CAST(SUM(corpus_count) AS DOUBLE) / COUNT(*), 4)
+             AS avg_commonness
+    FROM tok JOIN freq USING (t)
+    GROUP BY doc_id
+    """,
+)
+def text_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics document scoring — the two-pass shape of every
+    'train stats on the corpus, then score each doc' pipeline op
+    (unigram LM scoring, TF-IDF, stopword induction): pass 1 aggregates
+    global token frequencies, pass 2 joins them back token-keyed and
+    re-aggregates per document. All-integer arithmetic (corpus counts,
+    one final division) keeps it bit-exact cross-engine — no log/float
+    accumulation.
+
+    Scale shape: two token-keyed shuffles (freq agg, score join); the
+    frequency table is vocabulary-sized, vastly smaller than the corpus,
+    and the head of the distribution broadcast-joins under AQE when it
+    fits. Nothing is quadratic; no driver-side state.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    freq = tok.groupBy("t").agg(F.count("*").alias("corpus_count"))
+    return (
+        tok.join(freq, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("corpus_count").alias("common_sum"),
+            F.round(
+                F.sum("corpus_count").cast("double") / F.count("*"), 4
+            ).alias("avg_commonness"),
+        )
+    )
