@@ -264,3 +264,59 @@ def text_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_commonness"),
         )
     )
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle="""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents),
+    n_docs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tok),
+    tf AS MATERIALIZED (
+      SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+    df AS MATERIALIZED (
+      SELECT t, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY t),
+    scored AS (
+      SELECT doc_id, t, tf, df,
+             ROUND(CAST(tf * n AS DOUBLE) / df, 6) AS score
+      FROM tf JOIN df USING (t), n_docs)
+    SELECT doc_id, t AS term, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, t) AS rn
+      FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms. The idf uses the raw ratio
+    N/df instead of ln(N/df): ln is monotone, so the RANKING is
+    identical, and the score stays one integer-ratio division —
+    bit-exact cross-engine, where libm log would differ in final ulps.
+
+    Scale shape: tf (doc,term) agg and df (term) agg both shuffle on
+    the term/doc keys once; the scored join is term-keyed; the top-3
+    bound pushes into the shuffle as WindowGroupLimit.
+    """
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).documents
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("t").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = tok.agg(F.count_distinct("doc_id").alias("n"))
+    scored = (
+        tf.join(df, "t")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round((F.col("tf") * F.col("n")).cast("double") / F.col("df"), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "t")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", F.col("t").alias("term"), "score")
+    )
