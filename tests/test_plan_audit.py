@@ -154,3 +154,16 @@ def test_hypertable_rollup_reuses_hourly_exchange(spark):
     df.collect()  # AQE finalizes reuse at runtime
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in final
+
+
+def test_tfidf_topk_bounded_in_shuffle(spark):
+    """The per-doc top-3 must push into the shuffle as WindowGroupLimit
+    (rank bound applied before full per-group sort materialization),
+    and the corpus joins must stay equality joins."""
+    plan = _plan(spark, "text_tfidf_topterms")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_commonness_score_no_cartesian(spark):
+    assert "CartesianProduct" not in _plan(spark, "text_commonness_score")
