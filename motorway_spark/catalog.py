@@ -34,6 +34,36 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a proper TIMESTAMP whatever parquet
+    flavor the fixture was written with. The driver has regenerated the
+    fixtures across rounds with different physical types, so the engine
+    detects the read dtype instead of assuming one:
+
+    - ``bigint`` — parquet TIMESTAMP(NANOS) read under the
+      ``nanosAsLong`` legacy conf: truncate to microseconds with exact
+      integer division (DuckDB's ns→µs truncation, bit-for-bit; float
+      division would round up ~half the time) and convert.
+    - ``timestamp_ntz`` — parquet TIMESTAMP_NTZ(MICROS): cast to
+      TIMESTAMP. The session timezone is pinned to UTC (Catalog
+      __init__), so the wall-clock values are preserved as UTC instants
+      and epoch arithmetic (``unix_micros`` — which rejects NTZ input)
+      works downstream.
+    - ``timestamp`` — already the target type; no-op.
+
+    Shared by BOTH the batch catalog and the streaming runner so batch
+    and stream plans see identical values and types for the same fixture.
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 class Catalog:
     """Lazy per-table DataFrame accessor rooted at one scale-factor dir."""
 
@@ -52,17 +82,14 @@ class Catalog:
         return self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
 
     def _events(self) -> DataFrame:
-        """events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long (legacy
-        conf, runtime-settable) and truncate to microseconds with exact
-        integer division — matching DuckDB's ns→µs truncation bit-for-bit
-        (float division would round up ~half the time)."""
-        from pyspark.sql import functions as F
-
+        """Events with ``ts`` normalized to TIMESTAMP regardless of the
+        fixture's parquet flavor (see :func:`normalize_events_ts`). The
+        ``nanosAsLong`` conf is set unconditionally — it only affects
+        TIMESTAMP(NANOS) files (which Spark's reader otherwise rejects
+        with [PARQUET_TYPE_ILLEGAL]) and is a no-op for µs flavors."""
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = self.spark.read.parquet(f"{self.sf_dir}/events.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_events_ts(df)
         return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
 
     def __getattr__(self, name: str) -> DataFrame:

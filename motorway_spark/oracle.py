@@ -57,6 +57,29 @@ def _values_equal(a, b) -> bool:
     return a == b or str(a) == str(b)
 
 
+def _dtype_problems(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    """Flag per-column dtype-KIND mismatches (int vs float vs bool vs
+    datetime). The driver's value hash is dtype-sensitive — round 1 lost
+    `pivot_status_by_priority` and round 2 `fn_math` to columns whose
+    VALUES matched but arrived as BIGINT on one engine and DOUBLE on the
+    other (e.g. Spark `floor` → long, DuckDB `floor` → double), which a
+    value-level compare like `25 == 25.0` sails straight through. Skipped
+    when either side is `object` (strings/lists/decimals all land there)
+    or contains nulls (engines promote nullable ints to float64
+    differently — that asymmetry is benign and value-checked anyway)."""
+    problems: list[str] = []
+    for col in spark_pdf.columns:
+        a, b = spark_pdf[col], oracle_pdf[col]
+        ka = "i" if a.dtype.kind == "u" else a.dtype.kind
+        kb = "i" if b.dtype.kind == "u" else b.dtype.kind
+        if "O" in (ka, kb) or ka == kb:
+            continue
+        if a.isna().any() or b.isna().any():
+            continue
+        problems.append(f"dtype[{col}]: spark={a.dtype} oracle={b.dtype}")
+    return problems
+
+
 def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     problems: list[str] = []
     if len(spark_pdf) != len(oracle_pdf):
@@ -65,6 +88,7 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
     if sc != oc:
         problems.append(f"columns: spark={sc} oracle={oc}")
         return problems
+    problems.extend(_dtype_problems(spark_pdf, oracle_pdf))
     if problems:
         return problems
     a, b = _canon(spark_pdf), _canon(oracle_pdf)

@@ -168,15 +168,15 @@ def fn_datetime_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            ROUND(l_extendedprice, 1) AS price_r1,
-           floor(l_extendedprice) AS price_floor,
-           ceil(l_extendedprice) AS price_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
            abs(l_discount - 0.05) AS disc_dev,
            sqrt(l_quantity) AS qty_sqrt,
            ROUND(pow(l_quantity, 1.5), 6) AS qty_pow,
            ROUND(ln(l_extendedprice), 8) AS price_ln,
            ROUND(exp(l_discount), 8) AS disc_exp,
            ROUND(log10(l_extendedprice), 8) AS price_log10,
-           sign(l_discount - 0.05) AS disc_sign,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
            mod(l_orderkey, 7) AS key_mod,
            greatest(l_quantity, 25.0) AS qty_hi,
            least(l_tax, 0.04) AS tax_lo

@@ -15,47 +15,50 @@ from __future__ import annotations
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from motorway_spark.catalog import normalize_events_ts
 
 
 def _staging_dir(sf_dir: str) -> str:
     """File-stream sources require a *directory*; the fixtures are bare
     files. Stage a directory with a symlink to events.parquet (read-only
-    fixtures stay untouched)."""
+    fixtures stay untouched). The stage path hashes the full sf_dir so
+    two fixture dirs with the same basename never share (or inherit a
+    stale) symlink."""
+    import hashlib
     import os
 
     sf_dir = sf_dir.rstrip("/")
-    stage = f"/tmp/motorway_stream/{os.path.basename(sf_dir)}/events"
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = f"/tmp/motorway_stream/{os.path.basename(sf_dir)}-{tag}/events"
     os.makedirs(stage, exist_ok=True)
+    target = f"{sf_dir}/events.parquet"
     link = f"{stage}/events.parquet"
+    if os.path.islink(link) and os.readlink(link) != target:
+        os.remove(link)
     if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+        os.symlink(target, link)
     return stage
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events fixture as a streaming DataFrame (ns → µs like the batch
-    catalog, so stream and batch plans see identical values)."""
+    """events fixture as a streaming DataFrame with ``ts`` normalized to
+    TIMESTAMP exactly like the batch catalog (shared
+    :func:`normalize_events_ts`), so stream and batch plans see identical
+    values and types whatever parquet flavor the fixture was written
+    with. Streaming scans can't infer a schema, so the declared schema is
+    taken from a batch read of the same file — that way it tracks the
+    fixture flavor (bigint for nanos-as-long, timestamp_ntz for µs NTZ)
+    instead of hardcoding one."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .load(_staging_dir(sf_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
 
 
 def start_and_drain(start_query, attempts: int = 2):
