@@ -40,4 +40,79 @@ from motorway_spark.queries import joins  # noqa: F401,E402
 from motorway_spark.queries import relational  # noqa: F401,E402
 from motorway_spark.queries import windows  # noqa: F401,E402
 
+# Explicit sweep priority (round 3). The driver's per-round correctness
+# budget is ~50 queries, taken in registration order, so module import
+# order alone no longer expresses the right priority: after two rounds,
+# 35 queries have never had a driver CORRECTNESS row and 4 recorded a
+# failure whose fix is in code but unverified. Those sweep FIRST, in
+# this order; everything already driver-green keeps its relative order
+# after them.
+_SWEEP_PRIORITY = [
+    # -- never driver-verified (r1+r2): the whole streaming family --
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_dedup",
+    "stream_filter_route",
+    "stream_stateful_user_totals",
+    "stream_stateful_user_totals_tws",
+    "stream_static_enrich",
+    "stream_kafka_topic_agg",
+    "stream_stream_join",
+    "stream_topk_heavy_hitters",
+    "stream_scd2_current",
+    # -- never verified: non-parquet scans --
+    "scan_csv",
+    "scan_json",
+    "scan_orc",
+    "scan_csv_corrupt",
+    # -- never verified: set-op variants --
+    "set_intersect_all",
+    "set_except_all",
+    "distinct_rows",
+    "drop_duplicates_subset",
+    # -- never verified: TPC-H subquery shapes --
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q16_parts_supplier",
+    "q17_small_quantity",
+    "q20_dominant_supplier",
+    "q21_waiting_supplier",
+    # -- never verified: SQL-surface + skew + agg/fn stragglers --
+    "sql_api_recursive_cte",
+    "sql_api_lateral_topn",
+    "join_salted_skew",
+    "agg_grouping_sets",
+    "agg_percentile_approx",
+    "fn_null_semantics",
+    "fn_bitwise",
+    "fn_url",
+    # -- recorded FAIL/ERR with the fix in code: must re-verify --
+    "sessionize_native",
+    "fn_math",
+    "pivot_status_by_priority",
+    "asof_join",
+    # -- formerly-vacuous date windows, now non-empty: re-confirm --
+    "q5_local_supplier",
+    "q9_profit",
+    "q10_returned_items",
+    "q12_shipmode_buckets",
+    "q22_acctbal_subquery",
+]
+
+
+def _reorder_for_sweep() -> None:
+    ordered = {n: QUERIES[n] for n in _SWEEP_PRIORITY if n in QUERIES}
+    for name, fn in QUERIES.items():
+        ordered.setdefault(name, fn)
+    QUERIES.clear()
+    QUERIES.update(ordered)
+    oracles = {n: ORACLES[n] for n in ordered if n in ORACLES}
+    ORACLES.clear()
+    ORACLES.update(oracles)
+
+
+_reorder_for_sweep()
+
 __all__ = ["QUERIES", "ORACLES", "query", "get_queries", "get_oracles"]
