@@ -8,7 +8,14 @@ as an idempotent MERGE.
 """
 
 from motorway_spark.sinks.kafka import KafkaLogSink
+from motorway_spark.sinks.kinesis import KinesisPutRecordsSink, MockKinesisStream
 from motorway_spark.sinks.spool import SpoolDirSink
 from motorway_spark.sinks.upsert import UpsertParquetSink
 
-__all__ = ["UpsertParquetSink", "KafkaLogSink", "SpoolDirSink"]
+__all__ = [
+    "UpsertParquetSink",
+    "KafkaLogSink",
+    "KinesisPutRecordsSink",
+    "MockKinesisStream",
+    "SpoolDirSink",
+]

@@ -10,6 +10,7 @@ from replayable offsets + checkpoint instead of at-least-once ack trees).
 
 from motorway_spark.sources.generator import SentenceSource, SENTENCES, register_sources
 from motorway_spark.sources.kafka import KafkaLogSource, OffsetTracker
+from motorway_spark.sources.longpoll import LongPollChannel, LongPollSource
 from motorway_spark.sources.pagedapi import PagedApiSource
 from motorway_spark.sources.spool import SpoolDirSource
 
@@ -17,6 +18,8 @@ __all__ = [
     "SentenceSource",
     "SpoolDirSource",
     "KafkaLogSource",
+    "LongPollChannel",
+    "LongPollSource",
     "PagedApiSource",
     "OffsetTracker",
     "SENTENCES",

@@ -114,6 +114,7 @@ class SentenceSource(DataSource):
 def register_sources(spark) -> None:
     """Register all custom sources on a session (idempotent)."""
     from motorway_spark.sources.kafka import KafkaLogSource
+    from motorway_spark.sources.longpoll import LongPollSource
     from motorway_spark.sources.pagedapi import PagedApiSource
     from motorway_spark.sources.spool import SpoolDirSource
 
@@ -121,3 +122,4 @@ def register_sources(spark) -> None:
     spark.dataSource.register(SpoolDirSource)
     spark.dataSource.register(KafkaLogSource)
     spark.dataSource.register(PagedApiSource)
+    spark.dataSource.register(LongPollSource)
