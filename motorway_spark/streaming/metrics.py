@@ -56,12 +56,14 @@ class MetricsListener(StreamingQueryListener):
 
     def __init__(self):
         self.progress: list[dict] = []
+        self.failed_messages: list[tuple[str, str, str]] = []  # (ts, query, error)
         self.totals: dict[str, dict] = defaultdict(
             lambda: {
                 "status": "running",
                 "batches": 0,
                 "rows": 0,
                 "errors": 0,
+                "waiting": 0,
                 "duration_ms_total": 0,
                 "frequency": defaultdict(int),  # duration_ms -> count
                 "histogram": {m: _empty_minute() for m in range(60)},
@@ -92,6 +94,16 @@ class MetricsListener(StreamingQueryListener):
         totals["rows"] += rows
         totals["duration_ms_total"] += duration_ms
         totals["frequency"][duration_ms] += 1
+        # "waiting" = source backlog, the reference's queue depth
+        # (controller.py:48: messages routed but not yet processed).
+        # Spark surfaces it as offsets-behind-latest in source metrics
+        # (the kafka source's maxOffsetsBehindLatest); absent → 0.
+        totals["waiting"] = int(
+            sum(
+                float((src.get("metrics") or {}).get("maxOffsetsBehindLatest") or 0)
+                for src in (p.get("sources") or [])
+            )
+        )
         minute = datetime.datetime.now().minute
         totals["histogram"][minute]["success_count"] += 1
         totals["histogram"][minute]["processed_count"] += rows
@@ -105,16 +117,41 @@ class MetricsListener(StreamingQueryListener):
             totals["errors"] += 1
             totals["status"] = "failed"
             totals["histogram"][datetime.datetime.now().minute]["error_count"] += 1
+            # keep the recent-failures ring the detail view serves
+            # (webserver.py:61-62 shows the last 20 per process)
+            self.failed_messages.append(
+                (
+                    datetime.datetime.now().isoformat(),
+                    str(event.id),
+                    str(event.exception),
+                )
+            )
+            del self.failed_messages[:-200]
 
     # controller-style views -------------------------------------------
     def status(self) -> dict[str, dict]:
         """Per-query stats in the reference's process-statistics shape
-        (controller.py:43-60): counters + avg + p95 + histogram."""
+        (controller.py:43-60): counters + avg + p95 + histogram, plus the
+        webserver's derived ``state`` (webserver.py:113-120): available →
+        busy when there is backlog, overloaded when the backlog exceeds
+        what the process got through in the trailing 3 minutes."""
         out = {}
+        now_minute = datetime.datetime.now().minute
         for name, t in self.totals.items():
             batches = t["batches"]
+            state = "available"
+            if t["waiting"] > 0:
+                state = "busy"
+                recent = sum(
+                    t["histogram"][(now_minute - i) % 60]["processed_count"]
+                    for i in range(3)
+                )
+                if t["waiting"] > recent:
+                    state = "overloaded"
             out[name] = {
                 "status": t["status"],
+                "state": state,
+                "waiting": t["waiting"],
                 "success": batches - t["errors"],
                 "failed": t["errors"],
                 "processed": t["rows"],
@@ -129,6 +166,40 @@ class MetricsListener(StreamingQueryListener):
             }
         return out
 
+    @staticmethod
+    def _group_of(name: str) -> str:
+        """Reference grouping key: process name up to the first dash
+        (webserver.py:122 ``process_id_to_name[pid].split('-')[0]``);
+        underscore also accepted since query names here use it."""
+        return name.split("-")[0].split("_")[0]
+
+    def grouped_status(self) -> dict[str, dict]:
+        """Queries grouped by name prefix with the reference's group
+        rollups (webserver.py:122-147): per-group waiting sum, summed
+        60-slot histogram, total frequency (min 1 — the reference's
+        division guard), and avg time per message per process."""
+        status = self.status()
+        groups: dict[str, dict] = {}
+        for name, stats in status.items():
+            groups.setdefault(self._group_of(name), {"processes": {}})[
+                "processes"
+            ][name] = stats
+        for group in groups.values():
+            procs = group["processes"].values()
+            group["waiting"] = sum(p["waiting"] for p in procs)
+            group["histogram"] = {m: _empty_minute() for m in range(60)}
+            time_taken_ms = 0.0
+            for p in procs:
+                time_taken_ms += p["avg_time_taken_ms"] * p["batches"]
+                for m, bucket in p["histogram"].items():
+                    for key, val in bucket.items():
+                        group["histogram"][m][key] += val
+            group["frequency"] = sum(p["total_frequency"] for p in procs) or 1
+            group["avg_time_taken_ms"] = (
+                time_taken_ms / group["frequency"] / len(procs) if procs else 0.0
+            )
+        return groups
+
     def api_status(self) -> dict:
         """The ``/api/status/`` payload (webserver.py:66-73): grouped
         process statistics + the trailing-minutes histogram slice."""
@@ -141,7 +212,30 @@ class MetricsListener(StreamingQueryListener):
             }
             for name, stats in status.items()
         }
-        return {"groups": status, "last_minutes": last_minutes}
+        return {"groups": self.grouped_status(), "last_minutes": last_minutes}
+
+    def api_detail(self, process: str) -> dict | None:
+        """The per-process detail view (webserver.py:53-64): the
+        process's stats, its most recent progress events (the stand-in
+        for messages-being-processed — Spark has no per-record inflight
+        registry, the live batch IS the in-flight unit), and its last
+        ≤20 failures, newest first."""
+        status = self.status()
+        if process not in status:
+            return None
+        return {
+            "process": process,
+            "process_stats": status[process],
+            "messages_being_processed": [
+                p for p in self.progress if p["query"] == process
+            ][-5:],
+            "failed_messages": [
+                {"timestamp": ts, "process": q, "error": err}
+                for ts, q, err in reversed(
+                    [f for f in self.failed_messages if f[1] == process][-20:]
+                )
+            ],
+        }
 
     def progress_df(self, spark: SparkSession) -> DataFrame:
         schema = (
@@ -168,17 +262,28 @@ class StatusServer:
         metrics = listener
 
         class _Handler(http.server.BaseHTTPRequestHandler):
+            def _json(self, payload) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.end_headers()
+                self.wfile.write(body)
+
             def do_GET(self):  # noqa: N802 (stdlib contract)
-                if self.path.rstrip("/") == "/api/status":
-                    body = json.dumps(metrics.api_status()).encode()
-                    self.send_response(200)
-                    self.send_header("Content-Type", "application/json")
-                    self.send_header("Access-Control-Allow-Origin", "*")
-                    self.end_headers()
-                    self.wfile.write(body)
-                else:
-                    self.send_response(404)
-                    self.end_headers()
+                path = self.path.rstrip("/")
+                if path == "/api/status":
+                    self._json(metrics.api_status())
+                    return
+                # /api/detail/<process>/ — per-process drill-down
+                # (webserver.py:53-64 detail view, JSON-only here)
+                if path.startswith("/api/detail/"):
+                    detail = metrics.api_detail(path.removeprefix("/api/detail/"))
+                    if detail is not None:
+                        self._json(detail)
+                        return
+                self.send_response(404)
+                self.end_headers()
 
             def log_message(self, *args):  # silence per-request stderr
                 pass

@@ -204,7 +204,12 @@ def test_metrics_controller_stats_parity(spark):
 
         payload = listener.api_status()
         assert set(payload.keys()) == {"groups", "last_minutes"}
-        assert name in payload["groups"]
+        # groups key = name prefix (webserver.py:122); the query's stats
+        # sit under the group's processes map with group-level rollups
+        group = payload["groups"]["ms"]
+        assert name in group["processes"]
+        assert group["waiting"] == 0
+        assert group["frequency"] >= 1
         assert len(payload["last_minutes"][name]) == 5
     finally:
         spark.streams.removeListener(listener)
@@ -237,21 +242,72 @@ def test_status_server_serves_api_status(spark):
         ) as resp:
             assert resp.status == 200
             payload = _json.loads(resp.read())
-        assert payload["groups"]["q1"]["processed"] == 7
-        assert payload["groups"]["q1"]["95_percentile_ms"] == 12
+        q1 = payload["groups"]["q1"]["processes"]["q1"]
+        assert q1["processed"] == 7
+        assert q1["95_percentile_ms"] == 12
+        assert q1["state"] == "available"  # no backlog reported
         assert "last_minutes" in payload
-        # non-API paths 404
+
+        # per-process detail view (webserver.py:53-64)
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/api/detail/q1/", timeout=10
+        ) as resp:
+            detail = _json.loads(resp.read())
+        assert detail["process_stats"]["processed"] == 7
+        assert detail["messages_being_processed"][-1]["num_input_rows"] == 7
+        assert detail["failed_messages"] == []
+
+        # non-API paths and unknown processes 404
         import urllib.error
 
-        try:
-            urllib.request.urlopen(
-                f"http://127.0.0.1:{server.port}/nope", timeout=10
-            )
-            raise AssertionError("expected 404")
-        except urllib.error.HTTPError as err:
-            assert err.code == 404
+        for bad in ("/nope", "/api/detail/ghost/"):
+            try:
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{server.port}{bad}", timeout=10
+                )
+                raise AssertionError("expected 404")
+            except urllib.error.HTTPError as err:
+                assert err.code == 404
     finally:
         server.stop()
+
+
+def test_busy_and_overloaded_states():
+    """webserver.py:113-120 state machine: waiting>0 → busy; waiting
+    beyond the trailing-3-minute processed throughput → overloaded."""
+    import json as _json
+
+    def progress_event(waiting, rows):
+        class _P:
+            json = _json.dumps(
+                {
+                    "name": "etl-1",
+                    "batchId": 0,
+                    "numInputRows": rows,
+                    "durationMs": {"triggerExecution": 5},
+                    "sources": [
+                        {"metrics": {"maxOffsetsBehindLatest": str(waiting)}}
+                    ],
+                }
+            )
+
+        class _E:
+            progress = _P()
+
+        return _E()
+
+    listener = MetricsListener()
+    listener.onQueryProgress(progress_event(waiting=0, rows=100))
+    assert listener.status()["etl-1"]["state"] == "available"
+    # backlog present but smaller than recent throughput → busy
+    listener.onQueryProgress(progress_event(waiting=50, rows=100))
+    assert listener.status()["etl-1"]["state"] == "busy"
+    # backlog exceeds everything processed recently → overloaded
+    listener.onQueryProgress(progress_event(waiting=10_000, rows=10))
+    assert listener.status()["etl-1"]["state"] == "overloaded"
+    # grouping key: name up to the first dash (webserver.py:122)
+    assert "etl" in listener.grouped_status()
+    assert listener.grouped_status()["etl"]["waiting"] == 10_000
 
 
 def test_observe_metrics(spark):
