@@ -30,3 +30,34 @@ def batch_process(wait: float = 5, limit: int = 100):
         return method
 
     return inner
+
+
+def post_error_to_sentry(client):
+    """Error-reporting decorator (/root/reference/motorway/
+    decorators.py:14-31). In the reference this API is dead: it sets the
+    ``post_error_to_sentry`` attribute that nothing reads, and the
+    capture-and-reraise body is commented out. This twin keeps the
+    attribute contract AND implements what that body intended: report
+    the exception to the client, then re-raise so the failure semantics
+    (message fail → source retry; here: task fail → Spark retry /
+    batch replay) are unchanged. ``client`` is anything with a
+    ``captureException()`` method — the raven/sentry-SDK surface."""
+
+    def inner(method):
+        import functools
+
+        @functools.wraps(method)
+        def wrapper(*args, **kwargs):
+            try:
+                return method(*args, **kwargs)
+            except Exception:
+                try:
+                    client.captureException()
+                except Exception:  # reporting must never mask the error
+                    pass
+                raise
+
+        wrapper.post_error_to_sentry = True
+        return wrapper
+
+    return inner

@@ -180,3 +180,45 @@ def test_run_passes_trigger_to_writers(spark):
     (n,) = pipe.run(trigger={"availableNow": True})
     assert n == 1
     assert seen["trigger"] == {"availableNow": True}
+
+
+def test_post_error_to_sentry_decorator():
+    """Reference decorators.py:14-31 twin: the attribute contract is
+    kept, the (dead-in-reference) capture-and-reraise body works, and a
+    broken reporting client never masks the original error."""
+    from motorway_spark.decorators import post_error_to_sentry
+
+    class Client:
+        def __init__(self):
+            self.captured = 0
+
+        def captureException(self):  # noqa: N802 (raven SDK surface)
+            self.captured += 1
+
+    client = Client()
+
+    @post_error_to_sentry(client)
+    def work(x):
+        if x < 0:
+            raise ValueError("negative")
+        return x * 2
+
+    assert work.post_error_to_sentry is True  # reference attribute
+    assert work(3) == 6
+    assert client.captured == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="negative"):
+        work(-1)
+    assert client.captured == 1
+
+    class BrokenClient:
+        def captureException(self):  # noqa: N802
+            raise RuntimeError("sentry down")
+
+    @post_error_to_sentry(BrokenClient())
+    def work2():
+        raise ValueError("original")
+
+    with _pytest.raises(ValueError, match="original"):
+        work2()  # reporting failure must not replace the real error
