@@ -97,9 +97,13 @@ class Catalog:
             return self.table(name)
         raise AttributeError(name)
 
-    def register_temp_views(self) -> None:
-        """Register every table as a temp view for spark.sql queries."""
-        for name in TABLES:
+    def register_temp_views(self, only: tuple[str, ...] | None = None) -> None:
+        """Register tables as temp views for spark.sql queries. Pass
+        ``only`` with the tables a query actually references: each
+        registration is a driver-side parquet-footer read (plus the
+        events flavor probe), so registering all 10 for a one-table
+        query is measurable per-call overhead."""
+        for name in only if only is not None else TABLES:
             self.table(name).createOrReplaceTempView(name)
 
 

@@ -80,21 +80,36 @@ def _oracle_profile() -> str:
 
 @query("profile_columns", oracle=_oracle_profile())
 def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-scan column profiler over orders: per column, row/null/
-    distinct counts and min/max rendered as strings. All statistics are
-    one wide codegen'd aggregate (1 row), unpivoted via ``stack`` —
-    the per-column UNION the oracle runs would be N scans at 100 TB."""
+    """Column profiler over orders: per column, row/null/distinct counts
+    and min/max rendered as strings, unpivoted via ``stack`` to one row
+    per column — vs the oracle's N-scans-per-table UNION.
+
+    Plan shape (measured, sf0.1): ONE aggregate mixing the six exact
+    ``count_distinct`` with the plain aggs forces the
+    RewriteDistinctAggregates Expand — every input row becomes 7
+    null-padded copies carrying all plain-agg buffers, 2.7 s vs the
+    split below at 0.79 s (3.4x). So the wide row is built from TWO
+    single-purpose 1-row aggregates cross-joined: the distinct pass
+    (Expand over just the group keys, no extra buffers) and the
+    plain count/min/max pass (pure codegen). Both feed from their own
+    FileScan stage with no dependency between them, so a cluster runs
+    them concurrently — wall-clock ~ one scan when capacity allows, and
+    still 3x fewer scans than the oracle shape at 100 TB."""
     orders = Catalog(spark, sf_dir).orders
-    aggs = []
+    distinct_aggs = [
+        F.count_distinct(col).alias(f"{col}__distinct") for col, _ in _ORDER_COLS
+    ]
+    plain_aggs = []
     for col, kind in _ORDER_COLS:
-        aggs += [
+        plain_aggs += [
             F.count(F.lit(1)).alias(f"{col}__rows"),
             (F.count(F.lit(1)) - F.count(col)).alias(f"{col}__nulls"),
-            F.count_distinct(col).alias(f"{col}__distinct"),
             F.expr(_render(kind, f"MIN({col})")).alias(f"{col}__min"),
             F.expr(_render(kind, f"MAX({col})")).alias(f"{col}__max"),
         ]
-    wide = orders.agg(*aggs)
+    # both sides are exactly one row: the cross join is a no-shuffle
+    # broadcast of a single row, not a data-sized cartesian
+    wide = orders.agg(*distinct_aggs).crossJoin(orders.agg(*plain_aggs))
     stack_args = ", ".join(
         f"'{col}', {col}__rows, {col}__nulls, {col}__distinct, {col}__min, {col}__max"
         for col, _ in _ORDER_COLS

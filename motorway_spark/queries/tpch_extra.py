@@ -257,7 +257,9 @@ def sql_api_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape via the spark.sql STRING interface over temp
     views — declares the SQL API as a first-class engine surface (same
     Catalyst plans as the DataFrame API)."""
-    Catalog(spark, sf_dir).register_temp_views()
+    Catalog(spark, sf_dir).register_temp_views(
+        only=("supplier", "lineitem", "orders", "customer", "nation")
+    )
     return spark.sql(
         """
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -803,7 +805,7 @@ def sql_api_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     The recursion is driver-cheap (36 iterations over one row each);
     the join against the fact table is one ordinary hash join.
     """
-    Catalog(spark, sf_dir).register_temp_views()
+    Catalog(spark, sf_dir).register_temp_views(only=("orders",))
     return spark.sql(
         """
         WITH RECURSIVE m(mo) AS (
@@ -839,7 +841,7 @@ def sql_api_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-rank join (DecorrelateInnerQuery), so execution is the
     topk_per_group shape — no per-customer re-execution at scale.
     """
-    Catalog(spark, sf_dir).register_temp_views()
+    Catalog(spark, sf_dir).register_temp_views(only=("customer", "orders"))
     return spark.sql(
         """
         SELECT c.c_custkey, l.o_orderkey, l.o_totalprice

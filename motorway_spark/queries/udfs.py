@@ -139,7 +139,7 @@ def udtf_char_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield ch, n
 
     spark.udtf.register("first_letter_hist", FirstLetterHistogram)
-    Catalog(spark, sf_dir).register_temp_views()
+    Catalog(spark, sf_dir).register_temp_views(only=("documents",))
     return spark.sql(
         """
         SELECT d.doc_id, h.ch, h.n

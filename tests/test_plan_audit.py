@@ -134,14 +134,24 @@ def test_heavy_hitters_broadcast_semi_recount(spark):
     assert "LeftSemi" in plan
 
 
-def test_profile_columns_single_scan(spark):
-    """All per-column statistics must come from ONE scan of orders
-    (wide aggregate + stack), not a scan per column."""
+def test_profile_columns_two_independent_scans_no_expand_mix(spark):
+    """The profiler must be TWO single-purpose scans (distinct pass +
+    plain count/min/max pass, independent stages a cluster overlaps) —
+    not a scan per column (the oracle's 6), and not ONE aggregate
+    mixing distinct with plain aggs, whose RewriteDistinctAggregates
+    Expand septuples the rows through the aggregate (measured 3.4x
+    slower at sf0.1). The join of the two 1-row sides must stay a
+    nested-loop over single rows, never a data-sized cartesian."""
     from motorway_spark.queries import QUERIES
 
     df = QUERIES["profile_columns"](spark, SF)
     simple = df._jdf.queryExecution().executedPlan().toString()
-    assert simple.count("FileScan parquet") == 1
+    assert simple.count("FileScan parquet") == 2
+    # the distinct pass's Expand must carry only the group keys: no
+    # plain-agg buffers mixed in (min/max of the data columns)
+    expands = [l for l in simple.splitlines() if "Expand" in l]
+    assert expands and all("min(" not in l and "max(" not in l for l in expands)
+    assert "CartesianProduct" not in simple
 
 
 def test_hypertable_rollup_reuses_hourly_exchange(spark):
