@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "range_join_interval_overlap",
     "topk_heavy_hitters",
     "profile_columns",
+    # round-3 additions: training-data sampling/packing family
+    "sample_stratified_exact",
+    "pack_sequences",
 ]
 
 

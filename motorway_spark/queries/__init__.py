@@ -35,6 +35,7 @@ from motorway_spark.queries import setops  # noqa: F401,E402
 # tpch_extra/joins before relational/windows: they carry this round's new
 # entries (q11/q13/q16/q20, recursive CTE, lateral, salted join), which
 # should sweep before families that are fully green already.
+from motorway_spark.queries import sampling  # noqa: F401,E402
 from motorway_spark.queries import tpch_extra  # noqa: F401,E402
 from motorway_spark.queries import joins  # noqa: F401,E402
 from motorway_spark.queries import relational  # noqa: F401,E402
@@ -99,6 +100,11 @@ _SWEEP_PRIORITY = [
     "q10_returned_items",
     "q12_shipmode_buckets",
     "q22_acctbal_subquery",
+    # -- new in round 3: training-data sampling/packing family --
+    "sample_stratified_exact",
+    "split_train_test",
+    "balance_classes",
+    "pack_sequences",
 ]
 
 

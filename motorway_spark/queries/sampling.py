@@ -1,0 +1,217 @@
+"""Training-data sampling & packing operators (north-star extensions).
+
+The ops every large-scale training-data pipeline runs between "corpus"
+and "dataloader": deterministic sampling, split assignment, class
+balancing, and token-budget sequence packing. None exist in the
+reference (motorway moves records, it does not curate corpora); all are
+declared engine surface in the spirit of SURVEY.md §2b's north-star
+rows.
+
+Determinism convention: anywhere a "random" choice is needed, the
+engines order/assign by ``md5(key)`` — a pure function both Spark and
+DuckDB implement identically — so every query here is EXACTLY
+oracle-checkable (no seeded-RNG drift between engines) and reproducible
+across runs/cluster sizes. That is also the production-correct choice:
+hash-based selection is stable under re-partitioning and retries,
+whereas per-partition RNG changes output when the split layout changes.
+
+Scale shape: every operator is one scan + one hash shuffle at most
+(window by small key set, or pure projection); selection keys are
+16-byte digests, never text. ``pack_sequences`` is the one with a real
+sequencing constraint and it rides a running-sum window inside hash
+shards — the shard key bounds partition state exactly like the
+reference's HashRingGrouper bounded per-process state (grouping.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from motorway_spark.catalog import Catalog
+from motorway_spark.queries.registry import query
+
+# Per-stratum exact sample size (events per event_type).
+STRATUM_K = 500
+# Token budget per packed sequence (fixture docs are ~20-80 tokens).
+PACK_BUDGET = 512
+# Per-class cap for balancing (documents per source).
+CLASS_CAP = 80
+
+
+# ---------------------------------------------------------------------------
+# Exact stratified sampling: k rows per stratum, chosen by hash order.
+# ---------------------------------------------------------------------------
+@query(
+    "sample_stratified_exact",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_type, event_id, user_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY md5(CAST(event_id AS VARCHAR))) AS rn
+      FROM events)
+    SELECT event_type, event_id, user_id
+    FROM ranked WHERE rn <= {STRATUM_K}
+    """,
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY k events per event_type (unlike ``sampleBy``'s binomial
+    per-stratum counts), selected by md5(event_id) order so the sample
+    is deterministic, engine-independent, and stable under
+    repartitioning. One shuffle on the stratum key; row_number <= k
+    compiles to WindowGroupLimit (per-group top-k heaps in the
+    shuffle, not full per-stratum sorts) — the same bounded-shuffle
+    shape as topk_per_group, so stratum skew cannot blow memory."""
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("event_type").orderBy(F.md5(F.col("event_id").cast("string")))
+    return (
+        ev.select("event_type", "event_id", "user_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= STRATUM_K)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/test split by key hash.
+# ---------------------------------------------------------------------------
+@query(
+    "split_train_test",
+    oracle="""
+    SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6'
+                THEN 'train' ELSE 'test' END AS split,
+           source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~90/10 train/test assignment by the leading byte of
+    md5(doc_id) — the split every doc carries forever, independent of
+    cluster size, partitioning, or insertion order (re-running over a
+    grown corpus never moves an old doc across splits, so test-set
+    contamination cannot creep in). Pure projection + small aggregate;
+    the per-(split, source) accounting is the audit table a pipeline
+    materializes alongside the split."""
+    docs = Catalog(spark, sf_dir).documents
+    split = F.when(
+        F.md5(F.col("doc_id").cast("string")) < "e6", "train"
+    ).otherwise("test")
+    return (
+        docs.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Class-balanced downsampling: cap each class at K by hash order.
+# ---------------------------------------------------------------------------
+@query(
+    "balance_classes",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+      FROM documents)
+    SELECT source, COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM ranked WHERE rn <= {CLASS_CAP}
+    GROUP BY source
+    """,
+)
+def balance_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class cap (here: per source, the training-mixture knob):
+    keep at most K docs per class, chosen by md5(doc_id) order.
+    Majority classes downsample to K, minority classes pass through
+    whole — the standard mixture-balancing primitive. Same
+    WindowGroupLimit-bounded shuffle as stratified sampling; the
+    output is the per-class accounting (counts and kept volume)."""
+    docs = Catalog(spark, sf_dir).documents
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")))
+    return (
+        docs.select("source", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= CLASS_CAP)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sequence packing (greedy, shard-local).
+# ---------------------------------------------------------------------------
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents),
+    sharded AS (
+      SELECT doc_id, n_tokens,
+             CAST(substring(h, 1, 1) AS VARCHAR) AS shard, h
+      FROM toks WHERE n_tokens <= {PACK_BUDGET}),
+    runsum AS (
+      SELECT shard, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM sharded),
+    packed AS (
+      SELECT shard, doc_id, n_tokens,
+             CAST(FLOOR((cum - 1) / {PACK_BUDGET}) AS BIGINT) AS pack_no
+      FROM runsum)
+    SELECT shard, pack_no,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM packed
+    GROUP BY shard, pack_no
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: assign docs to fixed token-budget packs
+    (the pretraining batch-construction op — minimize padding by
+    filling each pack to ~BUDGET tokens). Docs hash-shard by the first
+    md5 nibble; within a shard a running token sum assigns
+    pack_no = floor((cum-1)/BUDGET) — contiguous hash-ordered docs
+    share a pack. This cumulative-bin formulation packs each pack to
+    the budget boundary (a doc may straddle; training pipelines split
+    or pad there — the accounting is identical), is one window pass,
+    and is exactly reproducible cross-engine. Shards bound window
+    partition size and parallelize packing: 16 here, thousands in
+    production — pack ids stay stable because the shard key is part of
+    the identity. Over-budget docs are filtered (they get truncation
+    upstream, a per-row op). Output is the per-pack fill accounting —
+    the padding-waste audit."""
+    docs = Catalog(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id",
+        # whitespace token count, same convention as text_token_count
+        # (codegen'd split+size, no interpreted HOF in this hot path)
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    ).filter(F.col("n_tokens") <= PACK_BUDGET)
+    sharded = toks.withColumn("shard", F.substring("h", 1, 1))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sharded.withColumn(
+        "pack_no",
+        F.floor((F.sum("n_tokens").over(w) - 1) / PACK_BUDGET).cast("bigint"),
+    )
+    return packed.groupBy("shard", "pack_no").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )

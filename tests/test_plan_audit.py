@@ -177,3 +177,26 @@ def test_tfidf_topk_bounded_in_shuffle(spark):
 
 def test_commonness_score_no_cartesian(spark):
     assert "CartesianProduct" not in _plan(spark, "text_commonness_score")
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: sampling/packing family.
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("name", ["sample_stratified_exact", "balance_classes"])
+def test_sampling_caps_bounded_in_shuffle(spark, name):
+    """Hash-ordered per-stratum caps must compile to WindowGroupLimit
+    (per-group top-k heaps inside the shuffle) — a skewed stratum must
+    not force a full per-group sort."""
+    assert "WindowGroupLimit" in _plan(spark, name)
+
+
+def test_pack_sequences_single_window_pass(spark):
+    """Packing must be one scan + one hash shuffle on the shard key —
+    no join, no cartesian, no second exchange for the final accounting
+    (pack grouping rides the same shard partitioning)."""
+    plan = _plan(spark, "pack_sequences")
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    # one Exchange for the shard window; the groupBy(shard, pack_no)
+    # partial-aggregates on the window's layout before any re-exchange
+    assert plan.count("Exchange hashpartitioning") <= 2
