@@ -59,6 +59,7 @@ _SWEEP_PRIORITY = [
     "stream_stateful_user_totals_tws",
     "stream_static_enrich",
     "stream_kafka_topic_agg",
+    "stream_longpoll_agg",
     "stream_stream_join",
     "stream_topk_heavy_hitters",
     "stream_scd2_current",

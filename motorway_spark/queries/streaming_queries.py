@@ -464,6 +464,70 @@ def stream_kafka_topic_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_longpoll_agg",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def stream_longpoll_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The push-shaped long-poll source (S5 twin, sources/longpoll.py)
+    under the oracle gate: every document is pushed onto a CometD-style
+    channel in server-push batches, the subscriber consumes the wire
+    via its WAL-backed internal buffer, and the stream aggregate must
+    match batch SQL over the original table — proving no pushed event
+    is lost or duplicated across the poll → buffer → partition → commit
+    path (reference SalesforceStreamingObjectRamp contract,
+    contrib/salesforce/ramps.py:13-69).
+
+    A fresh channel per invocation models one push subscription: the
+    subscriber's committed watermark lives in the channel dir, and a
+    long-poll wire cannot be re-read (that is the property under test).
+    """
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from motorway_spark.sources import register_sources
+    from motorway_spark.sources.longpoll import LongPollChannel
+
+    register_sources(spark)
+    chan_dir = f"/tmp/motorway_longpoll/{uuid.uuid4().hex}"
+    chan = LongPollChannel(chan_dir)
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    ).to_pylist()
+    # push in server-sized batches (several polls' worth of events)
+    for i in range(0, len(docs), 500):
+        chan.push(
+            [
+                {"Id": r["doc_id"], "Source": r["source"], "NChars": r["n_chars"]}
+                for r in docs[i : i + 500]
+            ]
+        )
+
+    stream = spark.readStream.format("longpoll").option("path", chan_dir).load()
+    agg = (
+        stream.select(
+            F.get_json_object("payload", "$.Source").alias("source"),
+            F.get_json_object("payload", "$.NChars").cast("long").alias("n_chars"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+    # Python Data Sources don't support AvailableNow — drain with
+    # processAllAvailable (see stream_kafka_topic_agg)
+    return run_stream_to_memory(agg, output_mode="complete", drain="process_all")
+
+
+@query(
     "stream_stream_join",
     oracle="""
     SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
