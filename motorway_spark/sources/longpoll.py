@@ -66,10 +66,16 @@ class LongPollChannel:
         os.makedirs(os.path.join(channel_dir, "consumed"), exist_ok=True)
 
     def push(self, events: list[dict]) -> None:
-        """Producer side (the server pushing to the subscriber)."""
+        """Producer side (the server pushing to the subscriber). File
+        names sort in push order (monotonic clock prefix) — the
+        transport delivers in order, like a CometD event stream."""
+        import time
         import uuid
 
-        path = os.path.join(self.channel_dir, f"push-{uuid.uuid4().hex}.json")
+        path = os.path.join(
+            self.channel_dir,
+            f"push-{time.monotonic_ns():020d}-{uuid.uuid4().hex[:6]}.json",
+        )
         tmp = f"{path}.tmp"
         with open(tmp, "w") as fh:
             json.dump(events, fh)
