@@ -106,6 +106,7 @@ _SWEEP_PRIORITY = [
     "split_train_test",
     "balance_classes",
     "pack_sequences",
+    "dedup_minhash_capped",
 ]
 
 

@@ -339,7 +339,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches bit-for-bit; the production form at 100 TB passes
     ``band_candidates(max_bucket_width=…)`` — tests/test_dedup_scale.py.
     """
-    docs = Catalog(spark, sf_dir).documents
+    return _minhash_est_pairs(Catalog(spark, sf_dir).documents)
+
+
+def _minhash_est_pairs(docs: DataFrame, max_bucket_width: int | None = None) -> DataFrame:
+    """Shared body of dedup_minhash / dedup_minhash_capped: signatures →
+    band rows (carrying mh) → optional hot-bucket cap → bucket-equality
+    pair join → estimated Jaccard ≥ 0.375."""
     sig = minhash_signatures(docs)
     # band rows that keep mh (minhash_bands shape + signature payload,
     # built from ONE sig subtree — no self-join back onto sig)
@@ -357,6 +363,17 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket"),
         "mh",
     )
+    if max_bucket_width is not None:
+        # hot-bucket cap (see band_candidates): the hot list is tiny by
+        # construction → broadcast anti-join, candidates bounded by
+        # cap × rows instead of width² per bucket
+        hot = (
+            bands.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_w"))
+            .filter(F.col("_w") > max_bucket_width)
+            .select("band", "bucket")
+        )
+        bands = bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (
@@ -388,6 +405,59 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return est.filter(F.col("est_jaccard") >= 0.375).select(
         "doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+MH_BUCKET_CAP = 16
+
+
+@query(
+    "dedup_minhash_capped",
+    oracle=f"""
+    WITH sig AS MATERIALIZED (
+      SELECT doc_id, {_SQL_MINHASH} AS mh
+      FROM (SELECT doc_id, {_SQL_CHAR_SHINGLES} AS sh FROM documents)
+      WHERE len(sh) > 0),
+    bands AS MATERIALIZED (
+      SELECT doc_id, band,
+             md5(array_to_string(mh[band*4+1 : band*4+4], ',')) AS bucket
+      FROM sig, UNNEST(range(0, {N_BANDS})) AS t(band)),
+    hot AS (
+      SELECT band, bucket FROM bands
+      GROUP BY band, bucket HAVING COUNT(*) > {MH_BUCKET_CAP}),
+    keep AS (
+      SELECT * FROM bands b
+      WHERE NOT EXISTS (SELECT 1 FROM hot h
+                        WHERE h.band = b.band AND h.bucket = b.bucket)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM keep a JOIN keep b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id),
+    est AS (
+      SELECT doc_a, doc_b,
+             CAST(len(list_filter(range(1, {N_MINHASH}+1),
+                  i -> sa.mh[i] = sb.mh[i])) AS DOUBLE) / {N_MINHASH} AS est_jaccard
+      FROM cand
+      JOIN sig sa ON doc_a = sa.doc_id
+      JOIN sig sb ON doc_b = sb.doc_id)
+    SELECT doc_a, doc_b, ROUND(est_jaccard, 6) AS est_jaccard
+    FROM est WHERE est_jaccard >= 0.375
+    """,
+)
+def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE PRODUCTION FORM of MinHash LSH dedup: identical to
+    dedup_minhash plus the hot-bucket cap (width > {cap} buckets are
+    excluded from candidate generation — their members are
+    near-identical boilerplate cliques whose pair count grows
+    quadratically; they belong to dedup_exact). Round-3 measurement on
+    a 10x template-heavy corpus: uncapped candidates 70M/397s, capped
+    1.15M/11.8s (SCALE.md). The cap itself is SQL-expressible (a
+    HAVING + NOT EXISTS over the band rows), so this path is
+    oracle-verified end to end, not just invariant-tested — both
+    engines drop exactly the same buckets and emit exactly the same
+    surviving pairs."""
+    return _minhash_est_pairs(
+        Catalog(spark, sf_dir).documents, max_bucket_width=MH_BUCKET_CAP
     )
 
 
