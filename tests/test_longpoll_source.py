@@ -99,3 +99,39 @@ def test_wal_compacts_on_commit(tmp_path):
     assert sum(1 for _ in open(wal)) == 100
     r.commit(end)
     assert sum(1 for _ in open(wal)) == 0  # bounded by in-flight data
+
+
+def test_longpoll_query_restart_from_checkpoint(spark, tmp_path):
+    """Full StreamingQuery restart: events pushed between runs must be
+    counted exactly once after resuming from the checkpoint — the
+    query-level proof that the WAL + committed-watermark machinery
+    composes with Spark's offset log (the unit tests above prove the
+    reader contract in isolation)."""
+    register_sources(spark)
+    chan_dir = str(tmp_path / "chan_restart")
+    chan = LongPollChannel(chan_dir)
+    chk = str(tmp_path / "chk")
+    out_name = "lp_restart_counts"
+
+    def start_query():
+        stream = spark.readStream.format("longpoll").option("path", chan_dir).load()
+        from pyspark.sql import functions as F
+
+        agg = stream.agg(F.count("*").alias("n"))
+        return (
+            agg.writeStream.format("memory")
+            .queryName(out_name)
+            .outputMode("complete")
+            .option("checkpointLocation", chk)
+            .start()
+        )
+
+    chan.push(_events(0, 6))
+    q = start_and_drain(start_query)
+    q.stop()
+    chan.push(_events(6, 10))  # pushed while the query is DOWN
+    q2 = start_and_drain(start_query)  # fresh reader: commit + WAL resume
+    q2.processAllAvailable()
+    n = spark.table(out_name).collect()[0]["n"]
+    q2.stop()
+    assert n == 10  # every pushed event exactly once across the restart
