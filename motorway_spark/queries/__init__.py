@@ -107,6 +107,7 @@ _SWEEP_PRIORITY = [
     "balance_classes",
     "pack_sequences",
     "dedup_minhash_capped",
+    "embedding_quantize_int8",
 ]
 
 

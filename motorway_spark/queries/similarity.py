@@ -410,3 +410,74 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cell", "cosine", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8 symmetric quantization (vector compression for storage/ANN).
+# ---------------------------------------------------------------------------
+def _quant_terms(accessor) -> tuple[str, str, str, str]:
+    """(scale, checksum, n_saturated, sq_err) SQL fragments, unrolled
+    over the 64 dims. ``accessor(i)`` renders the 1-based element
+    access for the target engine; every arithmetic step is written
+    identically on both sides so doubles stay bit-equal. floor(x+0.5)
+    is explicit half-up rounding — ROUND()'s midpoint rule differs
+    cross-engine (the fn_math/q2 lesson); floor is exact on doubles."""
+    xs = [f"CAST({accessor(i)} AS DOUBLE)" for i in range(1, 65)]
+    scale = "GREATEST(" + ", ".join(f"abs({x})" for x in xs) + ")"
+    def q(x):
+        return f"GREATEST(-127.0, LEAST(127.0, CAST(FLOOR({x} / scale * 127 + 0.5) AS DOUBLE)))"
+    checksum = " + ".join(q(x) for x in xs)
+    n_sat = " + ".join(f"(CASE WHEN abs({q(x)}) = 127.0 THEN 1 ELSE 0 END)" for x in xs)
+    sq_err = " + ".join(
+        f"({x} - {q(x)} * scale / 127) * ({x} - {q(x)} * scale / 127)" for x in xs
+    )
+    return scale, checksum, n_sat, sq_err
+
+
+_O_SCALE, _O_CHECKSUM, _O_NSAT, _O_SQERR = _quant_terms(lambda i: f"embedding[{i}]")
+_S_SCALE, _S_CHECKSUM, _S_NSAT, _S_SQERR = _quant_terms(
+    lambda i: f"element_at(embedding, {i})"
+)
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, embedding, {_O_SCALE} AS scale
+               FROM embeddings)
+    SELECT vec_id, label,
+           ROUND(scale, 8) AS scale_r,
+           CAST({_O_CHECKSUM} AS BIGINT) AS q_checksum,
+           CAST({_O_NSAT} AS BIGINT) AS n_saturated,
+           ROUND(({_O_SQERR}) / 64, 12) AS mse
+    FROM v WHERE scale > 0
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the vector-compression
+    step before storing/serving embeddings at scale (4x smaller than
+    float32, SIMD-friendly dot products): scale = max|x|, q_i =
+    clamp(round_half_up(x_i/scale*127)). Output is the quantization
+    audit per vector (scale, integer checksum of the quantized codes,
+    saturation count, reconstruction MSE) — checksum equality across
+    engines proves both produced IDENTICAL int8 codes, not just close
+    ones.
+
+    Plan shape: one scan, zero shuffle, fully codegen'd — the 64-dim
+    unrolled expressions follow this module's convention (_dot):
+    interpreted HOF folds are ~10x slower, and one F.expr string costs
+    one py4j call. At 100 TB this runs as a pure map over the
+    embedding table; the scale factor rides along for dequantization.
+    """
+    emb = Catalog(spark, sf_dir).embeddings
+    v = emb.select(
+        "vec_id", "label", "embedding", F.expr(_S_SCALE).alias("scale")
+    ).filter(F.col("scale") > 0)
+    return v.select(
+        "vec_id",
+        "label",
+        F.round(F.col("scale"), 8).alias("scale_r"),
+        F.expr(_S_CHECKSUM).cast("bigint").alias("q_checksum"),
+        F.expr(_S_NSAT).cast("bigint").alias("n_saturated"),
+        F.round(F.expr(f"({_S_SQERR}) / 64"), 12).alias("mse"),
+    )
