@@ -268,7 +268,24 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_knn_matmul")  # rows-only: numpy pairwise-sum order differs from SQL folds
+@query(
+    "sim_knn_matmul",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND({_SQL_DOT.format(a='q.embedding', b='c.embedding')}
+                   / ({_SQL_NORM.format(a='q.embedding')}
+                      * {_SQL_NORM.format(a='c.embedding')}), 6) AS cosine
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERIES}),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM pairs)
+    SELECT query_id, neighbor_id, cosine, rn AS rank
+    FROM ranked WHERE rn <= {TOP_K}
+    """,
+)
 def sim_knn_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k, matmul formulation: the bench/scale
     path. Each Arrow batch of corpus vectors becomes one numpy matrix;
@@ -276,9 +293,12 @@ def sim_knn_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole batch; per-batch top-k candidates then reduce to global
     top-k with one narrow shuffle of k·|Q| rows per partition.
 
-    Same results as sim_knn_cosine up to float summation order (numpy
-    uses pairwise/SIMD accumulation — hence rows-only; the exact-order
-    twin IS the oracle-checked query)."""
+    Oracle (upgraded from rows-only in round 3): same SQL twin as
+    sim_knn_cosine. BLAS pairwise/SIMD accumulation differs from the
+    SQL left-fold at ~1e-15 relative error — five orders of magnitude
+    below the 6dp rounding granularity — so the ROUNDED cosines and the
+    (cosine DESC, neighbor_id) ranks are identical across engines;
+    verified at sf0.001/0.01/0.1."""
     import numpy as np
     import pandas as pd
 
