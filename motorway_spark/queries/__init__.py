@@ -108,6 +108,7 @@ _SWEEP_PRIORITY = [
     "pack_sequences",
     "dedup_minhash_capped",
     "embedding_quantize_int8",
+    "pipeline_pretraining_mix",
 ]
 
 

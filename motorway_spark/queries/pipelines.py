@@ -213,3 +213,144 @@ def pipeline_engagement_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("total_events"),
         F.sum("engaged_us").alias("total_engaged_us"),
     )
+
+
+PIPE_QUALITY_FLOOR = 0.65
+PIPE_CLASS_CAP = 10
+PIPE_PACK_BUDGET = 512
+
+
+@query(
+    "pipeline_pretraining_mix",
+    oracle=f"""
+    WITH quality AS MATERIALIZED (
+      WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+      m AS (SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
+                   CAST(len(regexp_extract_all(text, '{_PUNCT_SQL}')) AS DOUBLE)
+                     / length(text) AS punct_ratio,
+                   CAST({_sql_stopword_hits(STOPWORDS['en'])} AS DOUBLE) / len(toks)
+                     AS stop_ratio
+            FROM t)
+      SELECT doc_id,
+             ROUND(0.4 * least(n_tokens / 50.0, 1.0)
+                 + 0.3 * uniq_ratio
+                 + 0.2 * least(stop_ratio * 5, 1.0)
+                 + 0.1 * (1.0 - least(punct_ratio * 10, 1.0)), 6) AS quality_score
+      FROM m),
+    keepfirst AS MATERIALIZED (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents)
+      WHERE rn = 1),
+    surviving AS MATERIALIZED (
+      SELECT d.doc_id, d.source, d.text
+      FROM documents d
+      JOIN quality q USING (doc_id)
+      JOIN keepfirst kf USING (doc_id)
+      WHERE q.quality_score >= {PIPE_QUALITY_FLOOR}),
+    balanced AS MATERIALIZED (
+      SELECT doc_id, source, text FROM (
+        SELECT *, row_number() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+        FROM surviving)
+      WHERE rn <= {PIPE_CLASS_CAP}),
+    assigned AS MATERIALIZED (
+      SELECT doc_id, source,
+             CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6'
+                  THEN 'train' ELSE 'test' END AS split,
+             len(string_split(text, ' ')) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM balanced
+      WHERE len(string_split(text, ' ')) <= {PIPE_PACK_BUDGET}),
+    packed AS (
+      SELECT split, source, doc_id, n_tokens,
+             CAST(substring(h, 1, 1) AS VARCHAR) AS shard,
+             CAST(FLOOR((SUM(n_tokens) OVER (
+                    PARTITION BY split, CAST(substring(h, 1, 1) AS VARCHAR)
+                    ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+                  / {PIPE_PACK_BUDGET}) AS BIGINT) AS pack_no
+      FROM assigned)
+    SELECT split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT shard || '-' || CAST(pack_no AS VARCHAR)) AS BIGINT)
+             AS n_packs,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE)
+                 / (COUNT(DISTINCT shard || '-' || CAST(pack_no AS VARCHAR))
+                    * {PIPE_PACK_BUDGET}.0), 6) AS fill_ratio
+    FROM packed
+    GROUP BY split
+    """,
+)
+def pipeline_pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sampling/packing family composed end to end, the way a
+    pretraining mixture is actually cut: quality floor → exact dedup
+    keep-first → per-source class cap (md5 order) → hash-stable
+    train/test split → token-budget sequence packing per (split,
+    shard) → per-split accounting (docs, tokens, packs, fill ratio).
+    Every stage is an already-oracle-checked operator; this query
+    proves the COMPOSITION (stage order matters: balancing before
+    splitting keeps the mixture identical in both splits; packing
+    after splitting keeps packs split-pure). The oracle replays the
+    whole chain in one DuckDB statement, so wiring errors hash-fail
+    loudly — same contract as pipeline_training_prep.
+
+    Scale shape: one documents scan feeds quality/dedup/balance (all
+    keyed on doc_id/source — shuffles bounded by corpus width), the
+    split is a pure projection, and packing shuffles once on (split,
+    shard) — the shard key bounds window partition state exactly as in
+    pack_sequences."""
+    from motorway_spark.queries.text import text_quality
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).documents
+    quality = text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    keepfirst = dedup_exact_keep_first(spark, sf_dir).select("doc_id")
+    surviving = (
+        docs.join(quality, "doc_id")
+        .join(keepfirst, "doc_id")
+        .filter(F.col("quality_score") >= PIPE_QUALITY_FLOOR)
+        .select("doc_id", "source", "text")
+    )
+    w_bal = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")))
+    balanced = (
+        surviving.withColumn("rn", F.row_number().over(w_bal))
+        .filter(F.col("rn") <= PIPE_CLASS_CAP)
+        .drop("rn")
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    assigned = (
+        balanced.select(
+            "doc_id",
+            "source",
+            F.when(h < "e6", "train").otherwise("test").alias("split"),
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            h.alias("h"),
+        )
+        .filter(F.col("n_tokens") <= PIPE_PACK_BUDGET)
+        .withColumn("shard", F.substring("h", 1, 1))
+    )
+    w_pack = (
+        Window.partitionBy("split", "shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = assigned.withColumn(
+        "pack_no",
+        F.floor((F.sum("n_tokens").over(w_pack) - 1) / PIPE_PACK_BUDGET).cast("bigint"),
+    )
+    pack_key = F.concat_ws("-", "shard", F.col("pack_no").cast("string"))
+    return packed.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.count_distinct(pack_key).alias("n_packs"),
+        F.round(
+            F.sum("n_tokens").cast("double")
+            / (F.count_distinct(pack_key) * float(PIPE_PACK_BUDGET)),
+            6,
+        ).alias("fill_ratio"),
+    )
