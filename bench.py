@@ -52,9 +52,11 @@ BENCH_QUERIES = [
     "range_join_interval_overlap",
     "topk_heavy_hitters",
     "profile_columns",
-    # round-3 additions: training-data sampling/packing family
+    # round-3 additions: training-data sampling/packing family + the
+    # capped (production) LSH dedup path
     "sample_stratified_exact",
     "pack_sequences",
+    "dedup_minhash_capped",
 ]
 
 
