@@ -95,13 +95,8 @@ _SWEEP_PRIORITY = [
     "fn_math",
     "pivot_status_by_priority",
     "asof_join",
-    # -- formerly-vacuous date windows, now non-empty: re-confirm --
-    "q5_local_supplier",
-    "q9_profit",
-    "q10_returned_items",
-    "q12_shipmode_buckets",
-    "q22_acctbal_subquery",
-    # -- new in round 3: training-data sampling/packing family --
+    # -- new in round 3 (never had a driver row): sampling/packing
+    # family, capped LSH, quantization, composite pipeline --
     "sample_stratified_exact",
     "split_train_test",
     "balance_classes",
@@ -109,6 +104,13 @@ _SWEEP_PRIORITY = [
     "dedup_minhash_capped",
     "embedding_quantize_int8",
     "pipeline_pretraining_mix",
+    # -- formerly-vacuous date windows, now non-empty: re-confirm
+    # (already have an r1 row, so these rank behind never-seen work) --
+    "q5_local_supplier",
+    "q9_profit",
+    "q10_returned_items",
+    "q12_shipmode_buckets",
+    "q22_acctbal_subquery",
 ]
 
 
