@@ -200,3 +200,23 @@ def test_pack_sequences_single_window_pass(spark):
     # one Exchange for the shard window; the groupBy(shard, pack_no)
     # partial-aggregates on the window's layout before any re-exchange
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_embedding_quantize_is_pure_map(spark):
+    """Quantization must be one scan with ZERO exchanges — any shuffle
+    in a per-row vector op is a planning bug."""
+    plan = _plan(spark, "embedding_quantize_int8")
+    assert "Exchange" not in plan
+    simple = (
+        QUERIES["embedding_quantize_int8"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert simple.count("FileScan parquet") == 1
+
+
+def test_pipeline_pretraining_mix_no_cartesian(spark):
+    """The composite chain joins only on doc_id/source keys."""
+    plan = _plan(spark, "pipeline_pretraining_mix")
+    assert "CartesianProduct" not in plan
