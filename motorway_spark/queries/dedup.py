@@ -600,9 +600,16 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, band,
              md5(array_to_string(mh[band*4+1 : band*4+4], ',')) AS bucket
       FROM sig, UNNEST(range(0, {N_BANDS})) AS t(band)),
+    hot AS (
+      SELECT band, bucket FROM bands
+      GROUP BY band, bucket HAVING COUNT(*) > {MH_BUCKET_CAP}),
+    keep AS MATERIALIZED (
+      SELECT * FROM bands b
+      WHERE NOT EXISTS (SELECT 1 FROM hot h
+                        WHERE h.band = b.band AND h.bucket = b.bucket)),
     cand AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+      FROM keep a JOIN keep b ON a.band = b.band AND a.bucket = b.bucket
       WHERE a.doc_id < b.doc_id),
     pairs AS MATERIALIZED (
       SELECT doc_a, doc_b FROM cand
@@ -644,8 +651,17 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration; labels stay distributed. GraphFrames/GraphX would
     package this; the raw DataFrame form avoids the dependency and
     shows the algebra.
+
+    Pairs come from the CAPPED minhash path (round 4): at 100 TB the
+    uncapped generator's hot-bucket w² blowup (70M candidates at a 10x
+    template-heavy corpus, SCALE.md) would explode the edge list before
+    the label loop starts. The cap is SQL-expressible, so the oracle
+    applies the identical HAVING/NOT EXISTS bucket drop and the
+    clustering stays exact-checked end to end.
     """
-    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _minhash_est_pairs(
+        Catalog(spark, sf_dir).documents, max_bucket_width=MH_BUCKET_CAP
+    ).select("doc_a", "doc_b")
     # localCheckpoint TRUNCATES LINEAGE — without it every iteration's
     # plan embeds all previous iterations (and the whole minhash
     # pipeline), growing exponentially until the driver OOMs during
@@ -770,42 +786,85 @@ def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     entity matching) the dedup ladder lacks elsewhere.
 
     Scale shape (the oracle runs the quadratic form; Spark does NOT):
-    equal-length strings at distance <= 1 differ by at most one
-    substitution, so one half of the string is IDENTICAL in any
-    matching pair — candidates come from two hash joins (block on the
-    first half, block on the second half), unioned and deduped, with
-    the exact levenshtein only on candidates (PassJoin-style partition
-    blocking). Work is linear in names per block; the all-pairs product
-    never materializes. A length pre-filter (lev >= length difference)
+    candidates come from PassJoin-style segment blocking
+    (_lev1_candidates), exact levenshtein only on candidates. Work is
+    linear in names per block; the all-pairs product never
+    materializes. A length pre-filter (lev >= length difference)
     guards the general case.
     """
     supp = Catalog(spark, sf_dir).supplier.select("s_suppkey", "s_name")
-    blocked = supp.select(
-        "s_suppkey",
-        "s_name",
-        F.substring(F.col("s_name"), 1, 9).alias("block_head"),
-        F.expr("substring(s_name, 10)").alias("block_tail"),
+    return (
+        _lev1_candidates(supp, "s_suppkey", "s_name")
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("bigint"))
+        .filter(F.col("dist") <= 1)
+        .select("supp_a", "supp_b", "dist")
     )
+
+
+def _lev1_candidates(df: DataFrame, id_col: str, name_col: str) -> DataFrame:
+    """PassJoin-style lev<=1 candidate pairs (id_a < id_b) with a
+    complete blocking scheme — every pair at Levenshtein distance <= 1
+    is a candidate:
+
+    - equal length (substitution): the edit sits in the head OR the
+      tail, so the OTHER fixed half is identical → block on head
+      substring(1,9) and on tail substring(10);
+    - length difference 1 (insertion/deletion): if the edit position is
+      >= 10 the heads still match (covered by the head block); if it is
+      <= 9 the longer string's suffix FROM 11 equals the shorter's
+      suffix from 10 — the shifted-tail blocks cover exactly this case
+      (the round-3 blocking missed it: neither fixed half matches when
+      a char is inserted/deleted in the head region).
+
+    Each block is a plain hash self-join; the union is deduped and
+    length-filtered, so recall is exact while work stays linear in the
+    per-block group sizes."""
+    blocked = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(name_col).alias("_name"),
+        F.substring(F.col(name_col), 1, 9).alias("block_head"),
+        F.expr(f"substring({name_col}, 10)").alias("block_tail"),
+        F.expr(f"substring({name_col}, 11)").alias("block_tail_shift"),
+    )
+    # (a-side block column, b-side block column): symmetric fixed halves
+    # plus both orientations of the shifted tail (either side may be the
+    # longer string of an unequal-length pair)
+    blocks = [
+        ("block_head", "block_head"),
+        ("block_tail", "block_tail"),
+        ("block_tail_shift", "block_tail"),
+        ("block_tail", "block_tail_shift"),
+    ]
     pairs = None
-    for block in ("block_head", "block_tail"):
+    for blk_a, blk_b in blocks:
         a = blocked.select(
-            F.col("s_suppkey").alias("supp_a"),
-            F.col("s_name").alias("name_a"),
-            F.col(block).alias("blk"),
+            F.col("_id").alias("supp_a"),
+            F.col("_name").alias("name_a"),
+            F.col(blk_a).alias("blk"),
         )
         b = blocked.select(
-            F.col("s_suppkey").alias("supp_b"),
-            F.col("s_name").alias("name_b"),
-            F.col(block).alias("blk"),
+            F.col("_id").alias("supp_b"),
+            F.col("_name").alias("name_b"),
+            F.col(blk_b).alias("blk"),
         )
-        cand = a.join(b, "blk").filter(F.col("supp_a") < F.col("supp_b")).select(
-            "supp_a", "supp_b", "name_a", "name_b"
+        cand = a.join(b, "blk").filter(F.col("supp_a") != F.col("supp_b")).select(
+            F.least("supp_a", "supp_b").alias("supp_a_k"),
+            F.greatest("supp_a", "supp_b").alias("supp_b_k"),
+            F.when(F.col("supp_a") < F.col("supp_b"), F.col("name_a"))
+            .otherwise(F.col("name_b"))
+            .alias("name_a_k"),
+            F.when(F.col("supp_a") < F.col("supp_b"), F.col("name_b"))
+            .otherwise(F.col("name_a"))
+            .alias("name_b_k"),
         )
         pairs = cand if pairs is None else pairs.unionAll(cand)
     return (
         pairs.distinct()
+        .select(
+            F.col("supp_a_k").alias("supp_a"),
+            F.col("supp_b_k").alias("supp_b"),
+            F.col("name_a_k").alias("name_a"),
+            F.col("name_b_k").alias("name_b"),
+        )
         .filter(F.abs(F.length("name_a") - F.length("name_b")) <= 1)
-        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("bigint"))
-        .filter(F.col("dist") <= 1)
-        .select("supp_a", "supp_b", "dist")
     )

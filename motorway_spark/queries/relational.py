@@ -490,10 +490,14 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentiles over 100 TB: a bounded-memory mergeable sketch per
     partition instead of a full sort. Rows-only check (sketch results
     are engine-specific); agg_percentile is the exact twin the oracle
-    verifies."""
+    verifies. Returned as three scalar columns (not array<double>) so
+    the rows-only checker can hash the rows."""
     li = Catalog(spark, sf_dir).lineitem
+    pcts = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10_000).cast(
+        "array<double>"
+    )
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx(
-            "l_extendedprice", [0.5, 0.9, 0.99], 10_000
-        ).cast("array<double>").alias("approx_pcts")
+        F.element_at(pcts, 1).alias("p50"),
+        F.element_at(pcts, 2).alias("p90"),
+        F.element_at(pcts, 3).alias("p99"),
     )

@@ -171,7 +171,53 @@ def _hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
     return [[float(v) for v in row] for row in rng.standard_normal((n_planes, dim))]
 
 
-@query("sim_ann_lsh")  # rows-only: hyperplane literals are not portable to one SQL stmt
+ANN_TABLES, ANN_BITS = 8, 4
+_ANN_PLANES = _hyperplanes(n_planes=ANN_TABLES * ANN_BITS)
+
+# Hyperplanes inlined into the oracle as literal DOUBLE lists — the same
+# inline-the-constants trick that made minhash oracle-exact (dedup.MH_A/
+# MH_B). repr() prints shortest-round-trip doubles, which DuckDB parses
+# back to the identical bits. Each row carries its table id and the bit
+# weight 8>>b so the bucket code is one SUM per (vec, table).
+_SQL_ANN_PLANES = ",\n      ".join(
+    f"({idx // ANN_BITS}, {8 >> (idx % ANN_BITS)},"
+    f" [{', '.join(repr(v) for v in row)}])"
+    for idx, row in enumerate(_ANN_PLANES)
+)
+
+
+@query(
+    "sim_ann_lsh",
+    oracle=f"""
+    WITH planes(tbl, w, plane) AS (VALUES
+      {_SQL_ANN_PLANES}),
+    proj AS MATERIALIZED (
+      SELECT e.vec_id, p.tbl, p.w,
+             {_SQL_DOT.format(a='e.embedding', b='p.plane')} AS d
+      FROM embeddings e CROSS JOIN planes p),
+    buckets AS MATERIALIZED (
+      SELECT vec_id, tbl, SUM(CASE WHEN d > 0 THEN w ELSE 0 END) AS bucket
+      FROM proj GROUP BY vec_id, tbl),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM buckets q JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
+      WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             ROUND({_SQL_DOT.format(a='qe.embedding', b='ce.embedding')}
+                   / ({_SQL_NORM.format(a='qe.embedding')}
+                      * {_SQL_NORM.format(a='ce.embedding')}), 6) AS cosine
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rn AS rank
+    FROM ranked WHERE rn <= 3
+    """,
+)
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane (SimHash) LSH, multi-table.
 
@@ -190,27 +236,41 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall-vs-cost dial), vs the all-pairs product of
     sim_pairs_threshold. Exact cosine rerank runs only on the deduped
     union of per-table collisions.
+
+    Oracle (upgraded from rows-only in round 4): the hyperplanes are
+    fixed-seed driver literals, so they inline into the DuckDB SQL as
+    DOUBLE list literals and the sign buckets replay exactly. The
+    projection below accumulates dimension-by-dimension (a left fold,
+    ~64 vectorized adds per batch) instead of one BLAS matmul: BLAS
+    pairwise summation differs from DuckDB's sequential list fold at
+    ~1e-15, which is harmless for ROUNDED cosines (sim_knn_matmul) but
+    a projection crossing ZERO flips a bucket bit — the fold order must
+    match exactly where the output is a sign, not a rounded value.
     """
     import numpy as np
     import pandas as pd
 
-    n_tables, k_bits = 8, 4
+    n_tables, k_bits = ANN_TABLES, ANN_BITS
     emb = Catalog(spark, sf_dir).embeddings
-    planes = _hyperplanes(n_planes=n_tables * k_bits)
     # 64 × 32 projection matrix rides the closure; ALL table buckets
-    # come from one BLAS matmul per Arrow batch. The declarative
-    # alternative — 32 unrolled 64-term sign expressions per row —
-    # builds a ~10k-node expression tree that blows up analyzer AND
-    # codegen (measured 9 s plan build + 12 s exec at sf0.1 vs <1 s
-    # here): past a few hundred nodes, vector math belongs in numpy
-    # behind mapInPandas, exactly like sim_knn_matmul.
-    planes_mat = np.array(planes, dtype=np.float64).T
+    # come from ~64 vectorized accumulate steps per Arrow batch. The
+    # declarative alternative — 32 unrolled 64-term sign expressions
+    # per row — builds a ~10k-node expression tree that blows up
+    # analyzer AND codegen (measured 9 s plan build + 12 s exec at
+    # sf0.1 vs <1 s here): past a few hundred nodes, vector math
+    # belongs in numpy behind mapInPandas, exactly like sim_knn_matmul.
+    planes_mat = np.array(_ANN_PLANES, dtype=np.float64).T
     bit_weights = 1 << np.arange(k_bits - 1, -1, -1)
 
     def assign_buckets(batches):
         for pdf in batches:
             vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
-            signs = (vecs @ planes_mat) > 0  # batch × (tables·bits)
+            # left-fold accumulation (see docstring: sign must match
+            # DuckDB's sequential fold bit-for-bit)
+            proj = np.zeros((vecs.shape[0], planes_mat.shape[1]))
+            for i in range(vecs.shape[1]):
+                proj += vecs[:, i : i + 1] * planes_mat[i : i + 1, :]
+            signs = proj > 0  # batch × (tables·bits)
             out = []
             for t in range(n_tables):
                 codes = signs[:, t * k_bits : (t + 1) * k_bits] @ bit_weights
@@ -317,14 +377,22 @@ def sim_knn_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids = pdf["vec_id"].to_numpy()
             c = np.array(list(pdf["embedding"]), dtype=np.float64)
             c /= np.linalg.norm(c, axis=1, keepdims=True)
-            sims = q_mat @ c.T  # |Q| x batch
+            # Round BEFORE per-batch selection: the global rank is over
+            # the 6dp-rounded cosine, so pruning on the raw BLAS score
+            # could drop a boundary candidate that TIES the k-th kept
+            # one at 6dp (and would win the neighbor_id tiebreak).
+            # Selecting by rounded value and keeping EVERY candidate at
+            # or above the k-th rounded score makes per-batch pruning
+            # provably membership-preserving.
+            sims = np.round(q_mat @ c.T, 6)  # |Q| x batch
             k = min(TOP_K + 1, sims.shape[1])
             out = []
             for qi, qid in enumerate(q_ids):
-                top = np.argpartition(-sims[qi], k - 1)[:k]
-                for ci in top:
+                row = sims[qi]
+                thresh = np.partition(row, -k)[-k]
+                for ci in np.nonzero(row >= thresh)[0]:
                     if ids[ci] != qid:
-                        out.append((int(qid), int(ids[ci]), round(float(sims[qi, ci]), 6)))
+                        out.append((int(qid), int(ids[ci]), float(row[ci])))
             yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "cosine"])
 
     candidates = emb.select("vec_id", "embedding").mapInPandas(

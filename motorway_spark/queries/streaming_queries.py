@@ -524,7 +524,15 @@ def stream_longpoll_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Python Data Sources don't support AvailableNow — drain with
     # processAllAvailable (see stream_kafka_topic_agg)
-    return run_stream_to_memory(agg, output_mode="complete", drain="process_all")
+    try:
+        return run_stream_to_memory(agg, output_mode="complete", drain="process_all")
+    finally:
+        # the channel dir holds a full copy of the pushed slice (wire
+        # files + WAL); the memory-sink result no longer references it,
+        # and repeated sweeps would otherwise accumulate /tmp unbounded
+        import shutil
+
+        shutil.rmtree(chan_dir, ignore_errors=True)
 
 
 @query(

@@ -137,8 +137,14 @@ class KinesisPutRecordsSink:
                 # oversize records never reach the wire — permanent failure
                 sendable = []
                 for rec in pending:
-                    if len(rec["Data"]) > MAX_BYTES_PER_RECORD:
-                        _dead_letter(rec, "RecordTooLarge", f"{len(rec['Data'])} bytes > 1 MB")
+                    # the AWS 1 MB/record limit counts Data + partition
+                    # key (same size rule _chunk_requests uses for the
+                    # 5 MB/request cap) — Data alone under-counts and a
+                    # long key would slip past pre-flight only to fail
+                    # permanently at the wire
+                    rec_bytes = len(rec["Data"]) + len(rec["PartitionKey"].encode())
+                    if rec_bytes > MAX_BYTES_PER_RECORD:
+                        _dead_letter(rec, "RecordTooLarge", f"{rec_bytes} bytes > 1 MB")
                     else:
                         sendable.append(rec)
                 pending = sendable
@@ -215,7 +221,13 @@ class MockKinesisStream:
             return {"throttle": {}, "fail": {}}
 
     def _bump_attempts(self, pk: str) -> int:
-        path = os.path.join(self.stream_dir, "attempts", pk)
+        import hashlib
+
+        # hash the key: arbitrary key columns may contain '/' or other
+        # path-reserved characters, which must not escape the attempts dir
+        path = os.path.join(
+            self.stream_dir, "attempts", hashlib.md5(pk.encode()).hexdigest()
+        )
         with open(path, "a") as fh:
             fh.write(".")
         return os.path.getsize(path)

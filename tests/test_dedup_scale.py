@@ -81,3 +81,42 @@ def test_cap_preserves_normal_buckets(spark):
         if r["doc_a"] >= 100 and r["doc_b"] >= 100
     }
     assert capped == uncapped
+
+# ---------------------------------------------------------------------------
+# PassJoin blocking completeness for the lev<=1 fuzzy join.
+# ---------------------------------------------------------------------------
+def test_lev1_blocking_finds_head_region_deletions(spark):
+    """A deletion/insertion at position <= 9 shifts the tail, so NEITHER
+    fixed half matches — the round-3 blocking missed these pairs (the
+    supplier fixtures are fixed-length, so only substitutions occurred
+    and the gap was invisible). The shifted-tail blocks must surface
+    them regardless of which side of the pair is the longer string."""
+    from motorway_spark.queries.dedup import _lev1_candidates
+
+    rows = [
+        (1, "Supplier#000000001"),
+        (2, "Suplier#000000001"),   # deletion at pos 3 (head region)
+        (3, "Supplier#00000001"),   # deletion at pos 10+ (tail region)
+        (4, "Xupplier#000000001"),  # substitution at pos 1
+        (5, "completely different name"),
+        # longer-string-has-LOWER-id orientation of a head-region edit
+        (6, "xVendor#9912345"),
+        (7, "Vendor#9912345"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    cand = _lev1_candidates(df, "id", "name")
+    got = {(r["supp_a"], r["supp_b"]) for r in cand.collect()}
+    # every true lev<=1 pair must be a candidate
+    assert (1, 2) in got   # head-region deletion (the round-3 miss)
+    assert (1, 3) in got   # tail-region deletion
+    assert (1, 4) in got   # substitution
+    assert (6, 7) in got   # head-region edit, other orientation
+    # and nothing pairs with the unrelated name at lev<=1 after the
+    # exact filter the query applies
+    from pyspark.sql import functions as F
+
+    exact = cand.withColumn("d", F.levenshtein("name_a", "name_b")).filter(
+        F.col("d") <= 1
+    )
+    ids = {(r["supp_a"], r["supp_b"]) for r in exact.collect()}
+    assert all(5 not in pair for pair in ids)
