@@ -34,10 +34,15 @@ sequence-ranged partitions. Throughput-bound ingest belongs to the
 partitioned sources (kafkalog/spooldir); this shape exists for push
 feeds, which are low-rate control/CDC streams.
 
-The transport is mocked as a channel DIRECTORY (same twin pattern as
-the kafkalog broker): producers drop ``push-*.json`` files (each a list
-of event dicts); a poll consumes every unconsumed file and moves it to
-``consumed/`` — emulating "delivered once, gone from the wire".
+The wire sits behind a pluggable poll transport (sources/transports.py):
+the default ``dir`` transport is the mock channel DIRECTORY (same twin
+pattern as the kafkalog broker — producers drop ``push-*.json`` files,
+a poll consumes every unconsumed file and moves it to ``consumed/``,
+emulating "delivered once, gone from the wire"); ``transport=http``
+long-polls a real endpoint over stdlib urllib (the production wiring,
+same source code path). The WAL/commit sidecars need a local dir in
+either case: ``walDir`` (defaults to the channel dir for the dir
+transport).
 """
 
 from __future__ import annotations
@@ -102,10 +107,17 @@ class _SeqPartition(InputPartition):
 
 class LongPollStreamReader(DataSourceStreamReader):
     def __init__(self, options):
-        self.channel_dir = options["path"]
+        from motorway_spark.sources.transports import make_poll_transport
+
+        # durable subscriber state (WAL + commit watermark) needs a local
+        # dir even when the wire is HTTP; defaults to the channel dir
+        self.state_dir = options.get("walDir") or options.get("path")
+        if not self.state_dir:
+            raise ValueError("longpoll needs 'path' or 'walDir' for its WAL")
+        os.makedirs(self.state_dir, exist_ok=True)
         self.id_field = options.get("idField", "Id")
         self.rows_per_partition = int(options.get("rowsPerPartition", 500))
-        self.channel = LongPollChannel(self.channel_dir)
+        self.channel = make_poll_transport(options)
         committed = self._committed()
         # replay the WAL suffix above the committed watermark: pushed
         # events a crashed run polled but never delivered come back
@@ -120,10 +132,10 @@ class LongPollStreamReader(DataSourceStreamReader):
 
     # -- sidecars -------------------------------------------------------
     def _wal_file(self) -> str:
-        return os.path.join(self.channel_dir, "_subscriber_wal.jsonl")
+        return os.path.join(self.state_dir, "_subscriber_wal.jsonl")
 
     def _commit_file(self) -> str:
-        return os.path.join(self.channel_dir, "_subscriber_commit.json")
+        return os.path.join(self.state_dir, "_subscriber_commit.json")
 
     def _committed(self) -> int:
         try:

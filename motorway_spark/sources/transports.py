@@ -1,0 +1,135 @@
+"""Pluggable transports for the SaaS-shaped sources (pagedapi/longpoll).
+
+The round-3 sources hard-wired their wire access to a mock directory;
+this module factors that access behind two narrow interfaces so the
+same source code runs against a real endpoint (VERDICT r3 "Missing #2"):
+
+- **page transport** — ``fetch_page(cursor) -> dict | None``: fetch one
+  page of a cursor-paginated collection (``{"records": [...], "next":
+  cursor-or-null}``), or None if the page does not (yet) exist. Used by
+  ``PagedApiSource`` (reference SalesforceQueryObjectRamp / Recurly
+  ramps, contrib/salesforce/ramps.py:72-100,
+  contrib/recurly_integration/ramps.py:21-51).
+- **poll transport** — ``connect() -> list[dict]``: one long-poll that
+  returns (and consumes) everything pushed since the previous poll.
+  Used by ``LongPollSource`` (reference
+  SalesforceStreamingObjectRamp, contrib/salesforce/ramps.py:13-69).
+
+Selection is by the string option ``transport`` (DataSource options are
+strings — a callable cannot ride through ``.option()``):
+
+- ``dir`` (default): the mock directory endpoints, unchanged behavior.
+- ``http``: REAL transport over stdlib ``urllib`` — no extra packages.
+  ``url`` is the base URL; pages resolve as ``{url}/{cursor}``, the
+  long-poll GETs ``url`` itself. Auth headers ride the ``authHeader``
+  option (e.g. ``Bearer <token>`` — how both Salesforce REST and
+  Recurly v3 authenticate).
+
+Transports are plain picklable objects: page transports travel to
+executors inside InputPartitions so page fetches fan out, exactly the
+scale shape the mock had.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.error
+import urllib.request
+
+
+# ---------------------------------------------------------------------------
+# Page transports (cursor-paginated collections).
+# ---------------------------------------------------------------------------
+class DirPageTransport:
+    """Mock endpoint: one JSON file per page under ``root``."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def fetch_page(self, cursor: str) -> dict | None:
+        try:
+            with open(os.path.join(self.root, cursor)) as fh:
+                return json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            return None
+
+
+class HttpPageTransport:
+    """Real endpoint: ``GET {base_url}/{cursor}`` returning page JSON.
+    404 (page not produced yet) and connection errors read as "no page",
+    matching the mock's poll-until-it-appears semantics."""
+
+    def __init__(self, base_url: str, auth_header: str = "", timeout_sec: float = 30.0):
+        self.base_url = base_url.rstrip("/")
+        self.auth_header = auth_header
+        self.timeout_sec = timeout_sec
+
+    def fetch_page(self, cursor: str) -> dict | None:
+        req = urllib.request.Request(f"{self.base_url}/{cursor}")
+        if self.auth_header:
+            req.add_header("Authorization", self.auth_header)
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_sec) as resp:
+                return json.loads(resp.read().decode())
+        except (urllib.error.URLError, OSError, json.JSONDecodeError):
+            return None
+
+
+# ---------------------------------------------------------------------------
+# Poll transports (push-shaped long-poll).
+# ---------------------------------------------------------------------------
+class HttpPollTransport:
+    """Real long-poll: ``GET {url}`` blocks server-side until events are
+    available and returns a JSON list; the server does not re-serve
+    delivered events (the CometD ``/meta/connect`` contract). Errors and
+    timeouts read as an empty poll — the reader polls again next
+    trigger."""
+
+    def __init__(self, url: str, auth_header: str = "", timeout_sec: float = 30.0):
+        self.url = url
+        self.auth_header = auth_header
+        self.timeout_sec = timeout_sec
+
+    def connect(self) -> list[dict]:
+        req = urllib.request.Request(self.url)
+        if self.auth_header:
+            req.add_header("Authorization", self.auth_header)
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_sec) as resp:
+                events = json.loads(resp.read().decode())
+                return events if isinstance(events, list) else []
+        except (urllib.error.URLError, OSError, json.JSONDecodeError):
+            return []
+
+
+# ---------------------------------------------------------------------------
+# Factories (string options -> transport object).
+# ---------------------------------------------------------------------------
+def make_page_transport(options) -> DirPageTransport | HttpPageTransport:
+    kind = options.get("transport", "dir")
+    if kind == "dir":
+        return DirPageTransport(options["path"])
+    if kind == "http":
+        return HttpPageTransport(
+            options["url"],
+            auth_header=options.get("authHeader", ""),
+            timeout_sec=float(options.get("timeoutSec", 30)),
+        )
+    raise ValueError(f"unknown pagedapi transport {kind!r} (dir|http)")
+
+
+def make_poll_transport(options):
+    kind = options.get("transport", "dir")
+    if kind == "dir":
+        # imported here: longpoll imports this module
+        from motorway_spark.sources.longpoll import LongPollChannel
+
+        return LongPollChannel(options["path"])
+    if kind == "http":
+        return HttpPollTransport(
+            options["url"],
+            auth_header=options.get("authHeader", ""),
+            timeout_sec=float(options.get("timeoutSec", 30)),
+        )
+    raise ValueError(f"unknown longpoll transport {kind!r} (dir|http)")
