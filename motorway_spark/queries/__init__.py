@@ -41,76 +41,69 @@ from motorway_spark.queries import joins  # noqa: F401,E402
 from motorway_spark.queries import relational  # noqa: F401,E402
 from motorway_spark.queries import windows  # noqa: F401,E402
 
-# Explicit sweep priority (round 3). The driver's per-round correctness
-# budget is ~50 queries, taken in registration order, so module import
-# order alone no longer expresses the right priority: after two rounds,
-# 35 queries have never had a driver CORRECTNESS row and 4 recorded a
-# failure whose fix is in code but unverified. Those sweep FIRST, in
-# this order; everything already driver-green keeps its relative order
-# after them.
+# Explicit sweep priority (round 4). The driver's per-round correctness
+# budget is ~50 queries, taken in registration order. After round 3
+# every query has at least one driver row, so priority is now staleness
+# plus this round's changes:
+#   1. queries whose code or oracle CHANGED this round (the r3 ERR fix,
+#      the new sim_ann_lsh oracle, the r3-registered-but-never-swept
+#      sim_knn_matmul oracle, the capped clustering, the PassJoin fix);
+#   2. the 45 queries whose only driver row is round 1 — two fixture
+#      regenerations ago (relational/join/window/setop/agg families);
+#   3. everything with an r2/r3 row keeps its relative order after.
 _SWEEP_PRIORITY = [
-    # -- never driver-verified (r1+r2): the whole streaming family --
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_dedup",
-    "stream_filter_route",
-    "stream_stateful_user_totals",
-    "stream_stateful_user_totals_tws",
-    "stream_static_enrich",
-    "stream_kafka_topic_agg",
-    "stream_longpoll_agg",
-    "stream_stream_join",
-    "stream_topk_heavy_hitters",
-    "stream_scd2_current",
-    # -- never verified: non-parquet scans --
-    "scan_csv",
-    "scan_json",
-    "scan_orc",
-    "scan_csv_corrupt",
-    # -- never verified: set-op variants --
-    "set_intersect_all",
-    "set_except_all",
-    "distinct_rows",
-    "drop_duplicates_subset",
-    # -- never verified: TPC-H subquery shapes --
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q16_parts_supplier",
-    "q17_small_quantity",
-    "q20_dominant_supplier",
-    "q21_waiting_supplier",
-    # -- never verified: SQL-surface + skew + agg/fn stragglers --
-    "sql_api_recursive_cte",
-    "sql_api_lateral_topn",
-    "join_salted_skew",
-    "agg_grouping_sets",
-    "agg_percentile_approx",
-    "fn_null_semantics",
-    "fn_bitwise",
-    "fn_url",
-    # -- recorded FAIL/ERR with the fix in code: must re-verify --
-    "sessionize_native",
-    "fn_math",
-    "pivot_status_by_priority",
-    "asof_join",
-    # -- new in round 3 (never had a driver row): sampling/packing
-    # family, capped LSH, quantization, composite pipeline --
-    "sample_stratified_exact",
-    "split_train_test",
-    "balance_classes",
-    "pack_sequences",
-    "dedup_minhash_capped",
-    "embedding_quantize_int8",
-    "pipeline_pretraining_mix",
-    # -- formerly-vacuous date windows, now non-empty: re-confirm
-    # (already have an r1 row, so these rank behind never-seen work) --
-    "q5_local_supplier",
-    "q9_profit",
-    "q10_returned_items",
+    # -- changed in round 4: must get a fresh driver row --
+    "agg_percentile_approx",   # r3 ERR: array column crashed the checker
+    "sim_knn_matmul",          # oracle registered r3, never driver-swept
+    "sim_ann_lsh",             # oracle new in r4 (inlined hyperplanes)
+    "dedup_cluster_canonical", # pairs now from the capped minhash path
+    "fuzzy_join_levenshtein",  # shifted-tail PassJoin blocking
+    # -- latest driver row is ROUND 1 (two fixture regens old) --
+    "q1_pricing_summary",
+    "filter_project",
+    "case_when",
+    "wordcount",
+    "agg_basic",
+    "agg_stats",
+    "agg_collect",
+    "agg_rollup",
+    "agg_cube",
+    "agg_percentile",
+    "agg_approx_distinct",
+    "agg_having",
+    "agg_salted_skew",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_theta_buckets",
+    "join_broadcast_dim",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q8_market_share",
     "q12_shipmode_buckets",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q18_large_orders",
+    "q19_disjunctive",
     "q22_acctbal_subquery",
+    "sql_api_q7_volume",
+    "win_ranking",
+    "win_lag_lead",
+    "win_running",
+    "win_range_frame",
+    "win_first_last",
+    "win_distribution",
+    "order_limit",
+    "topk_per_group",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "unpivot_metrics",
+    "sample_fraction",
 ]
 
 

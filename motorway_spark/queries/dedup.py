@@ -662,12 +662,26 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _minhash_est_pairs(
         Catalog(spark, sf_dir).documents, max_bucket_width=MH_BUCKET_CAP
     ).select("doc_a", "doc_b")
-    # localCheckpoint TRUNCATES LINEAGE — without it every iteration's
-    # plan embeds all previous iterations (and the whole minhash
-    # pipeline), growing exponentially until the driver OOMs during
-    # planning. This is the iterative-algorithm idiom on Spark: the
-    # per-iteration plan must stay O(1), state lives in materialized
-    # partitions (GraphX does exactly this internally).
+    labels = label_propagation(pairs)
+    return labels.select(
+        F.col("doc").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("doc") == F.col("label")).alias("is_canonical"),
+    )
+
+
+def label_propagation(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected-component labels (doc, label) over an undirected pair
+    graph via iterative min-label propagation; label = min doc id of
+    the component. Shared by dedup_cluster_canonical and the scale
+    measurements.
+
+    localCheckpoint TRUNCATES LINEAGE — without it every iteration's
+    plan embeds all previous iterations (and the whole upstream pair
+    pipeline), growing exponentially until the driver OOMs during
+    planning. This is the iterative-algorithm idiom on Spark: the
+    per-iteration plan must stay O(1), state lives in materialized
+    partitions (GraphX does exactly this internally)."""
     edges = (
         pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
         .distinct()
@@ -680,7 +694,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc"))
         .localCheckpoint()
     )
-    for _ in range(20):  # diameter bound; fixture clusters are shallow
+    for _ in range(max_iters):  # diameter bound; dup clusters are shallow
         neighbor_min = (
             edges.join(labels, F.col("dst") == F.col("doc"))
             .groupBy("src")
@@ -705,11 +719,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(
-        F.col("doc").alias("doc_id"),
-        F.col("label").alias("cluster_id"),
-        (F.col("doc") == F.col("label")).alias("is_canonical"),
-    )
+    return labels
 
 
 # ---------------------------------------------------------------------------
