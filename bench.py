@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "sample_stratified_exact",
     "pack_sequences",
     "dedup_minhash_capped",
+    # round-4 addition: oracle-exact IVF ANN (fixed coarse codebook)
+    "sim_ann_ivf_fixed",
 ]
 
 

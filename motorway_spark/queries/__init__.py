@@ -56,7 +56,9 @@ _SWEEP_PRIORITY = [
     "agg_percentile_approx",   # r3 ERR: array column crashed the checker
     "sim_knn_matmul",          # oracle registered r3, never driver-swept
     "sim_ann_lsh",             # oracle new in r4 (inlined hyperplanes)
+    "sim_ann_ivf_fixed",       # new in r4: oracle-exact IVF (fixed codebook)
     "dedup_cluster_canonical", # pairs now from the capped minhash path
+    "pipeline_training_prep",  # oracle follows the capped cluster step
     "fuzzy_join_levenshtein",  # shifted-tail PassJoin blocking
     # -- latest driver row is ROUND 1 (two fixture regens old) --
     "q1_pricing_summary",

@@ -27,6 +27,7 @@ from motorway_spark.queries.registry import query
 from motorway_spark.queries.dedup import (
     _SQL_CHAR_SHINGLES,
     _SQL_MINHASH,
+    MH_BUCKET_CAP,
     N_BANDS,
     N_MINHASH,
     dedup_cluster_canonical,
@@ -70,9 +71,16 @@ QUALITY_FLOOR = 0.65
       SELECT doc_id, band,
              md5(array_to_string(mh[band*4+1 : band*4+4], ',')) AS bucket
       FROM sig, UNNEST(range(0, {N_BANDS})) AS t(band)),
+    hot AS (
+      SELECT band, bucket FROM bands
+      GROUP BY band, bucket HAVING COUNT(*) > {MH_BUCKET_CAP}),
+    keep AS MATERIALIZED (
+      SELECT * FROM bands b
+      WHERE NOT EXISTS (SELECT 1 FROM hot h
+                        WHERE h.band = b.band AND h.bucket = b.bucket)),
     cand AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+      FROM keep a JOIN keep b ON a.band = b.band AND a.bucket = b.bucket
       WHERE a.doc_id < b.doc_id),
     pairs AS MATERIALIZED (
       SELECT doc_a, doc_b FROM cand

@@ -406,6 +406,158 @@ def sim_knn_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CELLS = 8
+IVF_PROBE = 2
+IVF_CENTROID_LO, IVF_CENTROID_HI = 100, 107  # vec_ids of the fixed codebook
+
+
+@query(
+    "sim_ann_ivf_fixed",
+    oracle=f"""
+    WITH cells AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cent
+      FROM embeddings
+      WHERE vec_id BETWEEN {IVF_CENTROID_LO} AND {IVF_CENTROID_HI}),
+    dists AS MATERIALIZED (
+      SELECT e.vec_id, c.cell,
+             list_sum(list_transform(range(1, 65),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE))
+                  * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE)))) AS d
+      FROM embeddings e CROSS JOIN cells c),
+    assigned AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM dists)
+      WHERE rn = 1),
+    probe AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM dists WHERE vec_id < {N_QUERIES})
+      WHERE rn <= {IVF_PROBE}),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, a.cell
+      FROM probe p JOIN assigned a USING (cell)
+      WHERE p.query_id <> a.vec_id),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id, cand.cell,
+             ROUND({_SQL_DOT.format(a='qe.embedding', b='ce.embedding')}
+                   / ({_SQL_NORM.format(a='qe.embedding')}
+                      * {_SQL_NORM.format(a='ce.embedding')}), 6) AS cosine
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored)
+    SELECT query_id, neighbor_id, cell, cosine, rn AS rank
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def sim_ann_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a FIXED coarse codebook — the oracle-exact twin of
+    sim_ann_ivf (whose MLlib-k-means centroids are engine/seed-specific
+    and keep it rows-only). Standard IVF practice at 100 TB is to train
+    the codebook on a tiny sample anyway; the degenerate-but-honest form
+    of that is taking {IVF_CELLS} fixed corpus vectors (vec_ids
+    100-107, disjoint from the query set) AS the codebook. Everything
+    downstream — nearest-cell assignment, {IVF_PROBE}-cell probe, exact
+    cosine rerank — is then deterministic and replays bit-for-bit in
+    DuckDB.
+
+    Determinism: squared-L2 distances accumulate dimension-by-dimension
+    (left fold, the sim_ann_lsh convention) so both engines compare
+    IDENTICAL doubles; argmin ties break on cell index in both (numpy
+    argmin takes the first minimum; the oracle orders by (d, cell)).
+
+    Scale shape: assignment is one mapInPandas pass (codebook rides the
+    closure — 8 vectors, like sim_knn_matmul's query set); the probe
+    join is cell-equality — a plain int-key shuffle join; rerank only
+    on probed cells' members. Cells are the partition-pruning story for
+    vectors: written cell-partitioned, a probe reads n_probe/n_cells of
+    the corpus.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = Catalog(spark, sf_dir).embeddings
+    cent_rows = sorted(
+        emb.filter(
+            (F.col("vec_id") >= IVF_CENTROID_LO) & (F.col("vec_id") <= IVF_CENTROID_HI)
+        )
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cents = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+
+    def _cell_dists(vecs: np.ndarray) -> np.ndarray:
+        """Per-dim left-fold accumulated squared L2 to every centroid."""
+        acc = np.zeros((vecs.shape[0], cents.shape[0]))
+        for i in range(vecs.shape[1]):
+            d = vecs[:, i : i + 1] - cents[None, :, i]
+            acc += d * d
+        return acc
+
+    def assign(batches):
+        for pdf in batches:
+            vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
+            cell = _cell_dists(vecs).argmin(axis=1)  # first-min = lowest cell
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cell": cell.astype(np.int32),
+                }
+            )
+
+    par = spark.sparkContext.defaultParallelism
+    assigned = (
+        emb.repartition(par)
+        .select("vec_id", "embedding")
+        .mapInPandas(assign, schema="vec_id long, embedding array<float>, cell int")
+    )
+
+    # probe list: 20 query vectors x 8 cells — computed on the driver
+    # with the SAME accumulation, bounded like sim_knn_matmul's collect
+    q_rows = (
+        emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
+    )
+    q_vecs = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    q_dists = _cell_dists(q_vecs)
+    probe_rows = [
+        (int(r["vec_id"]), list(r["embedding"]), int(c))
+        for r, drow in zip(q_rows, q_dists)
+        for c in np.argsort(drow, kind="stable")[:IVF_PROBE]
+    ]
+    probe = spark.createDataFrame(
+        probe_rows, "query_id long, q_emb array<float>, cell int"
+    )
+
+    cosine = F.round(_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")), 6)
+    pairs = (
+        probe.join(
+            assigned.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("c_emb"),
+                "cell",
+            ),
+            "cell",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cell", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 @query("sim_ann_ivf")  # rows-only: k-means centroids are engine/seed-specific
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via IVF (inverted-file) coarse quantization — the

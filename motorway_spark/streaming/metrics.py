@@ -247,9 +247,11 @@ class MetricsListener(StreamingQueryListener):
 
 class StatusServer:
     """HTTP view over a MetricsListener — the reference's Flask
-    webserver (motorway/webserver.py:18-80) reduced to its API surface:
-    ``GET /api/status/`` returns the grouped stats + trailing-minute
-    histograms as JSON. Runs a stdlib ThreadingHTTPServer on a
+    webserver (motorway/webserver.py:18-80): ``GET /api/status/``
+    returns the grouped stats + trailing-minute histograms as JSON,
+    ``GET /`` serves the HTML dashboard rendering them (the twin of
+    templates/index.html + app.jsx, dependency-free — see
+    streaming/dashboard.py). Runs a stdlib ThreadingHTTPServer on a
     background thread (Flask isn't in this environment, and a
     dependency-free server is the right weight for a driver-side
     debug endpoint — at scale the real observability path is the
@@ -272,6 +274,15 @@ class StatusServer:
 
             def do_GET(self):  # noqa: N802 (stdlib contract)
                 path = self.path.rstrip("/")
+                if path == "":  # GET / — the HTML dashboard
+                    from motorway_spark.streaming.dashboard import DASHBOARD_HTML
+
+                    body = DASHBOARD_HTML.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html; charset=utf-8")
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 if path == "/api/status":
                     self._json(metrics.api_status())
                     return

@@ -268,6 +268,17 @@ def test_status_server_serves_api_status(spark):
                 raise AssertionError("expected 404")
             except urllib.error.HTTPError as err:
                 assert err.code == 404
+
+        # GET / serves the HTML dashboard (templates/index.html twin)
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/", timeout=10
+        ) as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"].startswith("text/html")
+            page = resp.read().decode()
+        assert "Pipeline Stats" in page  # reference page title
+        assert "/api/status/" in page  # polls the JSON API
+        assert "/api/detail/" in page  # drill-down wired
     finally:
         server.stop()
 
