@@ -60,6 +60,8 @@ _SWEEP_PRIORITY = [
     "dedup_cluster_canonical", # pairs now from the capped minhash path
     "pipeline_training_prep",  # oracle follows the capped cluster step
     "fuzzy_join_levenshtein",  # shifted-tail PassJoin blocking
+    "decontam_ngram_overlap",  # new in r4: benchmark decontamination
+    "text_repetition",         # new in r4: Gopher-style repetition signals
     # -- latest driver row is ROUND 1 (two fixture regens old) --
     "q1_pricing_summary",
     "filter_project",

@@ -215,3 +215,75 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("pack_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: drop train docs sharing n-grams with eval.
+# ---------------------------------------------------------------------------
+EVAL_MOD = 53  # doc_id % EVAL_MOD == 0 -> held-out eval doc (pseudo benchmark)
+
+from motorway_spark.queries.dedup import _SQL_WORD_SHINGLES  # noqa: E402
+
+
+@query(
+    "decontam_ngram_overlap",
+    oracle=f"""
+    WITH sh AS MATERIALIZED (
+      SELECT doc_id, UNNEST({_SQL_WORD_SHINGLES}) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+    eval_sh AS (SELECT doc_id AS eval_doc, s FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+    train_sh AS (SELECT doc_id, s FROM sh WHERE doc_id % {EVAL_MOD} <> 0),
+    hits AS (
+      SELECT t.doc_id,
+             COUNT(DISTINCT t.s) AS n_shared_ngrams,
+             MIN(e.eval_doc) AS contaminated_by
+      FROM train_sh t JOIN eval_sh e USING (s)
+      GROUP BY t.doc_id)
+    SELECT d.doc_id, d.source, h.n_shared_ngrams, h.contaminated_by
+    FROM hits h JOIN documents d USING (doc_id)
+    """,
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the standard pretraining hygiene step
+    next to split_train_test: a TRAINING document is contaminated when
+    it shares any word n-gram with a HELD-OUT (benchmark/eval) document,
+    and must be dropped before training so eval scores measure
+    generalization, not memorization. Held-out set here = doc_id %
+    EVAL_MOD == 0 (a deterministic pseudo-benchmark); n-gram = the
+    word-3-gram shingles shared with the dedup family (production runs
+    8-13-grams — same plan, longer shingle).
+
+    Output: every contaminated train doc with its distinct shared-ngram
+    count and the earliest eval doc it collides with (the audit a
+    decontamination run must produce; the clean set is the anti-join).
+
+    Scale shape: the eval side is tiny by construction (benchmarks are
+    MBs against TBs of train), so Spark broadcasts it — the shingle
+    match runs map-side with NO shuffle of the train corpus; the only
+    exchange is the per-doc hit aggregation, keyed by doc_id. The
+    100 TB form is identical: explode train shingles, broadcast-join
+    the eval shingle set, aggregate.
+    """
+    from motorway_spark.queries.dedup import _word_shingles
+
+    docs = Catalog(spark, sf_dir).documents
+    par = spark.sparkContext.defaultParallelism
+    sh = (
+        docs.repartition(par)
+        .select("doc_id", F.explode(_word_shingles(F.col("text"))).alias("s"))
+    )
+    eval_sh = sh.filter(F.col("doc_id") % EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_doc"), "s"
+    )
+    train_sh = sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+    hits = (
+        train_sh.join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("s").alias("n_shared_ngrams"),
+            F.min("eval_doc").alias("contaminated_by"),
+        )
+    )
+    return hits.join(docs.select("doc_id", "source"), "doc_id").select(
+        "doc_id", "source", "n_shared_ngrams", "contaminated_by"
+    )

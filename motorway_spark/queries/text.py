@@ -320,3 +320,105 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", F.col("t").alias("term"), "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filters).
+# ---------------------------------------------------------------------------
+@query(
+    "text_repetition",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    big AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram
+      FROM (SELECT doc_id, toks AS w, UNNEST(range(1, len(toks))) AS i FROM t)),
+    counts AS (
+      SELECT doc_id, bigram, COUNT(*) AS c
+      FROM big GROUP BY doc_id, bigram),
+    top AS (
+      -- n_bigrams must be computed BEFORE the rn=1 filter: windows in
+      -- the same SELECT evaluate after WHERE, which would leave only
+      -- the top row in the partition
+      SELECT doc_id, bigram AS top_bigram, c AS top_count,
+             CAST(n_bigrams AS BIGINT) AS n_bigrams
+      FROM (SELECT *,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, bigram) AS rn,
+                   SUM(c) OVER (PARTITION BY doc_id) AS n_bigrams
+            FROM counts)
+      WHERE rn = 1),
+    toks AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_unique
+      FROM t)
+    SELECT k.doc_id,
+           ROUND(1.0 - CAST(k.n_unique AS DOUBLE) / k.n_tokens, 6)
+             AS dup_token_frac,
+           p.top_bigram,
+           ROUND(CAST(p.top_count AS DOUBLE) / p.n_bigrams, 6)
+             AS top_bigram_frac
+    FROM toks k JOIN top p USING (doc_id)
+    WHERE k.n_tokens >= 2
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals per document — the Gopher-style quality
+    filters that catch boilerplate/degenerate text the length and
+    stopword heuristics miss: duplicate-token fraction (1 - unique/total)
+    and the fraction of all bigrams taken by the single most frequent
+    bigram (ties broken lexicographically so the reported bigram is
+    deterministic cross-engine). High values on either → keyboard-mash,
+    scraped menus, templated spam.
+
+    Scale shape: bigrams explode to rows so the count runs in codegen
+    with map-side partial aggregation keyed by (doc_id, bigram) — the
+    wordcount shape, linear in corpus size; the top-1 selection is a
+    WindowGroupLimit over the per-doc counts. No all-corpus state: every
+    aggregate is keyed by doc_id.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    par = spark.sparkContext.defaultParallelism
+    toks = _tokens("text")
+    base = docs.repartition(par).select(
+        "doc_id",
+        toks.alias("w"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+    ).filter(F.col("n_tokens") >= 2)
+    bigrams = base.select(
+        "doc_id",
+        "n_tokens",
+        "n_unique",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("w", i), F.element_at("w", i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    counts = bigrams.groupBy("doc_id", "bigram").agg(
+        F.count("*").alias("c"),
+        F.first("n_tokens").alias("n_tokens"),
+        F.first("n_unique").alias("n_unique"),
+    )
+    from pyspark.sql import Window
+
+    w_top = Window.partitionBy("doc_id").orderBy(F.desc("c"), "bigram")
+    w_doc = Window.partitionBy("doc_id")
+    return (
+        counts.withColumn("n_bigrams", F.sum("c").over(w_doc))
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.round(
+                1.0 - F.col("n_unique").cast("double") / F.col("n_tokens"), 6
+            ).alias("dup_token_frac"),
+            F.col("bigram").alias("top_bigram"),
+            F.round(F.col("c").cast("double") / F.col("n_bigrams"), 6).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
