@@ -220,3 +220,41 @@ def test_pipeline_pretraining_mix_no_cartesian(spark):
     """The composite chain joins only on doc_id/source keys."""
     plan = _plan(spark, "pipeline_pretraining_mix")
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: IVF-fixed ANN, decontamination, repetition, fuzzy join.
+# ---------------------------------------------------------------------------
+def test_sim_ann_ivf_fixed_probe_join_not_cartesian(spark):
+    """The probe join must be a cell-equality hash join (tiny probe side
+    broadcast or shuffled on the int key), never a cartesian — cells ARE
+    the pruning mechanism."""
+    plan = _plan(spark, "sim_ann_ivf_fixed")
+    assert "CartesianProduct" not in plan
+
+
+def test_decontam_broadcasts_eval_shingles(spark):
+    """The held-out shingle set must broadcast (benchmarks are MBs
+    against TBs of train data) so the train corpus is never shuffled
+    for the match."""
+    plan = _plan(spark, "decontam_ngram_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_text_repetition_topk_bounded_in_shuffle(spark):
+    """The per-doc top-bigram selection must compile to WindowGroupLimit
+    — a boilerplate doc with thousands of distinct bigrams must not
+    force a full per-doc sort."""
+    plan = _plan(spark, "text_repetition")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_join_blocks_are_hash_joins(spark):
+    """All four PassJoin block joins must be equality hash/sort-merge
+    joins on the block key; the quadratic form lives only in the DuckDB
+    oracle."""
+    plan = _plan(spark, "fuzzy_join_levenshtein")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
