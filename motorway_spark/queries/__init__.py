@@ -62,6 +62,7 @@ _SWEEP_PRIORITY = [
     "fuzzy_join_levenshtein",  # shifted-tail PassJoin blocking
     "decontam_ngram_overlap",  # new in r4: benchmark decontamination
     "text_repetition",         # new in r4: Gopher-style repetition signals
+    "text_pii_redact",         # new in r4: PII scrubbing audit
     # -- latest driver row is ROUND 1 (two fixture regens old) --
     "q1_pricing_summary",
     "filter_project",

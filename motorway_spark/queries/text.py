@@ -422,3 +422,71 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data scrubbing).
+# ---------------------------------------------------------------------------
+_ENTITY_RE = "Customer#[0-9]+"
+_AMOUNT_RE = "-?[0-9]+[.][0-9]+"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH t AS (
+      SELECT c_custkey,
+             c_name || ' balance ' || CAST(c_acctbal AS VARCHAR)
+                    || ' segment ' || c_mktsegment AS text
+      FROM customer)
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(text, '{_ENTITY_RE}', '<NAME>', 'g'),
+                          '{_AMOUNT_RE}', '<AMOUNT>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '{_ENTITY_RE}'))
+              + len(regexp_extract_all(text, '{_AMOUNT_RE}')) AS BIGINT)
+             AS n_redactions
+    FROM t
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every training-data pipeline
+    runs before text leaves the trust boundary: replace
+    personally-identifying spans with typed placeholder tokens and emit
+    a per-record redaction count (the audit that proves the scrub ran).
+    Patterns here are entity ids and money amounts (what the TPC-H-ish
+    fixtures actually contain, so the oracle is NON-vacuous — every row
+    redacts); production swaps in email/phone/SSN patterns, same plan.
+
+    Pattern dialect note: Spark regexes are java.util.regex, DuckDB's
+    are RE2 — the patterns stay inside the common subset (character
+    classes, quantifiers; no lookaround, which RE2 lacks), and DuckDB's
+    regexp_replace needs the explicit 'g' flag to match Spark's
+    replace-all default.
+
+    Scale shape: pure map over one scan, zero shuffle, fully codegen'd
+    (regexp_replace/regexp_count are JVM-side Catalyst expressions, not
+    UDFs).
+    """
+    cust = Catalog(spark, sf_dir).customer
+    text = F.concat(
+        F.col("c_name"),
+        F.lit(" balance "),
+        F.col("c_acctbal").cast("string"),
+        F.lit(" segment "),
+        F.col("c_mktsegment"),
+    )
+    t = cust.select("c_custkey", text.alias("text"))
+    return t.select(
+        "c_custkey",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _ENTITY_RE, "<NAME>"),
+            _AMOUNT_RE,
+            "<AMOUNT>",
+        ).alias("redacted"),
+        (
+            F.regexp_count(F.col("text"), F.lit(_ENTITY_RE))
+            + F.regexp_count(F.col("text"), F.lit(_AMOUNT_RE))
+        )
+        .cast("bigint")
+        .alias("n_redactions"),
+    )
