@@ -483,13 +483,14 @@ def sim_ann_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = Catalog(spark, sf_dir).embeddings
+    # one bounded collect serves both the codebook (8 vectors) and the
+    # query set (20) — two separate collects would each pay a Spark job
+    small = emb.filter(
+        (F.col("vec_id") < N_QUERIES)
+        | ((F.col("vec_id") >= IVF_CENTROID_LO) & (F.col("vec_id") <= IVF_CENTROID_HI))
+    ).select("vec_id", "embedding").collect()
     cent_rows = sorted(
-        emb.filter(
-            (F.col("vec_id") >= IVF_CENTROID_LO) & (F.col("vec_id") <= IVF_CENTROID_HI)
-        )
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r["vec_id"],
+        (r for r in small if r["vec_id"] >= IVF_CENTROID_LO), key=lambda r: r["vec_id"]
     )
     cents = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
 
@@ -522,8 +523,8 @@ def sim_ann_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # probe list: 20 query vectors x 8 cells — computed on the driver
     # with the SAME accumulation, bounded like sim_knn_matmul's collect
-    q_rows = (
-        emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
+    q_rows = sorted(
+        (r for r in small if r["vec_id"] < N_QUERIES), key=lambda r: r["vec_id"]
     )
     q_vecs = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     q_dists = _cell_dists(q_vecs)
