@@ -63,6 +63,7 @@ _SWEEP_PRIORITY = [
     "decontam_ngram_overlap",  # new in r4: benchmark decontamination
     "text_repetition",         # new in r4: Gopher-style repetition signals
     "text_pii_redact",         # new in r4: PII scrubbing audit
+    "scan_text",               # new in r4: raw line-oriented text scan
     # -- latest driver row is ROUND 1 (two fixture regens old) --
     "q1_pricing_summary",
     "filter_project",

@@ -179,3 +179,45 @@ def scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum(dec("s_acctbal")).cast("double"), 4).alias("total_bal"),
     )
+
+
+@query(
+    "scan_text",
+    oracle="""
+    SELECT string_split(text, ' ')[1] AS first_token,
+           COUNT(*) AS n_lines,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw line-oriented text source (``spark.read.text``) — the native
+    shape of a pretraining corpus before any schema exists: one document
+    per line, schema imposed AFTER the scan (here: group lines by their
+    first token). The derived .txt copy holds the documents fixture's
+    text column verbatim (the fixture has no embedded newlines); the
+    oracle computes the same aggregate from the original parquet, so
+    passing proves the text round-trip and the line scan are value-exact.
+    """
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = f"/tmp/motorway_scans/{tag}"
+    out = f"{out_dir}/documents.txt"
+    if not os.path.exists(out):
+        import pyarrow.parquet as pq
+
+        os.makedirs(out_dir, exist_ok=True)
+        texts = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        ).to_pylist()
+        tmp = out + ".tmp"
+        with open(tmp, "w") as f:
+            for r in sorted(texts, key=lambda r: r["doc_id"]):
+                f.write(r["text"] + "\n")
+        os.replace(tmp, out)
+    lines = spark.read.text(out)
+    return lines.groupBy(
+        F.split(F.col("value"), " ").getItem(0).alias("first_token")
+    ).agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).cast("bigint").alias("total_chars"),
+    )
