@@ -20,7 +20,9 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -114,6 +116,75 @@ class SpoolStreamReader(DataSourceStreamReader):
                 pass
 
 
+class _SpoolWriteMessage(WriterCommitMessage):
+    """Per-task commit message: staged (tmp_path, final_name) pairs."""
+
+    def __init__(self, staged: list[tuple[str, str]]):
+        self.staged = staged
+
+
+class SpoolStreamWriter(DataSourceStreamWriter):
+    """First-class streaming WRITER on the Python Data Source API —
+    the sink half of the Ramp contract done as a data source rather
+    than ``foreachBatch`` (``SpoolDirSink`` in sinks/spool.py is the
+    foreachBatch twin; this one lets user code say
+    ``df.writeStream.format("spooldir")`` symmetrically with the read
+    side).
+
+    Two-phase protocol: ``write`` (executor) stages each record under
+    ``_staging/`` and returns the staged names; ``commit`` (driver,
+    only after EVERY task succeeded) atomically renames them to their
+    final per-record-id names — a replayed micro-batch re-stages and
+    the renames overwrite the same names, so replay is a no-op
+    (SQS-dedup-id semantics, exactly like the foreachBatch twin);
+    ``abort`` removes the staged files so failed batches leave no
+    partial output. Local/shared-FS semantics: commit renames on the
+    driver — the pattern object stores implement with a manifest."""
+
+    def __init__(self, options, schema: StructType):
+        self.spool_dir = options["path"]
+        self.id_col = options.get("idCol", "message_id")
+        if self.id_col not in schema.fieldNames():
+            raise ValueError(
+                f"idCol {self.id_col!r} not in stream schema {schema.fieldNames()}"
+            )
+
+    def write(self, iterator) -> _SpoolWriteMessage:
+        import uuid
+
+        staged_dir = os.path.join(self.spool_dir, "_staging")
+        os.makedirs(staged_dir, exist_ok=True)
+        staged: list[tuple[str, str]] = []
+        for row in iterator:
+            d = row.asDict(recursive=True)
+            rid = str(d.pop(self.id_col))
+            tmp = os.path.join(staged_dir, f"{rid}-{uuid.uuid4().hex[:8]}.json.tmp")
+            with open(tmp, "w") as fh:
+                json.dump({"id": rid, "body": d}, fh, sort_keys=True)
+            staged.append((tmp, f"{rid}.json"))
+        return _SpoolWriteMessage(staged)
+
+    def commit(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for tmp, final in m.staged:
+                try:
+                    os.replace(tmp, os.path.join(self.spool_dir, final))
+                except FileNotFoundError:
+                    pass  # already promoted by a duplicate task attempt
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages or []:
+            if m is None:
+                continue
+            for tmp, _final in m.staged:
+                try:
+                    os.remove(tmp)
+                except FileNotFoundError:
+                    pass
+
+
 class SpoolDirSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -124,3 +195,6 @@ class SpoolDirSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return SpoolStreamReader(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> SpoolStreamWriter:
+        return SpoolStreamWriter(self.options, schema)

@@ -237,3 +237,75 @@ def test_spool_sink_external_id_upsert(spark, tmp_path):
     assert files == ["opp-1.json"]  # one object per external id
     with open(os.path.join(spool, "opp-1.json")) as fh:
         assert json.load(fh)["body"] == {"amount": 250, "stage": "won"}
+
+
+# ---------------------------------------------------------------------------
+# SpoolStreamWriter: first-class streaming writer on the Python Data
+# Source API (the writeStream.format("spooldir") half of the contract).
+# ---------------------------------------------------------------------------
+def test_spool_stream_writer_end_to_end(spark, tmp_path):
+    """spooldir source -> transform -> writeStream.format("spooldir"):
+    every record lands exactly once under its own id-named file."""
+    register_sources(spark)
+    src = str(tmp_path / "in_q")
+    os.makedirs(src)
+    for i in range(8):
+        with open(f"{src}/m{i:03d}.json", "w") as fh:
+            json.dump({"id": f"m{i}", "body": {"n": i, "group": f"g{i % 2}"}}, fh)
+    out = str(tmp_path / "out_q")
+    os.makedirs(out)
+
+    stream = (
+        spark.readStream.format("spooldir")
+        .option("path", src)
+        .option("deleteOnCommit", "false")
+        .load()
+        .withColumn("doubled", F.get_json_object("body", "$.n").cast("int") * 2)
+        .select("message_id", "doubled")
+    )
+    query = start_and_drain(
+        lambda: stream.writeStream.format("spooldir")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    query.stop()
+
+    files = sorted(f for f in os.listdir(out) if f.endswith(".json"))
+    assert files == [f"m{i}.json" for i in range(8)]
+    with open(os.path.join(out, "m3.json")) as fh:
+        assert json.load(fh) == {"id": "m3", "body": {"doubled": 6}}
+    # no staged leftovers after a clean commit
+    staging = os.path.join(out, "_staging")
+    assert not os.path.exists(staging) or os.listdir(staging) == []
+
+
+def test_spool_stream_writer_replay_and_abort(spark, tmp_path):
+    """Unit-level two-phase semantics: a replayed batch overwrites the
+    same final names (no duplicates); an aborted batch leaves nothing."""
+    from pyspark.sql import Row
+    from pyspark.sql.types import StructType, StructField, StringType
+
+    from motorway_spark.sources.spool import SpoolStreamWriter
+
+    out = str(tmp_path / "q")
+    os.makedirs(out)
+    schema = StructType(
+        [StructField("message_id", StringType()), StructField("v", StringType())]
+    )
+    writer = SpoolStreamWriter({"path": out}, schema)
+    rows = [Row(message_id="a", v="1"), Row(message_id="b", v="2")]
+
+    # batch 0 committed twice (replay after a checkpoint gap)
+    for _ in range(2):
+        msg = writer.write(iter(rows))
+        writer.commit([msg], batchId=0)
+    finals = sorted(f for f in os.listdir(out) if f.endswith(".json"))
+    assert finals == ["a.json", "b.json"]
+
+    # aborted batch: staged files removed, spool unchanged
+    msg = writer.write(iter([Row(message_id="c", v="3")]))
+    writer.abort([msg], batchId=1)
+    assert sorted(f for f in os.listdir(out) if f.endswith(".json")) == finals
+    assert os.listdir(os.path.join(out, "_staging")) == []
