@@ -20,6 +20,7 @@ from motorway_spark.queries.registry import QUERIES, ORACLES, query, get_queries
 # had a driver CORRECTNESS row therefore register FIRST; the families
 # already verified green in round 1 (relational, tpch_extra, joins,
 # windows) register LAST.
+from motorway_spark.queries import dataquality  # noqa: F401,E402
 from motorway_spark.queries import timeseries  # noqa: F401,E402
 from motorway_spark.queries import profiling  # noqa: F401,E402
 from motorway_spark.queries import dedup  # noqa: F401,E402
@@ -64,6 +65,10 @@ _SWEEP_PRIORITY = [
     "text_repetition",         # new in r4: Gopher-style repetition signals
     "text_pii_redact",         # new in r4: PII scrubbing audit
     "scan_text",               # new in r4: raw line-oriented text scan
+    "dq_checks",               # new in r4: declarative data-quality suite
+    "events_anomaly_zscore",   # new in r4: hourly volume anomaly report
+    "agg_histogram",           # new in r4: fixed-edge equi-width histogram
+    "fn_try_arith",            # new in r4: TRY (error-safe) expression surface
     # -- latest driver row is ROUND 1 (two fixture regens old) --
     "q1_pricing_summary",
     "filter_project",

@@ -1,0 +1,371 @@
+"""Data-quality validation + monitoring operators.
+
+North-star extensions: a 100 TB training-data pipeline gates every
+ingest behind declarative data-quality checks (the Deequ/Great-
+Expectations pattern) and watches its stream tables for statistical
+anomalies. Reference analogue: motorway's only "validation" is the
+per-sink size guard (/root/reference/motorway/contrib/amazon_sqs/
+utils.py:8-13) and crash-isolation of bad records
+(intersection.py:135-143); these operators make the checks
+first-class, set-oriented, and single-scan.
+
+Scale notes:
+
+- ``dq_checks``: the whole constraint suite costs TWO fact-table scans
+  (one conditional aggregate per table — every row-level predicate is
+  folded into one codegen'd pass) plus two key-only anti-joins for
+  referential integrity. Uniqueness runs in its own single-purpose
+  aggregate so the count_distinct Expand never multiplies the
+  conditional-count pass (the profiler's measured split,
+  profiling.py:88-97). All intermediates are one-row DataFrames; the
+  final assembly is a broadcast of single rows, not a data-sized join.
+- ``events_anomaly_zscore``: per-key mean/stddev are derived from
+  EXACT integer sums (count, sum, sum-of-squares of bigint counts), so
+  the z-score is one fixed IEEE expression over identical integers in
+  both engines — bit-reproducible, unlike ``stddev_samp`` whose
+  summation order differs per engine. Stats per event_type are 5 rows
+  → broadcast back onto the hourly counts; no second shuffle.
+- ``agg_histogram``: fixed-edge equi-width binning is a pure map +
+  single aggregate; bucket ids come from ``floor`` arithmetic on
+  literals (no two-pass min/max), the layout that lets a 100 TB scan
+  histogram in one pass with map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from motorway_spark.catalog import Catalog
+from motorway_spark.queries.registry import query
+
+# --------------------------------------------------------------------------
+# dq_checks — declarative constraint suite over orders + lineitem
+# --------------------------------------------------------------------------
+
+# (check_name, table, SQL predicate counting VIOLATIONS) — row-level
+# checks; each table's predicates run in ONE conditional aggregate.
+_ROW_CHECKS = (
+    (
+        "orders_custkey_not_null",
+        "orders",
+        "o_custkey IS NULL",
+    ),
+    (
+        "orders_status_in_domain",
+        "orders",
+        "o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P')",
+    ),
+    (
+        "orders_totalprice_positive",
+        "orders",
+        "o_totalprice IS NULL OR o_totalprice <= 0",
+    ),
+    (
+        "lineitem_qty_in_range",
+        "lineitem",
+        "l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50",
+    ),
+    (
+        "lineitem_discount_in_range",
+        "lineitem",
+        "l_discount IS NULL OR l_discount < 0 OR l_discount > 1",
+    ),
+    (
+        "lineitem_linenumber_positive",
+        "lineitem",
+        "l_linenumber IS NULL OR l_linenumber < 1",
+    ),
+)
+
+
+def _oracle_dq() -> str:
+    parts = []
+    for name, table, pred in _ROW_CHECKS:
+        parts.append(
+            f"""
+    SELECT '{name}' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE {pred}) AS BIGINT) AS violations,
+           COUNT(*) FILTER (WHERE {pred}) = 0 AS passed
+    FROM {table}"""
+        )
+    parts.append(
+        """
+    SELECT 'orders_pk_unique' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS violations,
+           COUNT(*) = COUNT(DISTINCT o_orderkey) AS passed
+    FROM orders"""
+    )
+    parts.append(
+        """
+    SELECT 'lineitem_pk_unique' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS violations,
+           COUNT(*) = COUNT(DISTINCT (l_orderkey, l_linenumber)) AS passed
+    FROM lineitem"""
+    )
+    parts.append(
+        """
+    SELECT 'orders_fk_customer' AS check_name,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS violations,
+           COUNT(*) = 0 AS passed
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)"""
+    )
+    parts.append(
+        """
+    SELECT 'lineitem_fk_orders' AS check_name,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS violations,
+           COUNT(*) = 0 AS passed
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)"""
+    )
+    return " UNION ALL ".join(parts)
+
+
+@query("dq_checks", oracle=_oracle_dq())
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite (completeness, domain, range,
+    uniqueness, referential integrity) as ONE report DataFrame: one row
+    per check with rows-examined, violation count, and a pass flag.
+
+    Plan shape: per fact table, one conditional aggregate evaluates all
+    of its row-level predicates in a single scan (``count_if`` columns,
+    pure codegen); uniqueness runs as its own distinct-only aggregate so
+    the RewriteDistinctAggregates Expand never touches the conditional
+    buffers; FK checks are key-only LEFT ANTI joins (column-pruned to
+    the join keys). Every intermediate is a one-row DataFrame, so the
+    assembly cross-joins broadcast single rows and stacks them to the
+    report layout — no data-sized join anywhere."""
+    cat = Catalog(spark, sf_dir)
+    orders, lineitem, customer = cat.orders, cat.lineitem, cat.customer
+
+    def _conditional(table_df: DataFrame, table: str) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias(f"{table}__rows")]
+        for name, tbl, pred in _ROW_CHECKS:
+            if tbl == table:
+                aggs.append(F.expr(f"count_if({pred})").alias(f"v__{name}"))
+        return table_df.agg(*aggs)
+
+    o_cond = _conditional(orders, "orders")
+    l_cond = _conditional(lineitem, "lineitem")
+    o_uniq = orders.agg(
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("v__orders_pk_unique")
+    )
+    l_uniq = lineitem.agg(
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(F.struct("l_orderkey", "l_linenumber"))
+        ).alias("v__lineitem_pk_unique")
+    )
+    o_fk = (
+        orders.select("o_custkey")
+        .join(customer.select("c_custkey"), orders.o_custkey == customer.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("v__orders_fk_customer"))
+    )
+    l_fk = (
+        lineitem.select("l_orderkey")
+        .join(orders.select("o_orderkey"), lineitem.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("v__lineitem_fk_orders"))
+    )
+
+    wide = o_cond
+    for one_row in (l_cond, o_uniq, l_uniq, o_fk, l_fk):
+        wide = wide.crossJoin(one_row)
+
+    rows = [(name, f"{tbl}__rows") for name, tbl, _ in _ROW_CHECKS]
+    rows += [
+        ("orders_pk_unique", "orders__rows"),
+        ("lineitem_pk_unique", "lineitem__rows"),
+        ("orders_fk_customer", "orders__rows"),
+        ("lineitem_fk_orders", "lineitem__rows"),
+    ]
+    stack_args = ", ".join(
+        f"'{name}', {rows_col}, v__{name}" for name, rows_col in rows
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(rows)}, {stack_args}) AS (check_name, n_rows, violations)"
+        )
+    ).withColumn("passed", F.col("violations") == 0)
+
+
+# --------------------------------------------------------------------------
+# agg_histogram — fixed-edge equi-width histogram
+# --------------------------------------------------------------------------
+
+_HIST_LO = 900.0
+_HIST_W = 5205.0  # (105_000 - 900) / 20
+_HIST_NBINS = 20
+
+# floor() output is integral, so the bigint cast is exact in both
+# engines (Spark truncates, DuckDB rounds — identical on integers).
+_BUCKET_EXPR = (
+    f"CAST(LEAST(FLOOR((l_extendedprice - {_HIST_LO}) / {_HIST_W}), "
+    f"{_HIST_NBINS - 1}) AS BIGINT)"
+)
+
+
+@query(
+    "agg_histogram",
+    oracle=f"""
+    SELECT {_BUCKET_EXPR} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           printf('%.2f', CAST({_HIST_LO} + {_BUCKET_EXPR} * {_HIST_W} AS DOUBLE)) AS lo_edge,
+           printf('%.2f', CAST({_HIST_LO} + ({_BUCKET_EXPR} + 1) * {_HIST_W} AS DOUBLE)) AS hi_edge
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of ``l_extendedprice`` with FIXED literal
+    edges (the one-pass layout: no preliminary min/max scan, so a
+    100 TB histogram is a single scan with map-side partial
+    aggregation). Bucket ids come from ``floor`` on literal arithmetic
+    — the same IEEE ops in both engines — and the top edge clamps with
+    ``LEAST`` so the max value lands in the last bin, matching
+    ``width_bucket`` semantics without its engine-specific edge
+    handling. Edges are rendered per bucket for the report."""
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.select(F.expr(_BUCKET_EXPR).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "bucket",
+            "n_rows",
+            F.expr(
+                f"printf('%.2f', CAST({_HIST_LO} + bucket * {_HIST_W} AS DOUBLE))"
+            ).alias("lo_edge"),
+            F.expr(
+                f"printf('%.2f', CAST({_HIST_LO} + (bucket + 1) * {_HIST_W} AS DOUBLE))"
+            ).alias("hi_edge"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# events_anomaly_zscore — per-type hourly anomaly detection
+# --------------------------------------------------------------------------
+
+# One fixed IEEE expression over exact integers (c, s, sq, n are all
+# bigint): identical op tree => bit-identical double in both engines.
+_Z_EXPR = (
+    "(CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / "
+    "sqrt((CAST(sq AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE)) "
+    "/ CAST(n - 1 AS DOUBLE))"
+)
+
+_Z_THRESHOLD = 2.0
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket_hour, event_type,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c * c) AS BIGINT) AS sq
+      FROM hourly GROUP BY 1)
+    SELECT bucket_hour, event_type, c AS n_events,
+           ROUND({_Z_EXPR}, 6) AS zscore
+    FROM hourly JOIN stats USING (event_type)
+    WHERE ABS({_Z_EXPR}) > {_Z_THRESHOLD}
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection on the events stream table: hourly
+    event counts per type, flagged where the count deviates more than
+    {2}σ from that type's mean hourly volume.
+
+    Determinism: mean and variance are derived from EXACT integer
+    aggregates (n, Σc, Σc²) rather than ``stddev_samp`` — float
+    aggregation order differs per engine, but these integer sums are
+    exact, and the z-score is then one fixed IEEE-double expression
+    evaluated on identical inputs, so even the > threshold comparison
+    is bit-reproducible.
+
+    Scale: one shuffle to hourly granularity (the heavy reduction:
+    raw events collapse ~3 orders of magnitude), then per-type stats
+    are |event_type| rows — broadcast back onto the hourly counts."""
+    events = Catalog(spark, sf_dir).events
+    hourly = (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket_hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"),
+    )
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .where(F.expr(f"ABS({_Z_EXPR}) > {_Z_THRESHOLD}"))
+        .select(
+            "bucket_hour",
+            "event_type",
+            F.col("c").alias("n_events"),
+            F.expr(f"ROUND({_Z_EXPR}, 6)").alias("zscore"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# fn_try_arith — error-safe (TRY) expression surface
+# --------------------------------------------------------------------------
+
+
+@query(
+    "fn_try_arith",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / NULLIF(l_quantity - 1.0, 0.0) AS safe_ratio,
+           TRY_CAST(CASE WHEN l_linenumber % 2 = 0
+                         THEN CAST(l_orderkey AS VARCHAR)
+                         ELSE l_returnflag END AS INTEGER) AS maybe_int,
+           TRY_CAST(CASE WHEN l_linenumber % 3 = 0
+                         THEN '2024-01-15 00:00:00'
+                         ELSE 'not a timestamp' END AS TIMESTAMP) AS maybe_ts,
+           ([10, 20, 30])[l_linenumber] AS maybe_elem
+    FROM lineitem
+    WHERE l_orderkey % 10 = 0
+    """,
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression surface: ``try_divide`` (null on /0 instead
+    of Inf/exception), ``try_cast`` (null on malformed input),
+    ``try_to_timestamp``, ``try_element_at`` (null past the end). The
+    ANSI-mode escape hatches a pipeline needs so one malformed record
+    degrades to NULL instead of killing the job — the set-oriented
+    version of the reference's per-record crash isolation
+    (/root/reference/motorway/intersection.py:135-143). All pure
+    codegen'd projections; the oracle expresses the same semantics via
+    DuckDB's NULLIF / TRY_CAST / out-of-bounds list indexing."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.where("l_orderkey % 10 = 0").select(
+        "l_orderkey",
+        "l_linenumber",
+        # no ROUND: both engines IEEE-divide the same doubles, so the raw
+        # quotient is bit-identical — while their ROUND(double, n) impls
+        # differ (exact-decimal vs scaled-float) near k.5e-n boundaries
+        F.expr("try_divide(l_extendedprice, l_quantity - 1.0)").alias("safe_ratio"),
+        F.expr(
+            "try_cast(CASE WHEN l_linenumber % 2 = 0 "
+            "THEN CAST(l_orderkey AS STRING) ELSE l_returnflag END AS INT)"
+        ).alias("maybe_int"),
+        F.expr(
+            "try_to_timestamp(CASE WHEN l_linenumber % 3 = 0 "
+            "THEN '2024-01-15 00:00:00' ELSE 'not a timestamp' END)"
+        ).alias("maybe_ts"),
+        F.expr("try_element_at(array(10, 20, 30), l_linenumber)").alias("maybe_elem"),
+    )
