@@ -69,6 +69,9 @@ _SWEEP_PRIORITY = [
     "events_anomaly_zscore",   # new in r4: hourly volume anomaly report
     "agg_histogram",           # new in r4: fixed-edge equi-width histogram
     "fn_try_arith",            # new in r4: TRY (error-safe) expression surface
+    "dedup_containment",       # new in r4: directional sub-document containment
+    "scan_schema_evolution",   # new in r4: mergeSchema two-generation scan
+    "sql_api_group_by_all",    # new in r4: GROUP BY ALL SQL sugar
     # -- latest driver row is ROUND 1 (two fixture regens old) --
     "q1_pricing_summary",
     "filter_project",

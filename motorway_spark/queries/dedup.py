@@ -878,3 +878,103 @@ def _lev1_candidates(df: DataFrame, id_col: str, name_col: str) -> DataFrame:
         )
         .filter(F.abs(F.length("name_a") - F.length("name_b")) <= 1)
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_containment — directional sub-document containment
+# --------------------------------------------------------------------------
+
+# Rare-shingle candidate gate: only shingles with document frequency
+# <= this cap generate candidate pairs. The exclusion rule is part of
+# the operator contract (applied identically in the oracle), exactly
+# like dedup_minhash_capped's hot-bucket cap: high-df shingles are
+# boilerplate — they generate quadratic candidate blow-up while any
+# pair at a high containment threshold almost surely also shares rare
+# shingles. At 100 TB this caps the candidate join at sum(df<=cap df^2)
+# instead of sum over all shingles.
+CONTAIN_DF_CAP = 5
+CONTAIN_NUM, CONTAIN_DEN = 9, 10  # threshold 0.9 as an exact fraction
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, UNNEST({_SQL_WORD_SHINGLES}) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+    df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+    rare AS (SELECT s FROM df WHERE df <= {CONTAIN_DF_CAP}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b USING (s) JOIN rare USING (s)
+      WHERE a.doc_id <> b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT doc_a, doc_b, sa.n AS n_a, n_common,
+           CAST(n_common AS DOUBLE) / sa.n AS containment
+    FROM common JOIN sizes sa ON doc_a = sa.doc_id
+    WHERE n_common * {CONTAIN_DEN} >= sa.n * {CONTAIN_NUM}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment near-dup: flag (doc_a, doc_b) where at
+    least 90% of doc_a's word-3-gram shingles also appear in doc_b —
+    the sub-document/template-instance relation that symmetric Jaccard
+    misses when |A| << |B| (a quote, a boilerplate header, a chunked
+    copy). This is the containment form of near-dup used for corpus
+    hygiene alongside minhash (Broder's containment vs resemblance
+    distinction).
+
+    Two-pass candidate/verify shape (the repo's standard scale
+    pattern): candidates come from a self-join restricted to RARE
+    shingles (df <= {CONTAIN_DF_CAP}; the df cap is the hot-bucket cap
+    analogue and part of the contract — the oracle applies it too),
+    then the EXACT common-shingle count is recomputed only for
+    candidate pairs. The >= 0.9 decision is integer arithmetic
+    (n_common * 10 >= n_a * 9) — no float in the predicate — and the
+    reported containment is a single integer/integer IEEE division,
+    bit-identical cross-engine."""
+    docs = Catalog(spark, sf_dir).documents
+    sh = docs.select(
+        "doc_id", F.explode(_word_shingles(F.col("text"))).alias("s")
+    )
+    rare = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= CONTAIN_DF_CAP)
+        .select("s")
+    )
+    sh_rare = sh.join(rare, "s")
+    cand = (
+        sh_rare.select(F.col("doc_id").alias("doc_a"), "s")
+        .join(sh_rare.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .where(F.col("n_common") * CONTAIN_DEN >= F.col("n_a") * CONTAIN_NUM)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_common",
+            (F.col("n_common").cast("double") / F.col("n_a")).alias("containment"),
+        )
+    )

@@ -221,3 +221,58 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.sum(F.length("value")).cast("bigint").alias("total_chars"),
     )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle=f"""
+    WITH unioned AS (
+      SELECT l_orderkey, l_quantity, CAST(NULL AS DOUBLE) AS l_extendedprice
+      FROM lineitem WHERE l_orderkey % 7 = 0
+      UNION ALL
+      SELECT l_orderkey, CAST(NULL AS DOUBLE) AS l_quantity, l_extendedprice
+      FROM lineitem WHERE l_orderkey % 7 = 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(l_quantity) AS BIGINT) AS n_qty,
+           CAST(COUNT(l_extendedprice) AS BIGINT) AS n_price,
+           CAST(SUM(l_orderkey) AS BIGINT) AS key_checksum,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_dsum('l_extendedprice', 'sum_price')}
+    FROM unioned
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan (``mergeSchema``): two parquet generations
+    of the same table — v1 carries ``l_quantity``, v2 replaces it with
+    ``l_extendedprice`` — read in ONE scan that unions the schemas and
+    null-fills the columns each file lacks. This is how a 100 TB
+    lakehouse table absorbs column adds/drops without rewriting old
+    files; the footer-driven merge keeps per-file column pruning and
+    pushdown intact. The generations are materialized once per SF under
+    /tmp (disjoint ``l_orderkey % 7`` slices, so the expected union is
+    derivable from the original fixture); the oracle replays the union
+    with explicit NULL columns — passing proves the merged read is
+    value-exact, null-pattern included."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = f"/tmp/motorway_scans/{tag}/lineitem_evo"
+    v1, v2 = f"{base}/v1", f"{base}/v2"
+    marker = f"{base}/.ready"
+    if not os.path.exists(marker):
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        li.where("l_orderkey % 7 = 0").select("l_orderkey", "l_quantity").write.mode(
+            "overwrite"
+        ).parquet(v1)
+        li.where("l_orderkey % 7 = 1").select(
+            "l_orderkey", "l_extendedprice"
+        ).write.mode("overwrite").parquet(v2)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    merged = spark.read.option("mergeSchema", "true").parquet(v1, v2)
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("l_quantity").alias("n_qty"),
+        F.count("l_extendedprice").alias("n_price"),
+        F.sum("l_orderkey").alias("key_checksum"),
+        F.round(F.sum(dec("l_quantity")).cast("double"), 4).alias("sum_qty"),
+        F.round(F.sum(dec("l_extendedprice")).cast("double"), 4).alias("sum_price"),
+    )

@@ -852,3 +852,38 @@ def sql_api_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey <= 100
         """
     )
+
+
+@query(
+    "sql_api_group_by_all",
+    oracle=f"""
+    SELECT n_name, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o_totalprice', 'total_price')}
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ALL
+    """,
+)
+def sql_api_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` on the SQL string surface (Spark 3.4+ / DuckDB
+    both infer the grouping keys from the non-aggregate select items) —
+    the analyst-ergonomics sugar a SQL-first user of the engine expects
+    to keep working. Same Catalyst plan as the explicit GROUP BY: dims
+    broadcast, partial/final hash aggregate."""
+    Catalog(spark, sf_dir).register_temp_views(
+        only=("orders", "customer", "nation")
+    )
+    return spark.sql(
+        """
+        SELECT n_name, o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 4)
+                 AS total_price
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ALL
+        """
+    )

@@ -258,3 +258,58 @@ def test_fuzzy_join_blocks_are_hash_joins(spark):
     plan = _plan(spark, "fuzzy_join_levenshtein")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions (batch 2): data-quality family, containment, SQL sugar.
+# ---------------------------------------------------------------------------
+def test_dq_checks_anti_joins_and_no_cartesian(spark):
+    """FK integrity must be key-only LEFT ANTI joins; the report
+    assembly cross-joins ONE-ROW aggregates only (broadcast nested loop
+    over single rows) — never a data-sized CartesianProduct."""
+    plan = _plan(spark, "dq_checks")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_anomaly_zscore_broadcasts_stats(spark):
+    """Per-type stats (|event_type| rows) must broadcast back onto the
+    hourly counts — flagging must not re-shuffle the hourly table."""
+    plan = _plan(spark, "events_anomaly_zscore")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_agg_histogram_single_pass_partial_agg(spark):
+    """Fixed-edge binning must be ONE scan with partial+final hash
+    aggregation — no min/max pre-pass, no second exchange."""
+    plan = _plan(spark, "agg_histogram")
+    assert plan.count("HashAggregate") >= 2
+    simple = (
+        QUERIES["agg_histogram"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert simple.count("Exchange hashpartitioning") == 1
+    assert simple.count("FileScan parquet") == 1
+
+
+def test_fn_try_arith_is_pure_map(spark):
+    """The TRY surface is a projection+filter: zero exchanges."""
+    assert "Exchange" not in _plan(spark, "fn_try_arith")
+
+
+def test_dedup_containment_equality_joins_only(spark):
+    """Candidate generation and the exact recount must ride
+    shingle/doc-id equality joins (hash or sort-merge) — the quadratic
+    all-pairs form must never appear."""
+    plan = _plan(spark, "dedup_containment")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_group_by_all_broadcasts_dims(spark):
+    plan = _plan(spark, "sql_api_group_by_all")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
