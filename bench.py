@@ -59,6 +59,10 @@ BENCH_QUERIES = [
     "dedup_minhash_capped",
     # round-4 addition: oracle-exact IVF ANN (fixed coarse codebook)
     "sim_ann_ivf_fixed",
+    # round-4 batch 2: data-quality gate, anomaly monitor, containment
+    "dq_checks",
+    "events_anomaly_zscore",
+    "dedup_containment",
 ]
 
 

@@ -72,6 +72,7 @@ _SWEEP_PRIORITY = [
     "dedup_containment",       # new in r4: directional sub-document containment
     "scan_schema_evolution",   # new in r4: mergeSchema two-generation scan
     "sql_api_group_by_all",    # new in r4: GROUP BY ALL SQL sugar
+    "stream_anomaly_zscore",   # new in r4: streaming twin of the anomaly monitor
     # -- latest driver row is ROUND 1 (two fixture regens old) --
     "q1_pricing_summary",
     "filter_project",

@@ -748,3 +748,72 @@ def stream_scd2_current(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "valid_from_us", "n_events")
     )
+
+
+def _anomaly_oracle() -> str:
+    from motorway_spark.queries.dataquality import _Z_EXPR, _Z_THRESHOLD
+
+    return f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket_hour, event_type,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c * c) AS BIGINT) AS sq
+      FROM hourly GROUP BY 1)
+    SELECT bucket_hour, event_type, c AS n_events,
+           ROUND({_Z_EXPR}, 6) AS zscore
+    FROM hourly JOIN stats USING (event_type)
+    WHERE ABS({_Z_EXPR}) > {_Z_THRESHOLD}
+    """
+
+
+@query("stream_anomaly_zscore", oracle=_anomaly_oracle())
+def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_anomaly_zscore`` (dataquality.py):
+    the hourly per-type counts accumulate in the STREAM (watermarked
+    tumbling windows — bounded state), and the statistical flagging
+    runs batch-side over the drained sink — the same stream-to-serving
+    split as ``stream_topk_heavy_hitters``: z-scores need every
+    bucket's final count, so the global pass belongs at read time, not
+    in per-key state. Stats come from exact integer sums, so the
+    streamed result is bit-identical to the batch twin (streaming/
+    batch parity on the window aggregation, then identical IEEE
+    arithmetic)."""
+    from motorway_spark.queries.dataquality import _Z_EXPR, _Z_THRESHOLD
+
+    events = stream_events(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.col("window.start").alias("bucket_hour"),
+            "event_type",
+            "c",
+        )
+    )
+    drained = run_stream_to_memory(agg, output_mode="complete")
+    # The z-pass self-joins the hourly table (stats side + flag side),
+    # and a MemoryPlan view cannot self-join (DeduplicateRelations
+    # fails on its leaf). The memory sink is DRIVER-RESIDENT by
+    # construction, so rebasing its rows into a regular DataFrame is
+    # capacity-neutral here; the production form writes the windowed
+    # aggregate to a real table and the flagging pass reads that.
+    hourly = spark.createDataFrame(drained.collect(), drained.schema)
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"),
+    )
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .where(F.expr(f"ABS({_Z_EXPR}) > {_Z_THRESHOLD}"))
+        .select(
+            "bucket_hour",
+            "event_type",
+            F.col("c").alias("n_events"),
+            F.expr(f"ROUND({_Z_EXPR}, 6)").alias("zscore"),
+        )
+    )
