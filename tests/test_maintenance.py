@@ -1,0 +1,80 @@
+"""Small-file compaction: size-targeted rewrite, content-preserving,
+optional range clustering with tight per-file key ranges."""
+
+from __future__ import annotations
+
+import glob
+import os
+import uuid
+
+from motorway_spark.maintenance import compact_parquet
+
+
+def _fragmented_copy(spark, sf_dir, tmp, n_frag=64):
+    src = os.path.join(tmp, "frag")
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(n_frag).write.parquet(
+        src
+    )
+    return src
+
+
+def test_compaction_reduces_file_count_preserving_content(spark, sf_dir):
+    tmp = f"/tmp/motorway_compact/{uuid.uuid4().hex}"
+    src = _fragmented_copy(spark, sf_dir, tmp)
+    dst = os.path.join(tmp, "compact")
+
+    orig = spark.read.parquet(src)
+    n_rows = orig.count()
+    _, total_bytes = __import__(
+        "motorway_spark.maintenance", fromlist=["_content_summary"]
+    )._content_summary(spark, src)
+
+    stats = compact_parquet(
+        spark, src, dst, target_file_bytes=max(1, total_bytes // 4)
+    )
+    assert stats.in_files == 64
+    assert stats.rows == n_rows
+    assert stats.out_files <= 5  # ceil(total/(total/4)) = 4 (+rounding)
+    assert stats.out_files < stats.in_files
+
+    # content equality, order-insensitive: anti-joins empty both ways
+    compacted = spark.read.parquet(dst)
+    cols = orig.columns
+    assert orig.join(compacted, cols, "left_anti").count() == 0
+    assert compacted.join(orig, cols, "left_anti").count() == 0
+
+
+def test_compaction_cluster_by_gives_tight_file_ranges(spark, sf_dir):
+    tmp = f"/tmp/motorway_compact/{uuid.uuid4().hex}"
+    src = _fragmented_copy(spark, sf_dir, tmp, n_frag=16)
+    dst = os.path.join(tmp, "clustered")
+
+    _, total_bytes = __import__(
+        "motorway_spark.maintenance", fromlist=["_content_summary"]
+    )._content_summary(spark, src)
+    stats = compact_parquet(
+        spark,
+        src,
+        dst,
+        target_file_bytes=max(1, total_bytes // 8),  # ~8 clustered files
+        cluster_by=["l_orderkey"],
+    )
+    assert stats.rows == spark.read.parquet(src).count()
+
+    # per-file l_orderkey ranges must be (near-)disjoint after range
+    # clustering: the max of file i stays below the min of file i+2
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in sorted(glob.glob(os.path.join(dst, "part-*.parquet"))):
+        t = pq.read_table(f, columns=["l_orderkey"])
+        if t.num_rows:
+            col = t.column("l_orderkey").to_pylist()
+            ranges.append((min(col), max(col)))
+    ranges.sort()
+    overlaps = sum(
+        1 for (a, b) in zip(ranges, ranges[1:]) if a[1] > b[0]
+    )
+    # rangepartitioning boundaries are sampled => allow boundary touch,
+    # but wholesale interleaving means clustering failed
+    assert overlaps <= len(ranges) // 4

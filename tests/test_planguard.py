@@ -1,0 +1,73 @@
+"""Runtime plan guardrails: the pre-flight gate must flag exactly the
+cluster-hostile shapes and pass the engine's own headline plans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from motorway_spark.planguard import PlanGuardError, assert_plan_safe, audit_plan
+from motorway_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cartesian_product_is_flagged(spark):
+    a = spark.range(10_000)
+    b = spark.range(10_000).withColumnRenamed("id", "id2")
+    # force the true cartesian: with broadcast allowed Spark downgrades
+    # to BroadcastNestedLoopJoin (also flagged, but a different check)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        report = audit_plan(a.crossJoin(b))
+        assert not report.ok
+        assert any("O(n^2)" in v for v in report.violations)
+        with pytest.raises(PlanGuardError):
+            assert_plan_safe(a.crossJoin(b))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_keyless_nested_loop_flagged_but_allowable(spark):
+    a = spark.range(1000).withColumnRenamed("id", "x")
+    b = spark.range(5).withColumnRenamed("id", "y")
+    theta = a.join(F.broadcast(b), a.x > b.y)  # non-equi -> BNLJ
+    assert not audit_plan(theta).ok
+    assert audit_plan(theta, allow_nested_loop=True).ok
+
+
+def test_row_udf_flagged_pandas_udf_clean(spark):
+    from pyspark.sql.functions import pandas_udf, udf
+
+    df = spark.range(100).select(F.col("id").cast("double").alias("v"))
+
+    row_double = udf(lambda v: v * 2, "double")
+    assert not audit_plan(df.select(row_double("v"))).ok
+    assert audit_plan(df.select(row_double("v")), allow_row_udf=True).ok
+
+    @pandas_udf("double")
+    def vec_double(s):
+        return s * 2
+
+    assert audit_plan(df.select(vec_double("v"))).ok
+
+
+def test_scan_width_budget(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    narrow = li.select("l_orderkey", "l_quantity")
+    assert audit_plan(narrow, max_scan_columns=4).ok
+    wide = li  # all 11 columns
+    assert not audit_plan(wide.filter("l_quantity > 0"), max_scan_columns=4).ok
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q1_pricing_summary", "q5_local_supplier", "dedup_minhash_capped", "dq_checks"],
+)
+def test_headline_queries_pass_guard(spark, name):
+    """The engine's own headline plans must clear their guard: q1/q5
+    with a 7-column scan budget; dedup/dq assemble one-row broadcast
+    sides, so the nested-loop allowance applies there by design."""
+    df = QUERIES[name](spark, SF)
+    assert_plan_safe(df, allow_nested_loop=True, max_scan_columns=7)
