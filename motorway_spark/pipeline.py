@@ -229,7 +229,11 @@ class Pipeline:
         return {"processingTime": f"{wait} seconds"}
 
     # -- execution -----------------------------------------------------
-    def run(self, trigger: dict | None = None) -> list[object]:
+    def run(
+        self,
+        trigger: dict | None = None,
+        plan_guard: bool | dict = False,
+    ) -> list[object]:
         """Materialize every sink. Batch inputs → writer(df) directly;
         streaming inputs → the writer receives the streaming DataFrame
         and is expected to return a StreamingQuery.
@@ -238,10 +242,27 @@ class Pipeline:
         ``{"processingTime": "5 seconds"}`` or ``{"availableNow":
         True}``) passed to writers that accept a second argument;
         defaults to the cadence implied by ``@batch_process`` tags.
+
+        ``plan_guard``: pre-flight every sink's BATCH plan through
+        :func:`motorway_spark.planguard.assert_plan_safe` before any
+        writer runs — the topology refuses to launch if a stream's plan
+        degenerated (cartesian product, row-Python UDF, ...). Pass a
+        dict to forward allowances (e.g. ``{"allow_nested_loop":
+        True}``). Streaming plans are audited after the source resolves
+        only when Spark can explain them unstarted, so the guard covers
+        batch topologies fully and streaming ones best-effort.
         """
         import inspect
 
         streams = self.compile()
+        if plan_guard:
+            from motorway_spark.planguard import assert_plan_safe
+
+            kwargs = plan_guard if isinstance(plan_guard, dict) else {}
+            for stream_name, _writer in self._sinks:
+                df = streams[stream_name]
+                if not df.isStreaming:
+                    assert_plan_safe(df, **kwargs)
         trigger = trigger if trigger is not None else self.trigger_kwargs()
         results = []
         for stream_name, writer in self._sinks:

@@ -73,6 +73,9 @@ _SWEEP_PRIORITY = [
     "scan_schema_evolution",   # new in r4: mergeSchema two-generation scan
     "sql_api_group_by_all",    # new in r4: GROUP BY ALL SQL sugar
     "stream_anomaly_zscore",   # new in r4: streaming twin of the anomaly monitor
+    "win_time_interval_frame", # new in r4: trailing time-interval range frame
+    "events_funnel",           # new in r4: ordered conversion funnel
+    "agg_corr_regression",     # new in r4: deterministic corr/regression
     # -- latest driver row is ROUND 1 (two fixture regens old) --
     "q1_pricing_summary",
     "filter_project",

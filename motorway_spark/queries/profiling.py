@@ -238,3 +238,78 @@ def zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").alias("s_max"),
         )
     )
+
+
+# One fixed IEEE expression over doubles that were cast from EXACT
+# decimal sums — identical op tree => bit-identical results in both
+# engines (stddev/corr built-ins are NOT reproducible cross-engine:
+# their float accumulation order differs).
+_CORR_NUM = "(CAST(n AS DOUBLE) * sxy - sx * sy)"
+_CORR_EXPR = (
+    f"{_CORR_NUM} / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)"
+    " * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))"
+)
+_SLOPE_EXPR = f"{_CORR_NUM} / (CAST(n AS DOUBLE) * sxx - sx * sx)"
+_ICEPT_EXPR = f"(sy - ({_SLOPE_EXPR}) * sx) / CAST(n AS DOUBLE)"
+
+# Inputs are 2-dp money/quantity values: DECIMAL(18,2) holds them
+# exactly and the PRODUCT type (precision 37, scale 4) stays inside
+# both engines' 38-digit cap with NO scale adjustment — wider input
+# decimals would push products past 38 digits, where Spark and DuckDB
+# diverge (scale-reduction vs promotion).
+_CORR_SUMS_SQL = """
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query(
+    "agg_corr_regression",
+    oracle=f"""
+    WITH sums AS ({_CORR_SUMS_SQL})
+    SELECT l_returnflag, n,
+           ROUND({_CORR_EXPR}, 6) AS corr_qty_price,
+           ROUND({_SLOPE_EXPR}, 6) AS slope,
+           ROUND({_ICEPT_EXPR}, 4) AS intercept
+    FROM sums
+    """,
+)
+def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation + least-squares regression (price ~ quantity per
+    return flag) with CROSS-ENGINE-DETERMINISTIC results: the five
+    moment sums accumulate as exact DECIMAL(38,6) (order-independent),
+    are cast once to double, and corr/slope/intercept evaluate as one
+    fixed IEEE expression — the same discipline as the anomaly
+    z-score, extended to second moments. The built-in ``corr``/
+    ``regr_slope`` aggregate in float and is NOT reproducible across
+    engines (or even across partitionings of the same engine).
+
+    Scale: a single scan with map-side partial aggregation — the moment
+    sums are the mergeable sufficient statistic, so this is the
+    shuffle-one-row-per-group shape at any data size."""
+    li = Catalog(spark, sf_dir).lineitem
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qty).cast("double").alias("sx"),
+        F.sum(price).cast("double").alias("sy"),
+        F.sum(qty * qty).cast("double").alias("sxx"),
+        F.sum(price * price).cast("double").alias("syy"),
+        F.sum(qty * price).cast("double").alias("sxy"),
+    )
+    return sums.select(
+        "l_returnflag",
+        "n",
+        F.expr(f"ROUND({_CORR_EXPR}, 6)").alias("corr_qty_price"),
+        F.expr(f"ROUND({_SLOPE_EXPR}, 6)").alias("slope"),
+        F.expr(f"ROUND({_ICEPT_EXPR}, 4)").alias("intercept"),
+    )

@@ -402,3 +402,83 @@ def sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.t1
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+      GROUP BY e.user_id),
+    counts AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase)
+    SELECT * FROM (
+      SELECT 1 AS stage_no, 'view' AS stage, n_view AS n_users,
+             CAST(n_view AS DOUBLE) / n_view AS frac_of_top FROM counts
+      UNION ALL
+      SELECT 2, 'click', n_click, CAST(n_click AS DOUBLE) / n_view FROM counts
+      UNION ALL
+      SELECT 3, 'purchase', n_purchase, CAST(n_purchase AS DOUBLE) / n_view
+      FROM counts)
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view -> click -> purchase): a user
+    advances a stage only with an event AT OR AFTER their entry into
+    the previous stage — the product-analytics query behind every
+    conversion dashboard (the reference's vendor domain: Plecto builds
+    KPI dashboards; motorway feeds them — README.md:8).
+
+    Shape: each stage is a user-keyed equality join (events ⋈ previous
+    stage's entry times) + min-aggregate — co-partitioned on user_id, so
+    a 100 TB event log funnels with 3 hash joins on the same key and no
+    all-history window sort. Timestamps compare as exact
+    microsecond instants; counts are integers; the conversion fractions
+    are single integer/integer IEEE divisions — bit-identical
+    cross-engine."""
+    events = Catalog(spark, sf_dir).events
+    v = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        events.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, "
+            "1, 'view', n_view, CAST(n_view AS DOUBLE) / n_view, "
+            "2, 'click', n_click, CAST(n_click AS DOUBLE) / n_view, "
+            "3, 'purchase', n_purchase, CAST(n_purchase AS DOUBLE) / n_view) "
+            "AS (stage_no, stage, n_users, frac_of_top)"
+        )
+    )

@@ -231,3 +231,43 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.nth_value("o_orderkey", 2).over(w_full).alias("second_best"),
     )
+
+
+@query(
+    "win_time_interval_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_prev_hour,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE), 4)
+             AS sum_prev_hour
+    FROM events
+    WHERE user_id <= 30
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_time_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing TIME-interval frame: per user, count and sum of events
+    in the preceding hour (inclusive) — the sliding-lookback aggregate
+    behind rate limits, rolling MAU, and trailing revenue. Spark's
+    ``rangeBetween`` takes numeric offsets only, so the event-time
+    ordering is expressed in epoch MICROSECONDS (``unix_micros``; exact
+    integers — no float epoch ambiguity) with a -3.6e9 lower bound; the
+    oracle uses DuckDB's ``epoch_us`` with the identical frame. RANGE
+    peers (same timestamp) aggregate identically in both engines by the
+    SQL standard, so no artificial tiebreak column is needed. Scale:
+    one hash shuffle on user_id; per-partition state is the one-hour
+    sliding buffer, bounded by event rate x horizon, not stream
+    length."""
+    events = Catalog(spark, sf_dir).events.filter(F.col("user_id") <= 30)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_prev_hour"),
+        F.round(F.sum(dec("value")).over(w).cast("double"), 4).alias("sum_prev_hour"),
+    )

@@ -222,3 +222,36 @@ def test_post_error_to_sentry_decorator():
 
     with _pytest.raises(ValueError, match="original"):
         work2()  # reporting failure must not replace the real error
+
+
+def test_run_plan_guard_rejects_bad_topology(spark):
+    """plan_guard=True must refuse to launch a topology whose sink plan
+    degenerated into a cartesian product, and pass a clean one."""
+    import pytest as _pytest
+
+    from motorway_spark.pipeline import Pipeline
+    from motorway_spark.planguard import PlanGuardError
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(1000)
+        b = spark.range(1000).withColumnRenamed("id", "id2")
+        bad = (
+            Pipeline(spark)
+            .add_ramp(a, "left")
+            .add_intersection(lambda df: df.crossJoin(b), "left", "pairs")
+            .add_sink("pairs", lambda df: df.count())
+        )
+        with _pytest.raises(PlanGuardError):
+            bad.run(plan_guard=True)
+
+        good = (
+            Pipeline(spark)
+            .add_ramp(a, "nums")
+            .add_intersection(lambda df: df.filter("id % 2 = 0"), "nums", "evens")
+            .add_sink("evens", lambda df: df.count())
+        )
+        assert good.run(plan_guard=True) == [500]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
