@@ -76,6 +76,9 @@ _SWEEP_PRIORITY = [
     "win_time_interval_frame", # new in r4: trailing time-interval range frame
     "events_funnel",           # new in r4: ordered conversion funnel
     "agg_corr_regression",     # new in r4: deterministic corr/regression
+    "asof_join_nearest",       # new in r4: nearest-direction as-of join
+    "agg_mode_deterministic",  # new in r4: mode with stated tiebreak
+    "scan_hive_partitioned",   # new in r4: partition-pruned hive layout scan
     # -- latest driver row is ROUND 1 (two fixture regens old) --
     "q1_pricing_summary",
     "filter_project",

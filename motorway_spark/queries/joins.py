@@ -439,3 +439,56 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_items"), dsum("l_extendedprice", "revenue"))
     )
+
+
+@query(
+    "asof_join_nearest",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts,
+           (SELECT p.ts FROM events p
+            WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+            ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)), p.ts
+            LIMIT 1) AS nearest_purchase_ts
+    FROM events c
+    WHERE c.event_type = 'click'
+    """,
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas ``merge_asof
+    direction='nearest'``): for each click, the same user's purchase
+    with the smallest |Δt|; ties (equidistant prior/next) take the
+    EARLIER purchase — stated in both engines (the oracle's tiebreak is
+    ``ORDER BY abs(Δt), p.ts``).
+
+    Spark-first: still not a self-join — the backward and forward
+    candidates come from two window frames over the SAME user_id
+    exchange and event-time sort (last prior / first following
+    purchase, range frames inclusive of the current instant), then one
+    CASE picks the closer side. Exact-integer microsecond arithmetic
+    throughout; one shuffle, no join explosion, same 100 TB shape as
+    ``asof_join``."""
+    events = Catalog(spark, sf_dir).events
+    us = F.unix_micros("ts")
+    w_b = Window.partitionBy("user_id").orderBy(us).rangeBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_f = Window.partitionBy("user_id").orderBy(us).rangeBetween(
+        0, Window.unboundedFollowing
+    )
+    purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    prior = F.last(purchase_ts, ignorenulls=True).over(w_b)
+    nxt = F.first(purchase_ts, ignorenulls=True).over(w_f)
+    c_us = F.unix_micros(F.col("ts"))
+    p_us = F.unix_micros(prior)
+    n_us = F.unix_micros(nxt)
+    nearest = (
+        F.when(prior.isNull(), nxt)
+        .when(nxt.isNull(), prior)
+        .when((c_us - p_us) <= (n_us - c_us), prior)
+        .otherwise(nxt)
+    )
+    return (
+        events.withColumn("nearest_purchase_ts", nearest)
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts", "nearest_purchase_ts")
+    )

@@ -501,3 +501,38 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(pcts, 2).alias("p90"),
         F.element_at(pcts, 3).alias("p99"),
     )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2)
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+    FROM (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                    ORDER BY n DESC, o_orderpriority DESC) AS rn
+          FROM c)
+    WHERE rn = 1
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE: most frequent order priority per status,
+    ties broken toward the lexicographically LARGEST value. Spark's
+    built-in ``mode()``/``max_by`` leave ties engine- and
+    partitioning-dependent; aggregating ``MAX(struct(count, value))``
+    states the tiebreak in the aggregate itself (struct ordering is
+    lexicographic), stays a two-level hash aggregate with map-side
+    combine, and needs no window sort."""
+    orders = Catalog(spark, sf_dir).orders
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    best = counts.groupBy("o_orderstatus").agg(
+        F.max(F.struct(F.col("n"), F.col("o_orderpriority"))).alias("best")
+    )
+    return best.select(
+        "o_orderstatus",
+        F.col("best.o_orderpriority").alias("mode_priority"),
+        F.col("best.n").alias("n"),
+    )

@@ -19,6 +19,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from motorway_spark.catalog import Catalog
 from motorway_spark.queries.registry import query
 from motorway_spark.queries.helpers import dec, sql_dsum
 
@@ -275,4 +276,47 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_orderkey").alias("key_checksum"),
         F.round(F.sum(dec("l_quantity")).cast("double"), 4).alias("sum_qty"),
         F.round(F.sum(dec("l_extendedprice")).cast("double"), 4).alias("sum_price"),
+    )
+
+
+@query(
+    "scan_hive_partitioned",
+    oracle=f"""
+    SELECT event_type, user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type, user_id
+    """,
+)
+def scan_hive_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition-pruned scan: the
+    events fixture is rewritten once per SF as
+    ``event_type=<v>/part-*.parquet`` (the directory layout every
+    100 TB event table uses), then read back with a predicate on the
+    partition column. The filter becomes a PartitionFilter — pruned
+    directories are never LISTED, let alone read (asserted in
+    tests/test_plan_audit.py) — and the partition column itself is
+    directory metadata, not file bytes. Oracle computes the same
+    aggregate from the original unpartitioned parquet: passing proves
+    the partitioned round-trip and pruned read are value-exact."""
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/motorway_scans/{tag}/events_by_type"
+    marker = f"{out}/.ready"
+    if not os.path.exists(marker):
+        ev = Catalog(spark, sf_dir).events
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    part = spark.read.parquet(out)
+    return (
+        part.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(dec("value")).cast("double"), 4).alias("sum_value"),
+        )
     )

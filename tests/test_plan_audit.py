@@ -313,3 +313,34 @@ def test_group_by_all_broadcasts_dims(spark):
     plan = _plan(spark, "sql_api_group_by_all")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hive_partitioned_scan_prunes_partitions(spark):
+    """The event_type predicate must land in PartitionFilters (pruned
+    directories never listed), NOT as a data filter on file bytes."""
+    df = QUERIES["scan_hive_partitioned"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "event_type" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+
+def test_asof_nearest_single_exchange_no_join(spark):
+    """Both direction frames must ride ONE user_id exchange — no
+    self-join, no second shuffle."""
+    plan = _plan(spark, "asof_join_nearest")
+    assert "Join" not in plan
+    simple = (
+        QUERIES["asof_join_nearest"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert simple.count("Exchange hashpartitioning") == 1
+
+
+def test_mode_deterministic_is_two_level_hash_agg(spark):
+    """MAX(struct(n, value)) must stay hash aggregation with map-side
+    combine — no window sort for the tiebreak."""
+    plan = _plan(spark, "agg_mode_deterministic")
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
