@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "dq_checks",
     "events_anomaly_zscore",
     "dedup_containment",
+    # round-4 batch 3: KPI-dashboard family (the reference vendor's domain)
+    "events_funnel",
+    "events_retention_cohorts",
 ]
 
 

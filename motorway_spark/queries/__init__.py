@@ -79,6 +79,7 @@ _SWEEP_PRIORITY = [
     "asof_join_nearest",       # new in r4: nearest-direction as-of join
     "agg_mode_deterministic",  # new in r4: mode with stated tiebreak
     "scan_hive_partitioned",   # new in r4: partition-pruned hive layout scan
+    "events_retention_cohorts",# new in r4: cohort retention matrix
     # -- latest driver row is ROUND 1 (two fixture regens old) --
     "q1_pricing_summary",
     "filter_project",

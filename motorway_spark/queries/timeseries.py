@@ -482,3 +482,57 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (stage_no, stage, n_users, frac_of_top)"
         )
     )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH first_signup AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('day', CAST(f.cohort_week AS DATE),
+                            CAST(date_trunc('week', e.ts) AS DATE)) // 7
+                  AS BIGINT) AS week_offset
+      FROM events e JOIN first_signup f ON e.user_id = f.user_id
+      WHERE e.ts >= f.cohort_week)
+    SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by the ISO week of their
+    first signup; each cell counts cohort members active (any event) in
+    week N after signup — the other canonical KPI-dashboard query of
+    the reference vendor's domain, next to ``events_funnel``.
+
+    Shape: one aggregate for cohort assignment, one user-keyed equality
+    join to stamp events with their cohort, then distinct + count —
+    all co-partitioned on user_id, and the matrix is |cohorts| x
+    |offsets| rows regardless of event volume. Determinism: week
+    truncation (Monday-start in both engines), day-difference integer
+    division, and distinct-user counts are all exact integer/timestamp
+    arithmetic."""
+    events = Catalog(spark, sf_dir).events
+    first_signup = (
+        events.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = (
+        events.join(first_signup, "user_id")
+        .where(F.col("ts") >= F.col("cohort_week"))
+        .select(
+            "user_id",
+            "cohort_week",
+            F.expr(
+                "CAST(datediff(CAST(date_trunc('week', ts) AS DATE), "
+                "CAST(cohort_week AS DATE)) div 7 AS BIGINT)"
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
