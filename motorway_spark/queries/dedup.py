@@ -939,11 +939,23 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_common * 10 >= n_a * 9) — no float in the predicate — and the
     reported containment is a single integer/integer IEEE division,
     bit-identical cross-engine."""
-    docs = Catalog(spark, sf_dir).documents
+    return containment_pairs(Catalog(spark, sf_dir).documents)
+
+
+def containment_pairs(
+    docs: DataFrame,
+    df_cap: int = CONTAIN_DF_CAP,
+    num: int = CONTAIN_NUM,
+    den: int = CONTAIN_DEN,
+) -> DataFrame:
+    """The containment operator over any (doc_id, text) frame — shared
+    by the registered query and the scale tests (tests/test_dedup_scale
+    .py exercises the df-cap invariants on a boilerplate-heavy corpus).
+    """
     # fixture doc tables arrive as ONE split; the shingle transform is
     # the expensive map, so spread it first (same rationale and measured
     # effect as minhash_signatures above — near-free at real scale)
-    par = spark.sparkContext.defaultParallelism
+    par = docs.sparkSession.sparkContext.defaultParallelism
     doc_sets = docs.repartition(par).select(
         "doc_id", _word_shingles(F.col("text")).alias("shs")
     )
@@ -951,7 +963,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare = (
         sh.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= CONTAIN_DF_CAP)
+        .where(F.col("df") <= df_cap)
         .select("s")
     )
     sh_rare = sh.join(rare, "s")
@@ -984,7 +996,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("shs_a").alias("n_a"),
             F.size(F.array_intersect("shs_a", "shs_b")).alias("n_common"),
         )
-        .where(F.col("n_common") * CONTAIN_DEN >= F.col("n_a") * CONTAIN_NUM)
+        .where(F.col("n_common") * den >= F.col("n_a") * num)
         .select(
             "doc_a",
             "doc_b",

@@ -120,3 +120,56 @@ def test_lev1_blocking_finds_head_region_deletions(spark):
     )
     ids = {(r["supp_a"], r["supp_b"]) for r in exact.collect()}
     assert all(5 not in pair for pair in ids)
+
+
+# ---------------------------------------------------------------------------
+# Containment df-cap invariants (round 4) — same argument as the minhash
+# hot-bucket cap, applied to shingle document frequency.
+# ---------------------------------------------------------------------------
+def _containment_corpus(spark):
+    """60 byte-identical boilerplate docs (every shingle df=60 — the
+    quadratic blow-up case) + one genuine containment pair built from
+    rare shingles + 8 unrelated docs."""
+    boiler = [(i, "terms of service apply here now always forever and ever amen") for i in range(60)]
+    contained = [(200, "alpha beta gamma delta epsilon zeta eta theta iota kappa")]
+    container = [(201, "alpha beta gamma delta epsilon zeta eta theta iota kappa plus a tail")]
+    distinct = [
+        (300 + i, f"unique document number {i} speaks only about topic {i * 13}")
+        for i in range(8)
+    ]
+    return spark.createDataFrame(
+        boiler + contained + container + distinct, "doc_id long, text string"
+    )
+
+
+def test_containment_df_cap_suppresses_boilerplate_quadratics(spark):
+    from motorway_spark.queries.dedup import containment_pairs
+
+    docs = _containment_corpus(spark)
+    out = containment_pairs(docs, df_cap=5).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in out}
+
+    # every boilerplate shingle has df=60 > cap: the 60*59 directional
+    # boilerplate pairs must NOT be candidates (they are exact dupes —
+    # dedup_exact's job, same routing argument as the minhash cap)
+    assert not any(a < 100 and b < 100 for a, b in pairs)
+
+    # the genuine containment pair rides its rare shingles: doc 200's
+    # shingles are all present in doc 201 (containment 1.0), and 201 is
+    # NOT contained in 200 (the tail shingles are missing)
+    assert (200, 201) in pairs
+    assert (201, 200) not in pairs
+    row = next(r for r in out if (r.doc_a, r.doc_b) == (200, 201))
+    assert row.n_common == row.n_a and row.containment == 1.0
+
+
+def test_containment_uncapped_would_explode(spark):
+    """Sanity check on the argument itself: WITHOUT the cap the same
+    corpus yields all 60*59 boilerplate pairs as candidates — the cap
+    is load-bearing, not cosmetic."""
+    from motorway_spark.queries.dedup import containment_pairs
+
+    docs = _containment_corpus(spark)
+    out = containment_pairs(docs, df_cap=10_000).collect()
+    boiler_pairs = {(r.doc_a, r.doc_b) for r in out if r.doc_a < 100 and r.doc_b < 100}
+    assert len(boiler_pairs) == 60 * 59  # identical docs: containment 1.0 both ways
