@@ -80,6 +80,8 @@ _SWEEP_PRIORITY = [
     "agg_mode_deterministic",  # new in r4: mode with stated tiebreak
     "scan_hive_partitioned",   # new in r4: partition-pruned hive layout scan
     "events_retention_cohorts",# new in r4: cohort retention matrix
+    "join_null_safe",          # new in r4: null-safe (<=>) equality join
+    "agg_bool_logic",          # new in r4: bool_and/bool_or aggregate surface
     # -- latest driver row is ROUND 1 (two fixture regens old) --
     "q1_pricing_summary",
     "filter_project",

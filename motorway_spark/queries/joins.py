@@ -492,3 +492,40 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "click")
         .select("event_id", "user_id", "ts", "nearest_purchase_ts")
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH o AS (
+      SELECT NULLIF(o_custkey % 7, 3) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1),
+    c AS (
+      SELECT NULLIF(c_custkey % 7, 3) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM customer GROUP BY 1)
+    SELECT o.bucket, n_orders, n_customers
+    FROM o JOIN c ON o.bucket IS NOT DISTINCT FROM c.bucket
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>``): NULL keys match each other
+    instead of vanishing — the semantics behind joining on nullable
+    business keys (unknown region, missing account) without an
+    upstream sentinel rewrite. Catalyst plans ``<=>`` as a HASH join
+    key (EqualNullSafe is an equi-key), so this stays a hash/broadcast
+    join, not a nested loop — asserted in the plan audit. Oracle: the
+    ANSI spelling ``IS NOT DISTINCT FROM``."""
+    cat = Catalog(spark, sf_dir)
+    o = (
+        cat.orders.groupBy(
+            F.expr("NULLIF(o_custkey % 7, 3)").alias("bucket")
+        ).agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    c = (
+        cat.customer.groupBy(
+            F.expr("NULLIF(c_custkey % 7, 3)").alias("cbucket")
+        ).agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    return o.join(c, o.bucket.eqNullSafe(c.cbucket)).select(
+        "bucket", "n_orders", "n_customers"
+    )

@@ -536,3 +536,28 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best.o_orderpriority").alias("mode_priority"),
         F.col("best.n").alias("n"),
     )
+
+
+@query(
+    "agg_bool_logic",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_quantity <= 50) AS all_qty_in_range,
+           bool_or(l_discount > 0.08) AS any_deep_discount,
+           bool_and(l_shipdate IS NOT NULL) AS all_dated,
+           CAST(COUNT(*) FILTER (WHERE l_tax > l_discount) AS BIGINT) AS n_tax_gt_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bool_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate surface: ``bool_and``/``bool_or`` (ANSI
+    EVERY/ANY) + filtered counts — the predicates-over-groups form every
+    validation rollup uses (dq_checks is the table-level version; this
+    is per-group). Pure codegen, partial+final hash agg."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") <= 50).alias("all_qty_in_range"),
+        F.bool_or(F.col("l_discount") > 0.08).alias("any_deep_discount"),
+        F.bool_and(F.col("l_shipdate").isNotNull()).alias("all_dated"),
+        F.expr("count_if(l_tax > l_discount)").alias("n_tax_gt_disc"),
+    )

@@ -344,3 +344,12 @@ def test_mode_deterministic_is_two_level_hash_agg(spark):
     plan = _plan(spark, "agg_mode_deterministic")
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_null_safe_join_is_hash_join(spark):
+    """EqualNullSafe is an equi-key: the join must plan hash/broadcast,
+    never a nested loop over the null-keyed rows."""
+    plan = _plan(spark, "join_null_safe")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert any(j in plan for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
