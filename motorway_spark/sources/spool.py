@@ -19,8 +19,10 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -185,7 +187,48 @@ class SpoolStreamWriter(DataSourceStreamWriter):
                     pass
 
 
+class SpoolBatchReader(DataSourceReader):
+    """Batch quadrant of the spool source: one-shot read of the ENTIRE
+    spool (no offsets, no delete) — the ``spark.read`` form for
+    reprocessing a queue's backlog as a table. Same file sharding and
+    crash-isolated parse as the stream reader."""
+
+    def __init__(self, options):
+        self._stream = SpoolStreamReader(options)
+
+    def partitions(self):
+        files = self._stream._list()
+        return self._stream.partitions({"files": []}, {"files": files})
+
+    def read(self, partition: _FilesPartition):
+        return self._stream.read(partition)
+
+
+class SpoolBatchWriter(DataSourceWriter):
+    """Batch quadrant of the spool sink: ``df.write.format("spooldir")``
+    with the SAME two-phase staged protocol as the streaming writer —
+    stage on executors, promote on driver commit only after every task
+    succeeded, abort removes partials. Re-writing the same rows
+    overwrites the same per-id names (replay/no-dupe semantics)."""
+
+    def __init__(self, options, schema: StructType):
+        self._impl = SpoolStreamWriter(options, schema)
+
+    def write(self, iterator) -> _SpoolWriteMessage:
+        return self._impl.write(iterator)
+
+    def commit(self, messages) -> None:
+        self._impl.commit(messages, batchId=-1)
+
+    def abort(self, messages) -> None:
+        self._impl.abort(messages, batchId=-1)
+
+
 class SpoolDirSource(DataSource):
+    """All four Python Data Source API quadrants over one format:
+    batch read, stream read (offsets + delete-on-commit), batch write,
+    stream write (two-phase staged commit)."""
+
     @classmethod
     def name(cls) -> str:
         return "spooldir"
@@ -193,8 +236,14 @@ class SpoolDirSource(DataSource):
     def schema(self) -> str:
         return SCHEMA_DDL
 
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return SpoolBatchReader(self.options)
+
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return SpoolStreamReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> SpoolBatchWriter:
+        return SpoolBatchWriter(self.options, schema)
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> SpoolStreamWriter:
         return SpoolStreamWriter(self.options, schema)

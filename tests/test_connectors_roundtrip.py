@@ -309,3 +309,37 @@ def test_spool_stream_writer_replay_and_abort(spark, tmp_path):
     writer.abort([msg], batchId=1)
     assert sorted(f for f in os.listdir(out) if f.endswith(".json")) == finals
     assert os.listdir(os.path.join(out, "_staging")) == []
+
+
+# ---------------------------------------------------------------------------
+# Batch quadrants: spark.read / df.write over the same "spooldir" format —
+# with these the source covers all four Python Data Source API quadrants.
+# ---------------------------------------------------------------------------
+def test_spool_batch_read_and_write_roundtrip(spark, tmp_path):
+    """Batch write stages+commits id-named files (replay overwrites, no
+    dupes); batch read drains the whole spool without offsets."""
+    register_sources(spark)
+    out = str(tmp_path / "batch_q")
+    os.makedirs(out)
+
+    df = spark.createDataFrame(
+        [(f"m{i}", json.dumps({"n": i}), f"g{i % 2}") for i in range(10)],
+        "message_id string, body string, grouping_value string",
+    )
+    # written twice = replay: per-id overwrite keeps exactly one file each
+    for _ in range(2):
+        df.write.format("spooldir").mode("append").option("path", out).save()
+
+    files = sorted(f for f in os.listdir(out) if f.endswith(".json"))
+    assert files == sorted(f"m{i}.json" for i in range(10))
+    staging = os.path.join(out, "_staging")
+    assert not os.path.exists(staging) or os.listdir(staging) == []
+
+    back = (
+        spark.read.format("spooldir")
+        .option("path", out)
+        .load()
+        .select("message_id")
+        .collect()
+    )
+    assert sorted(r.message_id for r in back) == sorted(f"m{i}" for i in range(10))
