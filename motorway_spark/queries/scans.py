@@ -320,3 +320,65 @@ def scan_hive_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(dec("value")).cast("double"), 4).alias("sum_value"),
         )
     )
+
+
+@query(
+    "scan_csv_dead_letter",
+    oracle="""
+    SELECT CASE WHEN s_suppkey % 10 = 3 THEN 'dead_letter' ELSE 'clean' END AS route,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CASE WHEN s_suppkey % 10 <> 3
+                     THEN CAST(s_acctbal AS DECIMAL(38,6)) END) AS DOUBLE), 4)
+             AS clean_bal
+    FROM supplier
+    GROUP BY 1
+    """,
+)
+def scan_csv_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE twin of ``scan_csv_corrupt``: instead of dropping
+    malformed records, the scan RETAINS them with the raw line captured
+    in ``_corrupt_record`` — the dead-letter pattern (route bad records
+    to a quarantine sink for replay after a fix, the other half of the
+    reference's failed()/retry contract, ramp.py:57-64). One scan
+    routes every record: clean rows keep their parse, malformed rows
+    carry their original text and NULL data columns. The oracle derives
+    both route counts and a clean-side checksum from the uncorrupted
+    parquet — passing proves the split captures EXACTLY the malformed
+    rows and parses the rest bit-exact.
+
+    Pruning pitfall, documented by construction: ``_corrupt_record`` is
+    populated only for fields the scan actually PARSES — an aggregate
+    that never touches the corruptible column lets column pruning skip
+    its parse and every record reads as clean. The query therefore
+    aggregates ``s_acctbal`` (the corrupted field) on the clean side,
+    which both forces the full parse and checksums the survivors."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/motorway_scans/{tag}/supplier_corrupt.csv"
+    if not os.path.exists(out):
+        # materialize via the DROPMALFORMED twin's writer
+        scan_csv_corrupt(spark, sf_dir)
+    df = (
+        spark.read.schema(_SUPPLIER_SCHEMA + ", _corrupt_record string")
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+    )
+    return (
+        df.withColumn(
+            "route",
+            F.when(F.col("_corrupt_record").isNotNull(), "dead_letter").otherwise(
+                "clean"
+            ),
+        )
+        .groupBy("route")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(
+                    F.when(F.col("_corrupt_record").isNull(), dec("s_acctbal"))
+                ).cast("double"),
+                4,
+            ).alias("clean_bal"),
+        )
+    )
