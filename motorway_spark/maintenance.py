@@ -64,6 +64,7 @@ def compact_parquet(
     *,
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
     cluster_by: list[str] | None = None,
+    zorder_by: tuple[str, str] | None = None,
 ) -> CompactionStats:
     """Rewrite the parquet files under ``src_dir`` into
     ``ceil(total_bytes / target_file_bytes)`` files at ``dst_dir``.
@@ -73,12 +74,34 @@ def compact_parquet(
     scan pruning (the OPTIMIZE ... ZORDER-lite for a single sort key
     family). Without it the rewrite is a plain round-robin
     ``repartition`` — pure size normalization.
+
+    ``zorder_by``: two INTEGER key columns to interleave into a Morton
+    value and range-cluster on it — the OPTIMIZE ZORDER layout: each
+    compacted file becomes a rectangle in (a, b) key space, so its
+    min/max stats prune scans filtered on EITHER key (the property the
+    ``zorder_clustering`` query materializes; this writes it). The
+    helper column is dropped before the write. Mutually exclusive with
+    ``cluster_by``.
     """
+    if cluster_by and zorder_by:
+        raise ValueError("cluster_by and zorder_by are mutually exclusive")
     in_files, in_bytes = _content_summary(spark, src_dir)
     n_out = max(1, math.ceil(in_bytes / target_file_bytes))
 
     df = spark.read.parquet(src_dir)
-    if cluster_by:
+    if zorder_by:
+        from pyspark.sql import functions as F
+
+        from motorway_spark.queries.profiling import _z_expr
+
+        a, b = zorder_by
+        df = (
+            df.withColumn("__zval", F.expr(_z_expr(a, b)))
+            .repartitionByRange(n_out, "__zval")
+            .sortWithinPartitions("__zval")
+            .drop("__zval")
+        )
+    elif cluster_by:
         df = df.repartitionByRange(n_out, *cluster_by).sortWithinPartitions(
             *cluster_by
         )

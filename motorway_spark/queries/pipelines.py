@@ -362,3 +362,73 @@ def pipeline_pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fill_ratio"),
     )
+
+
+@query(
+    "pipeline_entity_resolution",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.s_suppkey AS doc_a, b.s_suppkey AS doc_b
+      FROM supplier a JOIN supplier b
+        ON a.s_suppkey < b.s_suppkey
+       AND abs(length(a.s_name) - length(b.s_name)) <= 1
+      WHERE levenshtein(a.s_name, b.s_name) <= 1),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    verts AS (SELECT s_suppkey AS doc FROM supplier),
+    reach AS (
+      WITH RECURSIVE r(doc, other) AS (
+        SELECT doc, doc FROM verts
+        UNION
+        SELECT r.doc, e.dst FROM r JOIN edges e ON r.other = e.src)
+      SELECT * FROM r),
+    labels AS (
+      SELECT doc, MIN(other) AS entity_id FROM reach GROUP BY doc)
+    SELECT l.entity_id,
+           s.s_name AS canonical_name,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(l.doc) AS BIGINT) AS member_key_sum
+    FROM labels l JOIN supplier s ON s.s_suppkey = l.entity_id
+    GROUP BY l.entity_id, s.s_name
+    """,
+)
+def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage pipeline end to end: typo-level fuzzy matching →
+    transitive closure → one canonical row per real-world entity. The
+    composite of ``fuzzy_join_levenshtein`` (PassJoin blocking + exact
+    verify) and ``label_propagation`` (Pregel-style connected
+    components, localCheckpoint per iteration), finished with a
+    canonical-name rollup. Singleton suppliers (no fuzzy twin) are
+    their own entity — the left join + coalesce keeps them.
+
+    The oracle replays the whole chain declaratively: quadratic lev
+    join (the blocking's ground truth) → recursive-CTE closure →
+    rollup, so the pipeline is exact-checked END TO END, composition
+    included, not just per stage. Scale shape: blocking joins + the
+    per-iteration (edges ⋈ labels) shuffle all key on supplier id;
+    the quadratic form exists only in the oracle."""
+    from motorway_spark.queries.dedup import _lev1_candidates, label_propagation
+
+    supp = Catalog(spark, sf_dir).supplier.select("s_suppkey", "s_name")
+    pairs = (
+        _lev1_candidates(supp, "s_suppkey", "s_name")
+        .filter(F.levenshtein("name_a", "name_b") <= 1)
+        .select(F.col("supp_a").alias("doc_a"), F.col("supp_b").alias("doc_b"))
+    )
+    labels = label_propagation(pairs)
+    resolved = supp.join(labels, supp.s_suppkey == labels.doc, "left").select(
+        "s_suppkey",
+        F.coalesce(F.col("label"), F.col("s_suppkey")).alias("entity_id"),
+    )
+    agg = resolved.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("s_suppkey").alias("member_key_sum"),
+    )
+    return agg.join(
+        supp.select(
+            F.col("s_suppkey").alias("entity_id"),
+            F.col("s_name").alias("canonical_name"),
+        ),
+        "entity_id",
+    ).select("entity_id", "canonical_name", "n_members", "member_key_sum")

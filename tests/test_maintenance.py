@@ -78,3 +78,41 @@ def test_compaction_cluster_by_gives_tight_file_ranges(spark, sf_dir):
     # rangepartitioning boundaries are sampled => allow boundary touch,
     # but wholesale interleaving means clustering failed
     assert overlaps <= len(ranges) // 4
+
+
+def test_compaction_zorder_interleaves_keys(spark, sf_dir):
+    tmp = f"/tmp/motorway_compact/{uuid.uuid4().hex}"
+    src = _fragmented_copy(spark, sf_dir, tmp, n_frag=16)
+    dst = os.path.join(tmp, "zordered")
+
+    _, total_bytes = __import__(
+        "motorway_spark.maintenance", fromlist=["_content_summary"]
+    )._content_summary(spark, src)
+    stats = compact_parquet(
+        spark,
+        src,
+        dst,
+        target_file_bytes=max(1, total_bytes // 8),
+        zorder_by=("l_partkey", "l_suppkey"),
+    )
+    assert stats.rows == spark.read.parquet(src).count()
+    compacted = spark.read.parquet(dst)
+    assert "__zval" not in compacted.columns
+
+    # Morton range-clustering must tighten per-file l_partkey spans well
+    # below the global span (the dominant-bit dimension at this key
+    # ratio; the smaller-width key tightens once file count exceeds the
+    # larger key's bit headroom — not asserted here).
+    import pyarrow.parquet as pq
+
+    spans, glo_min, glo_max = [], None, None
+    for f in sorted(glob.glob(os.path.join(dst, "part-*.parquet"))):
+        t = pq.read_table(f, columns=["l_partkey"])
+        if t.num_rows:
+            col = t.column("l_partkey").to_pylist()
+            lo, hi = min(col), max(col)
+            spans.append(hi - lo)
+            glo_min = lo if glo_min is None else min(glo_min, lo)
+            glo_max = hi if glo_max is None else max(glo_max, hi)
+    assert len(spans) >= 4
+    assert sum(spans) / len(spans) < 0.6 * (glo_max - glo_min)
