@@ -84,6 +84,7 @@ _SWEEP_PRIORITY = [
     "agg_bool_logic",          # new in r4: bool_and/bool_or aggregate surface
     "scan_csv_dead_letter",    # new in r4: PERMISSIVE dead-letter routing scan
     "pipeline_entity_resolution",  # new in r4: fuzzy match -> closure -> canonical
+    "multimodal_dedup_hash",   # new in r4: binary-payload exact dedup (no decode)
     # -- latest driver row is ROUND 1 (two fixture regens old) --
     "q1_pricing_summary",
     "filter_project",

@@ -183,3 +183,44 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(256)).alias("out_h"),
         )
     )
+
+
+@query(
+    "multimodal_dedup_hash",
+    oracle="""
+    WITH mm AS (
+      SELECT doc_id, md5(text) AS content_hash,
+             octet_length(encode(text)) AS n_bytes, source
+      FROM documents)
+    SELECT content_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           MIN(doc_id) AS keeper_doc_id,
+           CAST(MIN(n_bytes) AS BIGINT) AS n_bytes,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM mm GROUP BY content_hash
+    HAVING COUNT(*) > 1
+    """,
+)
+def multimodal_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload exact dedup — the first hygiene pass of any
+    image/audio corpus (byte-identical downloads of the same asset from
+    different sources). Groups on the ingest-time ``content_hash``
+    metadata column, so NO payload bytes move through the shuffle (the
+    16-byte hash does) and no decode happens at all — the
+    prune-before-decode rule applied to dedup. Reports only duplicated
+    hashes, with the keeper id, payload size, and how many distinct
+    sources the copies came from (cross-source dup detection)."""
+    docs = Catalog(spark, sf_dir).documents
+    mm = _with_payload(docs).join(
+        Catalog(spark, sf_dir).documents.select("doc_id", "source"), "doc_id"
+    )
+    return (
+        mm.groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.min("n_bytes").cast("bigint").alias("n_bytes"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
