@@ -85,6 +85,8 @@ _SWEEP_PRIORITY = [
     "scan_csv_dead_letter",    # new in r4: PERMISSIVE dead-letter routing scan
     "pipeline_entity_resolution",  # new in r4: fuzzy match -> closure -> canonical
     "multimodal_dedup_hash",   # new in r4: binary-payload exact dedup (no decode)
+    "agg_skew_kurtosis",       # new in r4: exact higher moments (integer sums)
+    "events_dau_wau",          # new in r4: DAU + trailing-7d WAU (cover-explode)
     # -- latest driver row is ROUND 1 (two fixture regens old) --
     "q1_pricing_summary",
     "filter_project",

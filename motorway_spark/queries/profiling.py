@@ -313,3 +313,76 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"ROUND({_SLOPE_EXPR}, 6)").alias("slope"),
         F.expr(f"ROUND({_ICEPT_EXPR}, 4)").alias("intercept"),
     )
+
+
+# Standardized 3rd/4th moments from EXACT integer power sums.
+# l_quantity is integer-valued (1..50), so qty^k sums are exact BIGINTs
+# (50^4 * 6e5 rows ~ 4e12 << 2^63); the moment formulas then evaluate
+# as one fixed IEEE expression — same discipline as corr above, pushed
+# to higher moments. (Non-integer columns would need decimal powers,
+# whose >38-digit products diverge between engines — that is WHY this
+# operator contracts on an integer measure.)
+_MOM = {
+    "m": "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)",
+}
+_MOM["v"] = f"(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - ({_MOM['m']}) * ({_MOM['m']}))"
+_SKEW_EXPR = (
+    f"((CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" - 3.0 * ({_MOM['m']}) * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
+    f" + 2.0 * ({_MOM['m']}) * ({_MOM['m']}) * ({_MOM['m']}))"
+    f" / pow({_MOM['v']}, 1.5))"
+)
+_KURT_EXPR = (
+    f"((CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" - 4.0 * ({_MOM['m']}) * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))"
+    f" + 6.0 * ({_MOM['m']}) * ({_MOM['m']}) * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
+    f" - 3.0 * ({_MOM['m']}) * ({_MOM['m']}) * ({_MOM['m']}) * ({_MOM['m']}))"
+    f" / (({_MOM['v']}) * ({_MOM['v']})) - 3.0)"
+)
+
+_POWER_SUMS_SQL = """
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s4
+      FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query(
+    "agg_skew_kurtosis",
+    oracle=f"""
+    WITH sums AS ({_POWER_SUMS_SQL})
+    SELECT l_returnflag, n,
+           ROUND({_SKEW_EXPR}, 6) AS skewness,
+           ROUND({_KURT_EXPR}, 6) AS excess_kurtosis
+    FROM sums
+    """,
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness + excess kurtosis of ``l_quantity`` per
+    return flag, CROSS-ENGINE-DETERMINISTIC: the four power sums
+    accumulate as exact BIGINTs (the measure is integer-valued — the
+    operator's stated contract), then each moment evaluates as one
+    fixed IEEE expression. Spark's built-in ``skewness``/``kurtosis``
+    aggregate in floats with engine-specific merge order and is not
+    reproducible; this is the mergeable-sufficient-statistic form
+    (same map-side-combine shape as any sum)."""
+    li = Catalog(spark, sf_dir).lineitem
+    q = F.col("l_quantity").cast("bigint")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+    )
+    return sums.select(
+        "l_returnflag",
+        "n",
+        F.expr(f"ROUND({_SKEW_EXPR}, 6)").alias("skewness"),
+        F.expr(f"ROUND({_KURT_EXPR}, 6)").alias("excess_kurtosis"),
+    )

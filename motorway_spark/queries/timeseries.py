@@ -536,3 +536,64 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_active")
     )
+
+
+@query(
+    "events_dau_wau",
+    oracle="""
+    WITH day_user AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+      FROM events),
+    bounds AS (
+      SELECT MIN(day) AS lo, MAX(day) AS hi FROM day_user),
+    covered AS (
+      SELECT day + to_days(CAST(i AS INTEGER)) AS cover_day, user_id
+      FROM day_user, UNNEST(range(0, 7)) AS t(i)),
+    wau AS (
+      SELECT cover_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      FROM covered GROUP BY cover_day),
+    dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM day_user GROUP BY day)
+    SELECT d.day, d.dau, w.wau
+    FROM dau d JOIN wau w ON w.cover_day = d.day, bounds b
+    WHERE d.day BETWEEN b.lo AND b.hi
+    """,
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + trailing-7-day WAU per day — the daily-active metric pair
+    on every KPI dashboard. Rolling DISTINCT counts cannot ride a
+    window frame (distinct isn't frame-mergeable), so the scale
+    formulation inverts it: each (day, user) activity row COVERS the 7
+    days it contributes to (a 7x explode of the deduplicated day-user
+    table — tiny next to raw events), and WAU is then a plain
+    count-distinct per covered day. One heavy reduction (raw events →
+    day-user), one bounded explode, two aggregates; no per-day
+    re-scan, no quadratic self-join."""
+    events = Catalog(spark, sf_dir).events
+    day_user = events.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    dau = day_user.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    covered = (
+        day_user.join(
+            F.broadcast(
+                day_user.sparkSession.range(0, 7).withColumnRenamed("id", "i")
+            )
+        )
+        .select(
+            F.expr("timestampadd(DAY, CAST(i AS INT), day)").alias("cover_day"),
+            "user_id",
+        )
+    )
+    wau = covered.groupBy("cover_day").agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    bounds = day_user.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    return (
+        dau.join(wau, dau.day == wau.cover_day)
+        .crossJoin(F.broadcast(bounds))
+        .where((F.col("day") >= F.col("lo")) & (F.col("day") <= F.col("hi")))
+        .select("day", "dau", "wau")
+    )
