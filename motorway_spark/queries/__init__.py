@@ -21,6 +21,7 @@ from motorway_spark.queries.registry import QUERIES, ORACLES, query, get_queries
 # already verified green in round 1 (relational, tpch_extra, joins,
 # windows) register LAST.
 from motorway_spark.queries import dataquality  # noqa: F401,E402
+from motorway_spark.queries import spatial  # noqa: F401,E402
 from motorway_spark.queries import timeseries  # noqa: F401,E402
 from motorway_spark.queries import profiling  # noqa: F401,E402
 from motorway_spark.queries import dedup  # noqa: F401,E402
@@ -87,6 +88,7 @@ _SWEEP_PRIORITY = [
     "multimodal_dedup_hash",   # new in r4: binary-payload exact dedup (no decode)
     "agg_skew_kurtosis",       # new in r4: exact higher moments (integer sums)
     "events_dau_wau",          # new in r4: DAU + trailing-7d WAU (cover-explode)
+    "geo_radius_join",         # new in r4: grid-blocked spatial radius join
     # -- latest driver row is ROUND 1 (two fixture regens old) --
     "q1_pricing_summary",
     "filter_project",

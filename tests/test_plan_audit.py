@@ -353,3 +353,12 @@ def test_null_safe_join_is_hash_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert any(j in plan for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+
+
+def test_geo_radius_join_is_cell_equality_hash_join(spark):
+    """The radius join must ride (cellx, celly) equality — hash or
+    sort-merge — with the 9-offset explode on one side only; the
+    quadratic form lives in the oracle."""
+    plan = _plan(spark, "geo_radius_join")
+    assert "CartesianProduct" not in plan
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
