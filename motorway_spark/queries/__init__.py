@@ -89,6 +89,7 @@ _SWEEP_PRIORITY = [
     "agg_skew_kurtosis",       # new in r4: exact higher moments (integer sums)
     "events_dau_wau",          # new in r4: DAU + trailing-7d WAU (cover-explode)
     "geo_radius_join",         # new in r4: grid-blocked spatial radius join
+    "geo_knn_within_radius",   # new in r4: per-point kNN, rank bounded in shuffle
     # -- latest driver row is ROUND 1 (two fixture regens old) --
     "q1_pricing_summary",
     "filter_project",

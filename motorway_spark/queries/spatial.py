@@ -114,3 +114,86 @@ def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist2") <= GEO_R * GEO_R)
         .select("cust_a", "cust_b", "dist2")
     )
+
+
+GEO_KNN_K = 3
+
+
+@query(
+    "geo_knn_within_radius",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey AS k,
+             {_SQL_COORD.format(salt='lat')} AS lat,
+             {_SQL_COORD.format(salt='lon')} AS lon
+      FROM customer),
+    cand AS (
+      SELECT a.k AS cust, b.k AS neighbor,
+             (a.lat - b.lat) * (a.lat - b.lat)
+             + (a.lon - b.lon) * (a.lon - b.lon) AS dist2
+      FROM pts a JOIN pts b ON a.k <> b.k
+      WHERE (a.lat - b.lat) * (a.lat - b.lat)
+            + (a.lon - b.lon) * (a.lon - b.lon) <= {GEO_R * GEO_R})
+    SELECT cust, neighbor, dist2, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY cust
+                    ORDER BY dist2, neighbor) AS rn
+          FROM cand)
+    WHERE rn <= {GEO_KNN_K}
+    """,
+)
+def geo_knn_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point k nearest neighbors within radius {GEO_R} (k =
+    {GEO_KNN_K}): the same grid-blocked candidate generation as
+    ``geo_radius_join`` (directional this time — every point ranks its
+    own neighborhood), then a per-point rank bounded INSIDE the shuffle
+    (WindowGroupLimit, plan-audited) — a dense cell must not force a
+    full per-point sort. Ties on identical distances break on neighbor
+    id; distances are bit-identical doubles, so the ranking is
+    deterministic cross-engine. Bounded-radius kNN is the exact,
+    scale-shaped form — UNBOUNDED kNN needs expanding-ring search or an
+    ANN index (sim_ann_* are this repo's vector-space versions)."""
+    from pyspark.sql import Window
+
+    cust = Catalog(spark, sf_dir).customer
+    pts = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.expr(_SPARK_COORD.format(salt="lat")).alias("lat"),
+        F.expr(_SPARK_COORD.format(salt="lon")).alias("lon"),
+    ).select(
+        "k", "lat", "lon",
+        F.floor("lon").cast("int").alias("cx"),
+        F.floor("lat").cast("int").alias("cy"),
+    )
+    offsets = spark.range(9).select(
+        (F.col("id") % 3 - 1).cast("int").alias("dx"),
+        ((F.col("id") / 3).cast("int") - 1).alias("dy"),
+    )
+    a = pts.crossJoin(F.broadcast(offsets)).select(
+        F.col("k").alias("cust"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        (F.col("cx") + F.col("dx")).alias("jx"),
+        (F.col("cy") + F.col("dy")).alias("jy"),
+    )
+    b = pts.select(
+        F.col("k").alias("neighbor"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    dist2 = (F.col("lat_a") - F.col("lat_b")) * (F.col("lat_a") - F.col("lat_b")) + (
+        F.col("lon_a") - F.col("lon_b")
+    ) * (F.col("lon_a") - F.col("lon_b"))
+    cand = (
+        a.join(b, ["jx", "jy"])
+        .where(F.col("cust") != F.col("neighbor"))
+        .withColumn("dist2", dist2)
+        .where(F.col("dist2") <= GEO_R * GEO_R)
+    )
+    w = Window.partitionBy("cust").orderBy("dist2", "neighbor")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= GEO_KNN_K)
+        .select("cust", "neighbor", "dist2", "rank")
+    )

@@ -362,3 +362,9 @@ def test_geo_radius_join_is_cell_equality_hash_join(spark):
     plan = _plan(spark, "geo_radius_join")
     assert "CartesianProduct" not in plan
     assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_geo_knn_rank_bounded_in_shuffle(spark):
+    plan = _plan(spark, "geo_knn_within_radius")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
