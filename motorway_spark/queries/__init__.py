@@ -90,6 +90,9 @@ _SWEEP_PRIORITY = [
     "events_dau_wau",          # new in r4: DAU + trailing-7d WAU (cover-explode)
     "geo_radius_join",         # new in r4: grid-blocked spatial radius join
     "geo_knn_within_radius",   # new in r4: per-point kNN, rank bounded in shuffle
+    "events_markov_transitions",  # new in r4: behavioral transition matrix
+    "agg_gini",                # new in r4: exact-decimal Gini coefficient
+    "win_running_distinct",    # new in r4: windowed distinct via first-flag sum
     # -- latest driver row is ROUND 1 (two fixture regens old) --
     "q1_pricing_summary",
     "filter_project",

@@ -386,3 +386,58 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"ROUND({_SKEW_EXPR}, 6)").alias("skewness"),
         F.expr(f"ROUND({_KURT_EXPR}, 6)").alias("excess_kurtosis"),
     )
+
+
+@query(
+    "agg_gini",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+             CAST(row_number() OVER (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice, o_orderkey) AS DECIMAL(18,0)) AS i
+      FROM orders),
+    sums AS (
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(i * x) AS DOUBLE) AS sum_ix,
+             CAST(SUM(x) AS DOUBLE) AS sum_x
+      FROM ranked GROUP BY o_orderpriority)
+    SELECT o_orderpriority, n,
+           ROUND(2e0 * sum_ix / (CAST(n AS DOUBLE) * sum_x)
+                 - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
+    FROM sums
+    """,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order value per priority class — the
+    standard inequality/concentration metric for revenue profiling
+    (how top-heavy is each segment). Formulation: rank-weighted sum
+    over ascending values, G = 2·Σi·x_i/(n·Σx) − (n+1)/n. Rank-value
+    products and both sums accumulate as EXACT decimals (ties in x
+    leave Σi·x_i invariant, so the rank tiebreak cannot change the
+    result), then one fixed IEEE expression — the same determinism
+    discipline as corr/skewness above, extended to an order-statistic
+    metric. Cost: one window sort per group + one aggregate."""
+    from pyspark.sql import Window
+
+    orders = Catalog(spark, sf_dir).orders
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+        F.row_number().over(w).cast("decimal(18,0)").alias("i"),
+    )
+    sums = ranked.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("i") * F.col("x")).cast("double").alias("sum_ix"),
+        F.sum("x").cast("double").alias("sum_x"),
+    )
+    return sums.select(
+        "o_orderpriority",
+        "n",
+        F.round(
+            F.lit(2.0) * F.col("sum_ix") / (F.col("n").cast("double") * F.col("sum_x"))
+            - (F.col("n") + 1).cast("double") / F.col("n").cast("double"),
+            6,
+        ).alias("gini"),
+    )

@@ -597,3 +597,38 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("day") >= F.col("lo")) & (F.col("day") <= F.col("hi")))
         .select("day", "dau", "wau")
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM ordered
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: counts of consecutive
+    (prev_type -> next_type) steps per user stream — the sufficient
+    statistic for a Markov model of user behavior (and the input to
+    next-action features). One window pass per user (hash shuffle on
+    user_id + in-partition sort, the asof_join shape), then a plain
+    count; ordering ties break on event_id so the lag sequence is
+    deterministic. Output is |types|² rows regardless of volume."""
+    from pyspark.sql import Window
+
+    events = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )

@@ -271,3 +271,50 @@ def win_time_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_prev_hour"),
         F.round(F.sum(dec("value")).over(w).cast("double"), 4).alias("sum_prev_hour"),
     )
+
+
+@query(
+    "win_running_distinct",
+    oracle="""
+    WITH flags AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS is_first
+      FROM events WHERE user_id <= 20)
+    SELECT event_id, user_id,
+           CAST(SUM(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS distinct_types_so_far
+    FROM flags
+    """,
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per key over event time — the windowed
+    distinct that no frame aggregate supports directly (COUNT(DISTINCT)
+    OVER is unsupported/exploding in every engine). Formulation: mark
+    each value's FIRST occurrence per (user, type) with one ranked
+    window, then a plain running SUM of the flags gives distinct-so-far
+    — two window passes that share the user_id exchange, integer-exact,
+    deterministic via the event_id tiebreak. The same trick computes
+    any windowed distinct at 100 TB (first-occurrence flag + running
+    sum), where a naive set-per-frame would hold unbounded state."""
+    from pyspark.sql import Window as W
+
+    events = Catalog(spark, sf_dir).events.filter(F.col("user_id") <= 20)
+    w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        events.withColumn(
+            "is_first",
+            F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("is_first").over(w_run).alias("distinct_types_so_far"),
+        )
+    )
