@@ -93,6 +93,7 @@ _SWEEP_PRIORITY = [
     "events_markov_transitions",  # new in r4: behavioral transition matrix
     "agg_gini",                # new in r4: exact-decimal Gini coefficient
     "win_running_distinct",    # new in r4: windowed distinct via first-flag sum
+    "orders_rfm_segmentation", # new in r4: RFM quintile scoring matrix
     # -- latest driver row is ROUND 1 (two fixture regens old) --
     "q1_pricing_summary",
     "filter_project",

@@ -632,3 +632,64 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+# Fixed scoring anchor: recency is measured against a constant, not
+# now() (Date.now-style nondeterminism has no place in an oracle-paired
+# operator; production would pass the run date in).
+RFM_ANCHOR = "1998-12-31 00:00:00"
+
+
+@query(
+    "orders_rfm_segmentation",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                       CAST(TIMESTAMP '{RFM_ANCHOR}' AS DATE)) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT o_custkey,
+             CAST(ntile(5) OVER (ORDER BY recency_days ASC,  o_custkey) AS INTEGER) AS r_score,
+             CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS INTEGER) AS f_score,
+             CAST(ntile(5) OVER (ORDER BY monetary DESC,  o_custkey) AS INTEGER) AS m_score
+      FROM per_cust)
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(o_custkey) AS BIGINT) AS member_checksum
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+)
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (Recency/Frequency/Monetary quintile
+    scores) — the classic CRM scoring matrix on every revenue
+    dashboard. One aggregate builds the per-customer profile (exact:
+    day-diff against a FIXED anchor, bigint counts, decimal money),
+    three ntile windows assign quintiles — each with a custkey
+    tiebreak so bucket boundaries are total-order deterministic in
+    both engines — and the final rollup sizes each (r, f, m) cell with
+    a membership checksum. Scale: the windows order |customers| score
+    rows, never raw orders."""
+    from pyspark.sql import Window as W
+
+    orders = Catalog(spark, sf_dir).orders
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(RFM_ANCHOR).cast("timestamp").cast("date"),
+            F.max("o_orderdate").cast("date"),
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        F.ntile(5).over(W.orderBy(F.asc("recency_days"), "o_custkey")).alias("r_score"),
+        F.ntile(5).over(W.orderBy(F.desc("frequency"), "o_custkey")).alias("f_score"),
+        F.ntile(5).over(W.orderBy(F.desc("monetary"), "o_custkey")).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("o_custkey").alias("member_checksum"),
+    )
