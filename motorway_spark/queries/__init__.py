@@ -94,6 +94,8 @@ _SWEEP_PRIORITY = [
     "agg_gini",                # new in r4: exact-decimal Gini coefficient
     "win_running_distinct",    # new in r4: windowed distinct via first-flag sum
     "orders_rfm_segmentation", # new in r4: RFM quintile scoring matrix
+    "agg_weighted_avg",        # new in r4: exact-decimal weighted mean
+    "events_type_cooccurrence",# new in r4: type-pair co-occurrence matrix
     # -- latest driver row is ROUND 1 (two fixture regens old) --
     "q1_pricing_summary",
     "filter_project",

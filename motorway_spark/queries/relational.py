@@ -561,3 +561,33 @@ def agg_bool_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("l_shipdate").isNotNull()).alias("all_dated"),
         F.expr("count_if(l_tax > l_discount)").alias("n_tax_gt_disc"),
     )
+
+
+@query(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))
+                          * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),
+                 6) AS wavg_discount,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted average discount per return flag — the weighted
+    mean every finance rollup needs (a plain AVG over-weights small
+    orders). Weight products and both sums accumulate as exact
+    decimals sized so products stay inside 38 digits (the
+    agg_corr_regression rule), then ONE double division — deterministic
+    cross-engine, single scan, map-side combinable."""
+    li = Catalog(spark, sf_dir).lineitem
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(disc * price).cast("double") / F.sum(price).cast("double"), 6
+        ).alias("wavg_discount"),
+        F.count(F.lit(1)).alias("n"),
+    )

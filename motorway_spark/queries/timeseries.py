@@ -693,3 +693,34 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("o_custkey").alias("member_checksum"),
     )
+
+
+@query(
+    "events_type_cooccurrence",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    """,
+)
+def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence matrix: for each unordered type pair,
+    how many users exhibit BOTH — the market-basket/feature-affinity
+    primitive. The self-join runs on the DEDUPLICATED (user, type)
+    table (at most |types| rows per user — bounded fan-out, the same
+    reduce-before-join move as events_dau_wau), so candidate width is
+    users x C(|types|,2), never raw-event quadratic. Output is
+    C(|types|,2) rows regardless of volume."""
+    events = Catalog(spark, sf_dir).events
+    ut = events.select("user_id", "event_type").distinct()
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
