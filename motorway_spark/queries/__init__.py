@@ -96,6 +96,7 @@ _SWEEP_PRIORITY = [
     "orders_rfm_segmentation", # new in r4: RFM quintile scoring matrix
     "agg_weighted_avg",        # new in r4: exact-decimal weighted mean
     "events_type_cooccurrence",# new in r4: type-pair co-occurrence matrix
+    "events_gap_fill_lerp",    # new in r4: spine gap fill + linear interpolation
     # -- latest driver row is ROUND 1 (two fixture regens old) --
     "q1_pricing_summary",
     "filter_project",
