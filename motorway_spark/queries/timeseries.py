@@ -825,3 +825,47 @@ def events_gap_fill_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").isNotNull().alias("observed"),
         filled.alias("filled_value"),
     )
+
+
+@query(
+    "events_seasonality_dow_hour",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1)
+    SELECT CAST(isodow(h) AS INTEGER) AS dow,
+           CAST(hour(h) AS INTEGER) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_per_hour
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def events_seasonality_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile: average event volume per (day-of-week,
+    hour-of-day) cell — the weekly heatmap behind capacity planning
+    and the denominator anomaly models normalize by (the z-score
+    monitor above treats all hours alike; this is the input for a
+    seasonal baseline). Two-level reduction: raw events collapse to
+    hourly counts (the heavy exchange), then 7x24 cells aggregate the
+    hourly table; averages are integer/integer IEEE divisions. Day numbering is the classic portability trap —
+    Spark dayofweek is 1=Sunday, DuckDB's is 0=Sunday — so both sides
+    use ISO numbering (Spark weekday()+1, DuckDB isodow: 1=Monday)."""
+    events = Catalog(spark, sf_dir).events
+    hourly = (
+        events.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        hourly.groupBy(
+            (F.weekday("h") + 1).alias("dow"),  # ISO 1=Mon..7=Sun both engines
+            F.hour("h").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("c").alias("n_events"),
+            (F.sum("c").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "avg_per_hour"
+            ),
+        )
+    )
