@@ -98,6 +98,7 @@ _SWEEP_PRIORITY = [
     "events_type_cooccurrence",# new in r4: type-pair co-occurrence matrix
     "events_gap_fill_lerp",    # new in r4: spine gap fill + linear interpolation
     "events_seasonality_dow_hour",  # new in r4: weekly seasonality heatmap
+    "events_anomaly_seasonal", # new in r4: season-adjusted anomaly z-scores
     # -- latest driver row is ROUND 1 (two fixture regens old) --
     "q1_pricing_summary",
     "filter_project",

@@ -369,3 +369,67 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("maybe_ts"),
         F.expr("try_element_at(array(10, 20, 30), l_linenumber)").alias("maybe_elem"),
     )
+
+
+@query(
+    "events_anomaly_seasonal",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket_hour,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1),
+    cells AS (
+      SELECT CAST(isodow(bucket_hour) AS INTEGER) AS dow,
+             CAST(hour(bucket_hour) AS INTEGER) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c * c) AS BIGINT) AS sq
+      FROM hourly GROUP BY 1, 2)
+    SELECT bucket_hour, c AS n_events,
+           ROUND({_Z_EXPR}, 6) AS seasonal_z
+    FROM hourly
+    JOIN cells ON CAST(isodow(bucket_hour) AS INTEGER) = cells.dow
+              AND CAST(hour(bucket_hour) AS INTEGER) = cells.hod
+    WHERE n > 1 AND sq * n > s * s AND ABS({_Z_EXPR}) > {_Z_THRESHOLD}
+    """,
+)
+def events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Season-adjusted anomaly detection: each hour's total volume is
+    z-scored against ITS OWN weekly cell (same ISO day-of-week and
+    hour-of-day) instead of a global mean — Monday 09:00 is compared to
+    other Monday 09:00s, so regular weekly rhythm stops reading as
+    anomalous (the upgrade over ``events_anomaly_zscore``'s per-type
+    global baseline). Same determinism discipline: cell mean/σ derive
+    from exact integer sums (n, Σc, Σc²), the z-score is one fixed
+    IEEE expression, and degenerate cells (n<=1 or zero variance —
+    decided in exact INTEGER arithmetic: sq*n > s*s) are excluded
+    identically in both engines. Stats are 7x24 rows, broadcast back
+    onto the hourly table."""
+    events = Catalog(spark, sf_dir).events
+    hourly = (
+        events.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket_hour"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    keyed = hourly.select(
+        "bucket_hour",
+        "c",
+        (F.weekday("bucket_hour") + 1).alias("dow"),
+        F.hour("bucket_hour").alias("hod"),
+    )
+    cells = keyed.groupBy("dow", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"),
+    )
+    return (
+        keyed.join(F.broadcast(cells), ["dow", "hod"])
+        .where(
+            (F.col("n") > 1)
+            & (F.col("sq") * F.col("n") > F.col("s") * F.col("s"))
+            & F.expr(f"ABS({_Z_EXPR}) > {_Z_THRESHOLD}")
+        )
+        .select(
+            "bucket_hour",
+            F.col("c").alias("n_events"),
+            F.expr(f"ROUND({_Z_EXPR}, 6)").alias("seasonal_z"),
+        )
+    )
