@@ -99,6 +99,7 @@ _SWEEP_PRIORITY = [
     "events_gap_fill_lerp",    # new in r4: spine gap fill + linear interpolation
     "events_seasonality_dow_hour",  # new in r4: weekly seasonality heatmap
     "events_anomaly_seasonal", # new in r4: season-adjusted anomaly z-scores
+    "basket_brand_affinity",   # new in r4: co-purchase support + lift matrix
     # -- latest driver row is ROUND 1 (two fixture regens old) --
     "q1_pricing_summary",
     "filter_project",

@@ -591,3 +591,74 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wavg_discount"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "basket_brand_affinity",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey AS o, p_brand AS b
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    totals AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM ob),
+    brand_n AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nb FROM ob GROUP BY b),
+    pairs AS (
+      SELECT a.b AS brand_a, c.b AS brand_b, CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b
+      GROUP BY a.b, c.b)
+    SELECT brand_a, brand_b, n_both,
+           CAST(n_both AS DOUBLE) / CAST(t.n AS DOUBLE) AS support,
+           CAST(n_both AS DOUBLE) * CAST(t.n AS DOUBLE)
+             / (CAST(na.nb AS DOUBLE) * CAST(nc.nb AS DOUBLE)) AS lift
+    FROM pairs
+    JOIN brand_n na ON brand_a = na.b
+    JOIN brand_n nc ON brand_b = nc.b
+    CROSS JOIN totals t
+    """,
+)
+def basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity over orders: for every unordered brand
+    pair, co-purchase support and LIFT (observed co-occurrence vs the
+    independence expectation) — the association-rule statistic behind
+    recommendation/bundling analysis. The self-join runs on the
+    DEDUPLICATED (order, brand) table (fan-out bounded by brands per
+    order, ~line count), brand marginals broadcast back, and the
+    output is C(|brands|, 2) rows at any data size. Support and lift
+    are single fixed IEEE expressions over exact integer counts."""
+    cat = Catalog(spark, sf_dir)
+    ob = (
+        cat.lineitem.join(
+            cat.part, F.col("l_partkey") == F.col("p_partkey")
+        )
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    totals = ob.agg(F.count_distinct("o").alias("n"))
+    brand_n = ob.groupBy("b").agg(F.count(F.lit(1)).alias("nb"))
+    pairs = (
+        ob.select(F.col("o"), F.col("b").alias("brand_a"))
+        .join(ob.select(F.col("o"), F.col("b").alias("brand_b")), "o")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(brand_n.select(F.col("b").alias("brand_a"), F.col("nb").alias("na"))),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(brand_n.select(F.col("b").alias("brand_b"), F.col("nb").alias("nc"))),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            (F.col("n_both").cast("double") / F.col("n").cast("double")).alias("support"),
+            (
+                F.col("n_both").cast("double") * F.col("n").cast("double")
+                / (F.col("na").cast("double") * F.col("nc").cast("double"))
+            ).alias("lift"),
+        )
+    )
