@@ -100,6 +100,8 @@ _SWEEP_PRIORITY = [
     "events_seasonality_dow_hour",  # new in r4: weekly seasonality heatmap
     "events_anomaly_seasonal", # new in r4: season-adjusted anomaly z-scores
     "basket_brand_affinity",   # new in r4: co-purchase support + lift matrix
+    "nation_revenue_yoy",      # new in r4: year-over-year growth trend
+    "fn_regex_extract_all",    # new in r4: all-matches regex surface
     # -- latest driver row is ROUND 1 (two fixture regens old) --
     "q1_pricing_summary",
     "filter_project",

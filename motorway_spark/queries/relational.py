@@ -662,3 +662,53 @@ def basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "nation_revenue_yoy",
+    oracle="""
+    WITH yearly AS (
+      SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS yr,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name, year(o_orderdate))
+    SELECT n_name, yr,
+           ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
+           CAST(lag(rev) OVER w AS DOUBLE) / CAST(rev AS DOUBLE) AS prev_ratio_inv,
+           CASE WHEN lag(rev) OVER w IS NULL THEN NULL
+                ELSE CAST(rev AS DOUBLE) / CAST(lag(rev) OVER w AS DOUBLE) - 1e0
+           END AS yoy_growth
+    FROM yearly
+    WINDOW w AS (PARTITION BY n_name ORDER BY yr)
+    """,
+)
+def nation_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation — the standard BI trend
+    metric: yearly exact-decimal revenue, then a lag window per nation
+    and one IEEE division for the growth rate (NULL for each nation's
+    first year). Windows order |nations| x |years| aggregate rows,
+    never raw orders; dims broadcast into the yearly rollup."""
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    yearly = (
+        cat.orders.join(
+            cat.customer, F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    w = W.partitionBy("n_name").orderBy("yr")
+    prev = F.lag("rev").over(w)
+    return yearly.select(
+        "n_name",
+        "yr",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        (prev.cast("double") / F.col("rev").cast("double")).alias("prev_ratio_inv"),
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .otherwise(F.col("rev").cast("double") / prev.cast("double") - 1.0)
+        .alias("yoy_growth"),
+    )

@@ -467,3 +467,34 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
     )
+
+
+@query(
+    "fn_regex_extract_all",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]*a[a-z]*', 0)) AS INTEGER)
+             AS n_a_words,
+           array_to_string(regexp_extract_all(text, '[a-z]*a[a-z]*', 0)[1:3], '|')
+             AS first_a_words,
+           CAST(len(regexp_extract_all(text, '[0-9]+', 0)) AS INTEGER) AS n_numbers
+    FROM documents
+    WHERE doc_id % 5 = 0
+    """,
+)
+def fn_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``regexp_extract_all`` surface: every match of a pattern, not
+    just the first — counted and sampled (first three, joined) so the
+    output stays scalar (array columns crash order-insensitive result
+    checkers — the agg_percentile_approx lesson, applied at design
+    time). Patterns stay in the Java-regex/RE2 common subset (the
+    text_pii_redact rule). Pure codegen'd projection."""
+    docs = Catalog(spark, sf_dir).documents
+    return docs.where("doc_id % 5 = 0").select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(text, '[a-z]*a[a-z]*', 0)")).alias("n_a_words"),
+        F.array_join(
+            F.slice(F.expr("regexp_extract_all(text, '[a-z]*a[a-z]*', 0)"), 1, 3), "|"
+        ).alias("first_a_words"),
+        F.size(F.expr("regexp_extract_all(text, '[0-9]+', 0)")).alias("n_numbers"),
+    )
