@@ -1,0 +1,136 @@
+"""Property-based and randomized invariant tests for the hand-built
+algorithm kernels — the pieces whose correctness arguments live in
+docstrings get machine-checked here.
+
+- Misra-Gries summary (profiling): the superset guarantee — every key
+  with true count > n/(capacity+1) survives — via hypothesis over
+  arbitrary streams (pure Python, hundreds of examples).
+- label_propagation (dedup): connected-component labels equal a
+  union-find ground truth on random graphs (Spark, few examples).
+- PassJoin lev<=1 blocking (dedup): COMPLETENESS over randomized
+  single-edit pairs — the exact class of bug the round-3 verdict found
+  (deletions in the head region escaped the fixed-half blocks); one
+  Spark job over a batch of generated pairs keeps it fast.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from motorway_spark.queries.profiling import _mg_summarize
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries superset property (pure Python — cheap to run many examples)
+# ---------------------------------------------------------------------------
+@settings(max_examples=200, deadline=None)
+@given(
+    stream=st.lists(st.integers(min_value=0, max_value=30), max_size=400),
+    capacity=st.integers(min_value=1, max_value=8),
+    n_chunks=st.integers(min_value=1, max_value=4),
+)
+def test_misra_gries_superset_property(stream, capacity, n_chunks):
+    """Any key with true count > n/(capacity+1) must survive the
+    summary, whatever the stream content and batch boundaries."""
+    chunks = []
+    k = max(1, len(stream) // n_chunks)
+    for i in range(0, len(stream), k):
+        chunks.append(pd.DataFrame({"v": pd.array(stream[i : i + k], dtype="int64")}))
+    out = list(_mg_summarize(iter(chunks), "v", capacity))
+    survivors = set(out[0]["v"].tolist()) if out else set()
+
+    n = len(stream)
+    counts: dict[int, int] = {}
+    for v in stream:
+        counts[v] = counts.get(v, 0) + 1
+    heavy = {v for v, c in counts.items() if c > n / (capacity + 1)}
+    assert heavy <= survivors, (heavy - survivors, stream, capacity)
+
+
+# ---------------------------------------------------------------------------
+# Connected components vs union-find ground truth (Spark — few examples)
+# ---------------------------------------------------------------------------
+def _uf_components(edges, nodes):
+    parent = {v: v for v in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in nodes}
+
+
+def test_label_propagation_matches_union_find(spark):
+    from motorway_spark.queries.dedup import label_propagation
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 30
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randint(5, 40))
+            }
+        )
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges], "doc_a long, doc_b long"
+        )
+        got = {
+            r["doc"]: r["label"] for r in label_propagation(pairs).collect()
+        }
+        nodes = {v for e in edges for v in e}
+        want = _uf_components(edges, nodes)
+        # label = MIN node id of the component, for every touched node
+        assert got == want, (trial, edges)
+
+
+# ---------------------------------------------------------------------------
+# PassJoin lev<=1 blocking completeness (randomized single edits, one job)
+# ---------------------------------------------------------------------------
+def _random_edit(rng, word):
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    op = rng.choice(("sub", "del", "ins")) if len(word) > 4 else "ins"
+    i = rng.randrange(len(word) + (op == "ins"))
+    if op == "sub":
+        return word[:i] + rng.choice(letters) + word[i + 1 :]
+    if op == "del":
+        return word[:i] + word[i + 1 :]
+    return word[:i] + rng.choice(letters) + word[i:]
+
+
+def test_lev1_blocking_complete_on_random_edits(spark):
+    """Every (word, single-edit(word)) pair must be a candidate —
+    including edits at EVERY position (the head-region deletions the
+    fixed-half blocking missed before the round-4 PassJoin fix)."""
+    from motorway_spark.queries.dedup import _lev1_candidates
+
+    rng = random.Random(7)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    rows, expected = [], set()
+    next_id = 0
+    for trial in range(120):
+        base = "".join(rng.choice(letters) for _ in range(rng.randint(8, 18)))
+        edited = _random_edit(rng, base)
+        if edited == base:
+            continue
+        a, b = next_id, next_id + 1
+        next_id += 2
+        rows += [(a, base), (b, edited)]
+        expected.add((a, b))
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (min(r["supp_a"], r["supp_b"]), max(r["supp_a"], r["supp_b"]))
+        for r in _lev1_candidates(df, "id", "name").collect()
+    }
+    missing = expected - got
+    assert not missing, f"blocking missed {len(missing)} true lev<=1 pairs: {sorted(missing)[:5]}"
