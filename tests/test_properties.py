@@ -134,3 +134,39 @@ def test_lev1_blocking_complete_on_random_edits(spark):
     }
     missing = expected - got
     assert not missing, f"blocking missed {len(missing)} true lev<=1 pairs: {sorted(missing)[:5]}"
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences fill invariants (the packing-quality contract)
+# ---------------------------------------------------------------------------
+def test_pack_sequences_fill_invariants(spark):
+    """Per shard: (a) pack tokens are conserved (sum of packs == sum of
+    eligible docs), (b) no pack exceeds BUDGET + (largest doc - 1) —
+    only a straddling doc may overflow, (c) every non-final pack is
+    filled past BUDGET - (largest doc - 1) — the greedy fill leaves no
+    avoidable padding gap."""
+    from motorway_spark.queries import QUERIES
+    from motorway_spark.queries.sampling import PACK_BUDGET
+
+    sf = "/root/testdata/sf0.001"
+    packs = QUERIES["pack_sequences"](spark, sf).collect()
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    toks = (
+        docs.select(F.size(F.split("text", " ")).alias("n"))
+        .where(F.col("n") <= PACK_BUDGET)
+        .agg(F.sum("n").alias("total"), F.max("n").alias("mx"))
+        .collect()[0]
+    )
+    assert sum(r.pack_tokens for r in packs) == toks.total
+
+    by_shard: dict = {}
+    for r in packs:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.pack_no)
+        for r in rows:
+            assert r.pack_tokens <= PACK_BUDGET + toks.mx - 1, (shard, r)
+        for r in rows[:-1]:  # non-final packs must be well filled
+            assert r.pack_tokens >= PACK_BUDGET - toks.mx + 1, (shard, r)
