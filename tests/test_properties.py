@@ -170,3 +170,57 @@ def test_pack_sequences_fill_invariants(spark):
             assert r.pack_tokens <= PACK_BUDGET + toks.mx - 1, (shard, r)
         for r in rows[:-1]:  # non-final packs must be well filled
             assert r.pack_tokens >= PACK_BUDGET - toks.mx + 1, (shard, r)
+
+
+# ---------------------------------------------------------------------------
+# MinHash signature vs pure-Python reference (independent of DuckDB)
+# ---------------------------------------------------------------------------
+def _py_minhash(text):
+    """Reference implementation of the affine one-hash MinHash from
+    dedup.py, built directly on hashlib — no Spark, no DuckDB."""
+    import hashlib
+
+    from motorway_spark.queries.dedup import MH_A, MH_B, MH_P, N_MINHASH
+
+    shingles = []
+    seen = set()
+    for i in range(max(len(text) - 3, 0)):
+        s = text[i : i + 4]
+        if s not in seen:
+            seen.add(s)
+            shingles.append(s)
+    if not shingles:
+        return None
+    hs = [
+        int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MH_P for s in shingles
+    ]
+    return [
+        min((MH_A[i] * h + MH_B[i]) % MH_P for h in hs) for i in range(N_MINHASH)
+    ]
+
+
+def test_minhash_signature_matches_python_reference(spark):
+    """The Spark expression pipeline (conv/md5/transform/array_min) must
+    produce bit-identical signatures to a from-scratch hashlib
+    implementation — pins the LSH foundation against BOTH engines'
+    SQL quirks, not just against DuckDB."""
+    import random
+    import string
+
+    from motorway_spark.queries.dedup import minhash_signatures
+
+    rng = random.Random(99)
+    texts = [
+        "".join(rng.choice(string.ascii_lowercase + " ") for _ in range(rng.randint(4, 80)))
+        for _ in range(40)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: list(r["mh"]) for r in minhash_signatures(docs).collect()}
+    for i, t in enumerate(texts):
+        want = _py_minhash(t)
+        if want is None:
+            assert i not in got
+        else:
+            assert got[i] == want, (i, t)
