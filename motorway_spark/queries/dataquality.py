@@ -283,7 +283,7 @@ _Z_THRESHOLD = 2.0
 def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume-anomaly detection on the events stream table: hourly
     event counts per type, flagged where the count deviates more than
-    {2}σ from that type's mean hourly volume.
+    2σ from that type's mean hourly volume.
 
     Determinism: mean and variance are derived from EXACT integer
     aggregates (n, Σc, Σc²) rather than ``stddev_samp`` — float

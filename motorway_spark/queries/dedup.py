@@ -932,7 +932,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two-pass candidate/verify shape (the repo's standard scale
     pattern): candidates come from a self-join restricted to RARE
-    shingles (df <= {CONTAIN_DF_CAP}; the df cap is the hot-bucket cap
+    shingles (df <= CONTAIN_DF_CAP; the df cap is the hot-bucket cap
     analogue and part of the contract — the oracle applies it too),
     then the EXACT common-shingle count is recomputed only for
     candidate pairs. The >= 0.9 decision is integer arithmetic

@@ -58,7 +58,7 @@ _SQL_COORD = (
     """,
 )
 def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All customer pairs within planar distance {GEO_R} of each other
+    """All customer pairs within planar distance GEO_R of each other
     — the spatial radius self-join, grid-blocked: each point lands in a
     floor-grid cell sized to the radius, side A explodes to its 3x3
     cell neighborhood (9 bounded copies), and the join is CELL-EQUALITY
@@ -142,8 +142,8 @@ GEO_KNN_K = 3
     """,
 )
 def geo_knn_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-point k nearest neighbors within radius {GEO_R} (k =
-    {GEO_KNN_K}): the same grid-blocked candidate generation as
+    """Per-point k nearest neighbors within radius GEO_R (k =
+    GEO_KNN_K): the same grid-blocked candidate generation as
     ``geo_radius_join`` (directional this time — every point ranks its
     own neighborhood), then a per-point rank bounded INSIDE the shuffle
     (WindowGroupLimit, plan-audited) — a dense cell must not force a
