@@ -139,9 +139,31 @@ def run_check(sf_dir: str, names: list[str] | None = None, spark=None) -> dict[s
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = sys.argv[2:] or None
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    names = argv[1:] or None
     results = run_check(sf_dir, names)
+    if json_out:
+        import json as _json
+
+        record = {
+            name: {
+                "status": (
+                    "rows_only"
+                    if "(rows-only check)" in probs
+                    else ("fail" if probs else "pass")
+                ),
+                "problems": [p for p in probs if p != "(rows-only check)"],
+            }
+            for name, probs in results.items()
+        }
+        with open(json_out, "w") as fh:
+            _json.dump({"sf_dir": sf_dir, "results": record}, fh, indent=1)
     n_fail = 0
     for name in sorted(results):
         problems = [p for p in results[name] if p != "(rows-only check)"]
