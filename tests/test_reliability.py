@@ -1,0 +1,134 @@
+"""Reliability evidence beyond unit mocks, each in its own JVM
+(subprocess) because the configs must be set before context start:
+
+- RocksDB state store: the PRODUCTION state backend (spill-to-disk,
+  checkpointed — SURVEY §4.2's claimed replacement for the reference's
+  in-memory per-process dicts) actually runs this engine's stateful
+  streaming path and produces batch-equal results.
+- Task retry: a task that CRASHES on its first attempt (real
+  exception, real retry via local[N, maxFailures]) completes the job
+  with correct results — the reference's crash isolation
+  (ramp.py:167-168, supervised restarts) expressed as Spark task
+  retry, observed end to end rather than asserted from config.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import uuid
+
+_ROCKSDB_SCRIPT = r"""
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("rocksdb-state")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from motorway_spark.streaming.runner import run_stream_to_memory, stream_events
+
+events = stream_events(spark, "/root/testdata/sf0.001")
+
+def update_count(key, pdf_iter, state: GroupState):
+    n = state.get[0] if state.exists else 0
+    for pdf in pdf_iter:
+        n += len(pdf)
+    state.update((n,))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+counted = events.select("user_id").groupBy("user_id").applyInPandasWithState(
+    update_count,
+    outputStructType="user_id long, n_events long",
+    stateStructType="n_events long",
+    outputMode="update",
+    timeoutConf=GroupStateTimeout.NoTimeout,
+)
+sink = run_stream_to_memory(counted, output_mode="update")
+from pyspark.sql import Window
+w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+got = {
+    r["user_id"]: r["n_events"]
+    for r in sink.withColumn("rn", F.row_number().over(w))
+    .filter("rn = 1").collect()
+}
+want = {
+    r["user_id"]: r["n"]
+    for r in spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    .groupBy("user_id").agg(F.count("*").alias("n")).collect()
+}
+assert got == want, (len(got), len(want))
+print("ROCKSDB_OK", len(got))
+"""
+
+_RETRY_SCRIPT = r"""
+import os, sys
+from pyspark import TaskContext
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+marker_dir = sys.argv[1]
+
+spark = (
+    SparkSession.builder.master("local[4, 3]")  # up to 3 attempts per task
+    .appName("task-retry")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+def flaky(batches):
+    tc = TaskContext.get()
+    if tc.partitionId() == 0 and tc.attemptNumber() == 0:
+        with open(os.path.join(marker_dir, "crashed"), "w") as fh:
+            fh.write("attempt0")
+        raise RuntimeError("injected first-attempt crash")
+    for pdf in batches:
+        pdf["doubled"] = pdf["v"] * 2
+        yield pdf[["v", "doubled"]]
+
+df = spark.range(1000).repartition(4).selectExpr("id AS v")
+out = df.mapInPandas(flaky, "v long, doubled long").collect()
+assert os.path.exists(os.path.join(marker_dir, "crashed")), "injection never fired"
+assert len(out) == 1000
+assert all(r["doubled"] == 2 * r["v"] for r in out)
+print("RETRY_OK", len(out))
+"""
+
+
+def _run(script: str, *args: str) -> str:
+    proc = subprocess.run(
+        [sys.executable, "-c", script, *args],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    return proc.stdout
+
+
+def test_rocksdb_state_store_runs_stateful_streaming():
+    out = _run(_ROCKSDB_SCRIPT)
+    assert "ROCKSDB_OK" in out
+
+
+def test_task_retry_recovers_injected_crash(tmp_path):
+    marker = str(tmp_path / uuid.uuid4().hex)
+    import os
+
+    os.makedirs(marker)
+    out = _run(_RETRY_SCRIPT, marker)
+    assert "RETRY_OK 1000" in out
