@@ -132,3 +132,45 @@ def test_task_retry_recovers_injected_crash(tmp_path):
     os.makedirs(marker)
     out = _run(_RETRY_SCRIPT, marker)
     assert "RETRY_OK 1000" in out
+
+
+_SPILL_SCRIPT = r"""
+import duckdb
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("forced-spill")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    # force external spill in every sort/aggregation after 5k elements
+    .config("spark.shuffle.spill.numElementsForceSpillThreshold", "5000")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from motorway_spark.queries import QUERIES, ORACLES
+from motorway_spark.oracle import _duckdb_con, compare_frames
+
+SF = "/root/testdata/sf0.1"
+con = _duckdb_con(SF)
+for name in ("q1_pricing_summary", "sessionize_events", "win_running", "dedup_exact"):
+    spark_pdf = QUERIES[name](spark, SF).toPandas()
+    oracle_pdf = con.sql(ORACLES[name]).df()
+    problems = compare_frames(spark_pdf, oracle_pdf)
+    assert not problems, (name, problems[:3])
+    print("SPILL_OK", name, len(spark_pdf))
+"""
+
+
+def test_forced_spill_keeps_results_oracle_exact():
+    """With the force-spill threshold at 5k elements every sizeable
+    sort/aggregation goes through the external (disk-spilling) path —
+    the memory-pressure behavior a 100 TB run lives in. Four
+    shuffle-heavy operators must stay ORACLE-EXACT at sf0.1 under it:
+    spilling changes merge order, and the engine's decimal-sum
+    determinism conventions are exactly what make the results
+    insensitive to that."""
+    out = _run(_SPILL_SCRIPT)
+    assert out.count("SPILL_OK") == 4
