@@ -368,3 +368,58 @@ def test_geo_knn_rank_bounded_in_shuffle(spark):
     plan = _plan(spark, "geo_knn_within_radius")
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-4 analytics additions: KPI / stats / basket / gap-fill shapes.
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize(
+    "name",
+    [
+        "events_funnel",
+        "events_retention_cohorts",
+        "events_markov_transitions",
+        "orders_rfm_segmentation",
+        "agg_gini",
+        "agg_corr_regression",
+        "agg_skew_kurtosis",
+        "basket_brand_affinity",
+        "nation_revenue_yoy",
+        "events_dau_wau",
+        "events_gap_fill_lerp",
+        "events_anomaly_seasonal",
+        "win_running_distinct",
+        "win_time_interval_frame",
+    ],
+)
+def test_analytics_family_no_cartesian(spark, name):
+    """None of the KPI/statistics family may plan a CartesianProduct;
+    their only nested-loop joins are broadcasts of constant-sized
+    sides (7-row day offsets, 9-cell neighborhoods, 1-row totals)."""
+    assert "CartesianProduct" not in _plan(spark, name)
+
+
+def test_markov_single_user_exchange(spark):
+    """The transition matrix must be ONE lag window pass (one user_id
+    exchange) + the final small aggregate — no join."""
+    simple = (
+        QUERIES["events_markov_transitions"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in simple
+
+
+def test_corr_and_moments_single_scan(spark):
+    """Moment-sum statistics must be one scan with partial+final hash
+    aggregation — the mergeable-sufficient-statistic shape."""
+    for name in ("agg_corr_regression", "agg_skew_kurtosis"):
+        simple = (
+            QUERIES[name](spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert simple.count("FileScan parquet") == 1, name
+        assert "Join" not in simple, name
