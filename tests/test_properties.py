@@ -224,3 +224,55 @@ def test_minhash_signature_matches_python_reference(spark):
             assert i not in got
         else:
             assert got[i] == want, (i, t)
+
+
+# ---------------------------------------------------------------------------
+# SimHash pairs vs pure-Python reference (third implementation, after
+# Spark and the DuckDB oracle)
+# ---------------------------------------------------------------------------
+def test_simhash_pairs_match_python_reference(spark):
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from motorway_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pylist()
+
+    def h64(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+
+    fps = {}
+    for r in rows:
+        toks, seen = [], set()
+        for t in r["text"].split(" "):
+            if t not in seen:
+                seen.add(t)
+                toks.append(t)
+        counters = [0] * 60
+        for t in toks:
+            h = h64(t)
+            for j in range(60):
+                counters[j] += 1 if (h >> j) & 1 else -1
+        fp = sum((1 << j) for j in range(60) if counters[j] > 0)
+        fps[r["doc_id"]] = fp
+
+    want = set()
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            x = fps[a] ^ fps[b]
+            if bin(x).count("1") <= 8:
+                # candidate gate: some 15-bit band must agree
+                if any(
+                    (fps[a] >> (k * 15)) & 0x7FFF == (fps[b] >> (k * 15)) & 0x7FFF
+                    for k in range(4)
+                ):
+                    want.add((a, b))
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_simhash"](spark, sf).collect()
+    }
+    assert got == want, (len(got), len(want), (got ^ want))
