@@ -1,0 +1,88 @@
+"""Accuracy invariants for the rows-only (sketch/seeded) operators.
+
+The six rows-only registry entries are rows-only because their VALUES
+are engine-specific by design (HLL and GK sketches, seeded sampling,
+MLlib hash families, binary decode). That exempts them from the
+cross-engine oracle — not from accuracy: each sketch carries a
+documented error bound, and these tests hold the engine to it against
+the exact ground truth computed in the same session.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from motorway_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    """HLL++ with rsd=0.02 must land within ~3x the configured relative
+    standard deviation of the exact count on every group (3 sigma)."""
+    approx = {
+        r["l_returnflag"]: r["approx_orders"]
+        for r in QUERIES["agg_approx_distinct"](spark, SF).collect()
+    }
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count_distinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for flag, n in exact.items():
+        rel_err = abs(approx[flag] - n) / n
+        assert rel_err <= 3 * 0.02, (flag, approx[flag], n, rel_err)
+
+
+def test_percentile_approx_within_rank_error(spark):
+    """The GK sketch at accuracy=10000 guarantees rank error <=
+    n/10000; verify each approximate percentile's TRUE rank sits within
+    that band (value-space bounds would be distribution-dependent —
+    rank space is the sketch's actual contract)."""
+    rows = QUERIES["agg_percentile_approx"](spark, SF).collect()
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    for r in rows:
+        flag = r["l_returnflag"]
+        vals = [
+            x["l_extendedprice"]
+            for x in li.where(F.col("l_returnflag") == flag)
+            .select("l_extendedprice")
+            .collect()
+        ]
+        vals.sort()
+        n = len(vals)
+        tol = n / 10_000 + 1
+        for q, got in (("p50", r["p50"]), ("p90", r["p90"]), ("p99", r["p99"])):
+            target_rank = {"p50": 0.5, "p90": 0.9, "p99": 0.99}[q] * n
+            # rank of the returned value in the exact ordering
+            import bisect
+
+            lo = bisect.bisect_left(vals, got)
+            hi = bisect.bisect_right(vals, got)
+            # some rank in [lo, hi] must be within tolerance of target
+            nearest = min(abs(lo - target_rank), abs(hi - target_rank))
+            if lo <= target_rank <= hi:
+                nearest = 0
+            assert nearest <= tol, (flag, q, got, nearest, tol)
+
+
+def test_sample_fraction_proportion_and_subset(spark):
+    """Seeded Bernoulli sampling: the draw must be a true subset of the
+    table and its size within 5 sigma of Binomial(n, 0.1)."""
+    sample = QUERIES["sample_fraction"](spark, SF)
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    n = li.count()
+    k = sample.count()
+    mean, sigma = 0.1 * n, (n * 0.1 * 0.9) ** 0.5
+    assert abs(k - mean) <= 5 * sigma, (k, mean, sigma)
+    assert (
+        sample.join(
+            li.select("l_orderkey", "l_linenumber"),
+            ["l_orderkey", "l_linenumber"],
+            "left_anti",
+        ).count()
+        == 0
+    )
