@@ -86,3 +86,26 @@ def test_sample_fraction_proportion_and_subset(spark):
         ).count()
         == 0
     )
+
+
+def _canon_rows(df):
+    return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+def test_rows_only_queries_are_rerun_deterministic(spark):
+    """The driver's rows-only check hashes result rows — a rows-only
+    query that drifts between invocations would flake the gate. Pin
+    rerun-determinism for the remaining rows-only entries (fixed MLlib
+    seeds, deterministic decode stub, seeded sampler) by running each
+    twice in one session."""
+    for name in (
+        "dedup_minhash_mllib",
+        "sim_ann_ivf",
+        "multimodal_decode_features",
+        "sample_fraction",
+        "agg_approx_distinct",
+        "agg_percentile_approx",
+    ):
+        first = _canon_rows(QUERIES[name](spark, SF))
+        second = _canon_rows(QUERIES[name](spark, SF))
+        assert first == second, name
