@@ -174,3 +174,94 @@ def test_forced_spill_keeps_results_oracle_exact():
     insensitive to that."""
     out = _run(_SPILL_SCRIPT)
     assert out.count("SPILL_OK") == 4
+
+
+_ROCKSDB_RESTART_SCRIPT = r"""
+import json, os, sys
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+work = sys.argv[1]
+spool = os.path.join(work, "spool"); os.makedirs(spool, exist_ok=True)
+ckpt = os.path.join(work, "ckpt")
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("rocksdb-restart")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+from motorway_spark.sources import register_sources
+register_sources(spark)
+
+def put(batch, lo, hi):
+    for i in range(lo, hi):
+        with open(os.path.join(spool, f"m{batch}-{i:04d}.json"), "w") as fh:
+            json.dump({"id": f"{batch}-{i}", "body": {"group": f"g{i % 3}"}}, fh)
+
+def update_count(key, pdf_iter, state: GroupState):
+    n = state.get[0] if state.exists else 0
+    for pdf in pdf_iter:
+        n += len(pdf)
+    state.update((n,))
+    yield pd.DataFrame({"grp": [key[0]], "n": [n]})
+
+out_dir = os.path.join(work, "out"); os.makedirs(out_dir, exist_ok=True)
+
+def run_once(tag):
+    stream = (
+        spark.readStream.format("spooldir")
+        .option("path", spool).option("deleteOnCommit", "false")
+        .load()
+        .groupBy("grouping_value")
+        .applyInPandasWithState(
+            update_count,
+            outputStructType="grp string, n long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+    def sink(batch_df, batch_id):
+        rows = [(r["grp"], r["n"]) for r in batch_df.collect()]
+        with open(os.path.join(out_dir, f"{tag}-{batch_id}.json"), "w") as fh:
+            json.dump(rows, fh)
+
+    # memory sink cannot recover from a checkpoint; foreachBatch can
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt).outputMode("update").start())
+    q.processAllAvailable(); q.stop()
+    latest = {}
+    for name in sorted(os.listdir(out_dir)):
+        with open(os.path.join(out_dir, name)) as fh:
+            for grp, n in json.load(fh):
+                latest[grp] = max(latest.get(grp, 0), n)
+    return latest
+
+put(0, 0, 30)
+first = run_once("r1")
+assert first == {"g0": 10, "g1": 10, "g2": 10}, first
+
+put(1, 0, 15)  # second batch arrives while the query is DOWN
+second = run_once("r2")
+# counts must RESUME from RocksDB state (30 + 15 split 5/5/5), not restart
+assert second == {"g0": 15, "g1": 15, "g2": 15}, second
+print("ROCKSDB_RESTART_OK", second)
+"""
+
+
+def test_rocksdb_state_survives_restart(tmp_path):
+    """Keyed state checkpointed in RocksDB must survive a full query
+    stop/start: counts RESUME across the restart (30 msgs, stop, 15
+    more, start => 15 per group — not a from-zero recount of only the
+    new data)."""
+    out = _run(_ROCKSDB_RESTART_SCRIPT, str(tmp_path))
+    assert "ROCKSDB_RESTART_OK" in out
