@@ -116,3 +116,15 @@ def test_compaction_zorder_interleaves_keys(spark, sf_dir):
             glo_max = hi if glo_max is None else max(glo_max, hi)
     assert len(spans) >= 4
     assert sum(spans) / len(spans) < 0.6 * (glo_max - glo_min)
+
+
+def test_compaction_single_file_and_roundtrip_stats(spark, sf_dir):
+    """Edge: a source already within target size compacts to ONE file
+    and stats stay truthful."""
+    tmp = f"/tmp/motorway_compact/{uuid.uuid4().hex}"
+    src = os.path.join(tmp, "small")
+    spark.read.parquet(f"{sf_dir}/region.parquet").coalesce(1).write.parquet(src)
+    dst = os.path.join(tmp, "compacted")
+    stats = compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
+    assert stats.out_files == 1
+    assert stats.rows == spark.read.parquet(src).count()

@@ -71,3 +71,30 @@ def test_headline_queries_pass_guard(spark, name):
     sides, so the nested-loop allowance applies there by design."""
     df = QUERIES[name](spark, SF)
     assert_plan_safe(df, allow_nested_loop=True, max_scan_columns=7)
+
+
+def test_audit_works_on_unstarted_streaming_plans(spark, tmp_path):
+    """audit_plan must inspect a STREAMING DataFrame before any query
+    starts (explain works on the unstarted plan) — so streaming
+    topologies get the same pre-flight as batch where Spark can plan
+    them. A clean windowed aggregate passes; a row-Python-UDF stream is
+    flagged."""
+    from pyspark.sql.functions import udf
+
+    from motorway_spark.sources import register_sources
+
+    register_sources(spark)
+    import os
+
+    spool = str(tmp_path / "q")
+    os.makedirs(spool)
+    stream = (
+        spark.readStream.format("spooldir").option("path", spool).load()
+    )
+    clean = stream.groupBy("grouping_value").count()
+    assert audit_plan(clean).ok
+
+    row_fn = udf(lambda s: (s or "") + "!", "string")
+    flagged = stream.select(row_fn("body"))
+    report = audit_plan(flagged)
+    assert not report.ok and any("BatchEvalPython" in v for v in report.violations)
