@@ -243,14 +243,14 @@ class Pipeline:
         True}``) passed to writers that accept a second argument;
         defaults to the cadence implied by ``@batch_process`` tags.
 
-        ``plan_guard``: pre-flight every sink's BATCH plan through
+        ``plan_guard``: pre-flight EVERY sink's plan (batch and
+        streaming — Spark explains unstarted streaming plans, pinned in
+        tests/test_planguard.py) through
         :func:`motorway_spark.planguard.assert_plan_safe` before any
-        writer runs — the topology refuses to launch if a stream's plan
+        writer runs — the topology refuses to launch if a plan
         degenerated (cartesian product, row-Python UDF, ...). Pass a
         dict to forward allowances (e.g. ``{"allow_nested_loop":
-        True}``). Streaming plans are audited after the source resolves
-        only when Spark can explain them unstarted, so the guard covers
-        batch topologies fully and streaming ones best-effort.
+        True}``).
         """
         import inspect
 
@@ -260,9 +260,7 @@ class Pipeline:
 
             kwargs = plan_guard if isinstance(plan_guard, dict) else {}
             for stream_name, _writer in self._sinks:
-                df = streams[stream_name]
-                if not df.isStreaming:
-                    assert_plan_safe(df, **kwargs)
+                assert_plan_safe(streams[stream_name], **kwargs)
         trigger = trigger if trigger is not None else self.trigger_kwargs()
         results = []
         for stream_name, writer in self._sinks:
