@@ -98,3 +98,18 @@ def test_audit_works_on_unstarted_streaming_plans(spark, tmp_path):
     flagged = stream.select(row_fn("body"))
     report = audit_plan(flagged)
     assert not report.ok and any("BatchEvalPython" in v for v in report.violations)
+
+
+def test_read_schema_width_parser():
+    from motorway_spark.planguard import _read_schema_widths
+
+    plan = """
+    (1) Scan parquet
+    ReadSchema: struct<a:bigint,b:double,c:string>
+    (2) Scan parquet
+    ReadSchema: struct<x:int>
+    (3) Scan parquet
+    ReadSchema: struct<>
+    """
+    widths = [n for n, _ in _read_schema_widths(plan)]
+    assert widths == [3, 1, 0]
