@@ -43,17 +43,114 @@ from motorway_spark.queries import joins  # noqa: F401,E402
 from motorway_spark.queries import relational  # noqa: F401,E402
 from motorway_spark.queries import windows  # noqa: F401,E402
 
-# Explicit sweep priority (round 4). The driver's per-round correctness
-# budget is ~50 queries, taken in registration order. After round 3
-# every query has at least one driver row, so priority is now staleness
-# plus this round's changes:
-#   1. queries whose code or oracle CHANGED this round (the r3 ERR fix,
-#      the new sim_ann_lsh oracle, the r3-registered-but-never-swept
-#      sim_knn_matmul oracle, the capped clustering, the PassJoin fix);
-#   2. the 45 queries whose only driver row is round 1 — two fixture
-#      regenerations ago (relational/join/window/setop/agg families);
-#   3. everything with an r2/r3 row keeps its relative order after.
+# Explicit sweep priority (round 5). The driver's per-round correctness
+# budget is ~50 queries, taken in registration order. Every query has a
+# driver row; priority is now pure staleness plus this round's changes:
+#   1. queries whose code or oracle CHANGED in round 5 (the containment
+#      doc_sets cache, the production-sink anomaly stream, the new
+#      minhash-mllib inlined-coefficient oracle);
+#   2. the 42-query cohort whose latest driver row is ROUND 1 — three
+#      fixture regenerations old (agg/join/window/setop/TPC-H families);
+#   3. the head of the round-2 cohort to fill the ~50 budget; the rest
+#      of the r02 cohort follows immediately after for round 6.
 _SWEEP_PRIORITY = [
+    # -- changed in round 5: must get a fresh driver row --
+    "dedup_containment",       # r5: doc_sets persisted across the 3-way fan-out
+    "stream_anomaly_zscore",   # r5: rebased via UpsertParquetSink, no collect()
+    "dedup_minhash_mllib",     # r5: rows-only -> full oracle (inlined MLlib coeffs)
+    # -- latest driver row is ROUND 1 (three fixture regens old) --
+    "q1_pricing_summary",      # flagship; last full-green row r1 (r4 re-check was local)
+    "wordcount",
+    "agg_basic",
+    "agg_stats",
+    "agg_collect",
+    "agg_rollup",
+    "agg_cube",
+    "agg_percentile",
+    "agg_approx_distinct",
+    "agg_having",
+    "agg_salted_skew",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_theta_buckets",
+    "join_broadcast_dim",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q12_shipmode_buckets",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q22_acctbal_subquery",
+    "sql_api_q7_volume",
+    "win_ranking",
+    "win_lag_lead",
+    "win_running",
+    "win_range_frame",
+    "win_first_last",
+    "win_distribution",
+    "order_limit",
+    "topk_per_group",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "unpivot_metrics",
+    "sample_fraction",
+    # -- round-2 cohort head (fills the ~50 budget; rest lands round 6) --
+    "dedup_minhash",
+    "dedup_exact",
+    "dedup_exact_keep_first",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "sim_knn_cosine",
+    "sim_pairs_threshold",
+    "sim_ann_ivf",
+    "text_stats",
+    "text_token_count",
+    "text_lang_id",
+    "text_quality",
+    "text_fingerprint",
+    "text_commonness_score",
+    "text_tfidf_topterms",
+    "topk_heavy_hitters",
+    "hypertable_rollup",
+    "sessionize_events",
+    "scd2_intervals",
+    "range_join_interval_overlap",
+    "range_join_point_in_interval",
+    "zorder_clustering",
+    "profile_columns",
+    "pipeline_engagement_report",
+    "fn_string",
+    "fn_string_split",
+    "fn_datetime",
+    "fn_datetime_agg",
+    "fn_array",
+    "fn_array_ops",
+    "fn_map_explode",
+    "fn_json",
+    "fn_json_build",
+    "multimodal_metadata",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_decode_features",
+    "udf_pandas_normalize",
+    "udf_python_row_normalize",
+    "udf_grouped_minmax",
+    "udtf_char_histogram",
+]
+
+# Round-4 ordering kept below for reference of what has fresh rows; these
+# names now sort AFTER the stale cohorts above (everything here has an
+# r3/r4 driver row already).
+_SWEEP_PRIORITY_R4 = [
     # -- changed in round 4: must get a fresh driver row --
     "agg_percentile_approx",   # r3 ERR: array column crashed the checker
     "sim_knn_matmul",          # oracle registered r3, never driver-swept
@@ -152,7 +249,14 @@ _SWEEP_PRIORITY = [
 
 
 def _reorder_for_sweep() -> None:
-    ordered = {n: QUERIES[n] for n in _SWEEP_PRIORITY if n in QUERIES}
+    # r5 stale-first priority, then the r4 ordering (fresh rows), then
+    # registration order for anything unlisted.  Duplicate names are fine:
+    # the first occurrence fixes a dict key's position.
+    ordered = {
+        n: QUERIES[n]
+        for n in (*_SWEEP_PRIORITY, *_SWEEP_PRIORITY_R4)
+        if n in QUERIES
+    }
     for name, fn in QUERIES.items():
         ordered.setdefault(name, fn)
     QUERIES.clear()
