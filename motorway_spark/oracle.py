@@ -138,11 +138,32 @@ def run_check(sf_dir: str, names: list[str] | None = None, spark=None) -> dict[s
     return results
 
 
+def json_record(results: dict[str, list[str]]) -> dict[str, dict]:
+    """Encode ``run_check`` results for ``--json`` output.  ``status``
+    reflects the outcome ("pass"/"fail") regardless of check kind — a
+    rows-only query that produced zero rows is a "fail", not a third
+    status consumers would miss — while ``check`` records which gate ran
+    ("oracle" vs "rows_only")."""
+    return {
+        name: {
+            "status": (
+                "fail" if [p for p in probs if p != "(rows-only check)"] else "pass"
+            ),
+            "check": "rows_only" if "(rows-only check)" in probs else "oracle",
+            "problems": [p for p in probs if p != "(rows-only check)"],
+        }
+        for name, probs in results.items()
+    }
+
+
 def main() -> int:
     argv = list(sys.argv[1:])
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print("error: --json requires an output-path operand", file=sys.stderr)
+            return 2
         json_out = argv[i + 1]
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
@@ -151,19 +172,10 @@ def main() -> int:
     if json_out:
         import json as _json
 
-        record = {
-            name: {
-                "status": (
-                    "rows_only"
-                    if "(rows-only check)" in probs
-                    else ("fail" if probs else "pass")
-                ),
-                "problems": [p for p in probs if p != "(rows-only check)"],
-            }
-            for name, probs in results.items()
-        }
         with open(json_out, "w") as fh:
-            _json.dump({"sf_dir": sf_dir, "results": record}, fh, indent=1)
+            _json.dump(
+                {"sf_dir": sf_dir, "results": json_record(results)}, fh, indent=1
+            )
     n_fail = 0
     for name in sorted(results):
         problems = [p for p in results[name] if p != "(rows-only check)"]

@@ -255,7 +255,9 @@ class Pipeline:
         import inspect
 
         streams = self.compile()
-        if plan_guard:
+        # An empty dict means "guard with default allowances", not "off":
+        # only plan_guard=False disables the audit.
+        if plan_guard or isinstance(plan_guard, dict):
             from motorway_spark.planguard import assert_plan_safe
 
             kwargs = plan_guard if isinstance(plan_guard, dict) else {}

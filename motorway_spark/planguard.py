@@ -71,18 +71,38 @@ def _formatted_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
+def _count_top_level_fields(inner: str) -> int:
+    """Top-level field count of a ``struct<...>`` body: commas inside
+    nested ``struct<>``/``array<>``/``map<>`` type arguments don't
+    separate scan columns, so count only depth-0 commas.  Spark may
+    truncate long schemas to ``a:int,b:int, ... N more fields`` — fold
+    the announced remainder back in."""
+    if not inner:
+        return 0
+    depth = 0
+    n = 1
+    for ch in inner:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            n += 1
+    more = re.search(r"\.\.\.\s*(\d+)\s+more fields?", inner)
+    if more:
+        # the "... N more fields" tail was itself counted as one segment
+        n += int(more.group(1)) - 1
+    return n
+
+
 def _read_schema_widths(plan: str) -> list[tuple[int, str]]:
     """(column_count, line) per scan's ReadSchema entry."""
     out = []
     for line in plan.splitlines():
         line = line.strip()
         if line.startswith("ReadSchema:"):
-            # ReadSchema: struct<a:bigint,b:double,...> — count top-level
-            # fields only (nested structs would inflate a naive comma count,
-            # but fixture/lakehouse scan schemas here are flat).
             inner = line.split("struct<", 1)[-1].rsplit(">", 1)[0]
-            n = len(re.findall(r"[^,<>]+:", inner)) if inner else 0
-            out.append((n, line))
+            out.append((_count_top_level_fields(inner), line))
     return out
 
 

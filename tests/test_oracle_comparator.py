@@ -78,3 +78,36 @@ def test_float_compare_is_exact_not_tolerant():
     out = compare_frames(_df(v=[x]), _df(v=[0.3]))
     assert any("value[" in p for p in out)
     assert math.isclose(x, 0.3)  # close is not good enough
+
+
+def test_json_record_rows_only_zero_rows_is_a_fail():
+    """ADVICE r4: a rows-only query that fails the rows>0 gate must be
+    status=="fail" so status filters count it; the check KIND lives in
+    its own field."""
+    from motorway_spark.oracle import json_record
+
+    record = json_record(
+        {
+            "ok_oracle": [],
+            "ok_rows_only": ["(rows-only check)"],
+            "empty_rows_only": ["no rows", "(rows-only check)"],
+            "bad_oracle": ["row count: spark=1 oracle=2"],
+        }
+    )
+    assert record["ok_oracle"] == {"status": "pass", "check": "oracle", "problems": []}
+    assert record["ok_rows_only"]["status"] == "pass"
+    assert record["ok_rows_only"]["check"] == "rows_only"
+    assert record["empty_rows_only"]["status"] == "fail"
+    assert record["empty_rows_only"]["check"] == "rows_only"
+    assert record["empty_rows_only"]["problems"] == ["no rows"]
+    assert record["bad_oracle"]["status"] == "fail"
+
+
+def test_json_flag_without_operand_exits_cleanly(monkeypatch):
+    """ADVICE r4: `--json` as the last argv must not raise IndexError."""
+    import sys as _sys
+
+    from motorway_spark import oracle
+
+    monkeypatch.setattr(_sys, "argv", ["oracle", "--json"])
+    assert oracle.main() == 2

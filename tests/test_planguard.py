@@ -113,3 +113,41 @@ def test_read_schema_width_parser():
     """
     widths = [n for n, _ in _read_schema_widths(plan)]
     assert widths == [3, 1, 0]
+
+
+def test_read_schema_width_parser_nested_and_truncated():
+    """ADVICE r4: fields inside nested struct/array/map type arguments
+    must not count toward a scan's width, and Spark's '... N more
+    fields' truncation must fold back in."""
+    from motorway_spark.planguard import _read_schema_widths
+
+    plan = """
+    (1) Scan parquet
+    ReadSchema: struct<a:bigint,meta:struct<x:int,y:int,z:string>,b:double>
+    (2) Scan parquet
+    ReadSchema: struct<tags:array<struct<k:string,v:string>>,m:map<string,int>>
+    (3) Scan parquet
+    ReadSchema: struct<a:int,b:int,... 4 more fields>
+    """
+    widths = [n for n, _ in _read_schema_widths(plan)]
+    assert widths == [3, 2, 6]
+
+
+def test_empty_allowance_dict_still_enables_pipeline_guard(spark):
+    """ADVICE r4: run(plan_guard={}) means 'guard with default (no)
+    allowances', not 'guard off' — a degenerate plan must still refuse
+    to launch."""
+    from motorway_spark.pipeline import Pipeline
+
+    a = spark.range(1000).withColumnRenamed("id", "x")
+    b = spark.range(5).withColumnRenamed("id", "y")
+    theta = a.join(F.broadcast(b), a.x > b.y)  # non-equi -> BNLJ, flagged
+    pipe = Pipeline(spark).add_ramp(theta, "theta")
+    seen = []
+    pipe.add_sink("theta", lambda df: seen.append(df.count()))
+    with pytest.raises(PlanGuardError):
+        pipe.run(plan_guard={})
+    assert seen == []  # the guard fired BEFORE any writer ran
+    # and the same dict with the allowance forwards it
+    pipe.run(plan_guard={"allow_nested_loop": True})
+    assert seen == [sum(999 - y for y in range(5))]  # 4985 (x>y pairs)
