@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from motorway_spark.catalog import Catalog
 from motorway_spark.queries.registry import query
@@ -956,9 +957,19 @@ def containment_pairs(
     # the expensive map, so spread it first (same rationale and measured
     # effect as minhash_signatures above — near-free at real scale)
     par = docs.sparkSession.sparkContext.defaultParallelism
-    doc_sets = docs.repartition(par).select(
-        "doc_id", _word_shingles(F.col("text")).alias("shs")
+    # doc_sets feeds THREE plan branches (the exploded candidate side and
+    # both verify joins); without a persist each branch re-runs the
+    # shingle map and the repartition exchange. The fill is EAGER
+    # (count() below) because the branches' stages run concurrently —
+    # a lazy persist lets them race and each recompute the map before
+    # the cache is populated. MEMORY_AND_DISK so the per-doc arrays
+    # spill rather than OOM at large corpus sizes.
+    doc_sets = (
+        docs.repartition(par)
+        .select("doc_id", _word_shingles(F.col("text")).alias("shs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    doc_sets.count()
     sh = doc_sets.select("doc_id", F.explode("shs").alias("s"))
     rare = (
         sh.groupBy("s")
