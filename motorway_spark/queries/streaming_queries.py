@@ -780,8 +780,18 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     in per-key state. Stats come from exact integer sums, so the
     streamed result is bit-identical to the batch twin (streaming/
     batch parity on the window aggregation, then identical IEEE
-    arithmetic)."""
+    arithmetic).
+
+    The hourly aggregate lands in a real table — a keyed
+    ``UpsertParquetSink`` driven by ``foreachBatch`` — and the flagging
+    pass reads THAT (``run_stream_to_upsert``). No driver collect
+    anywhere: the z-pass self-joins the parquet table the way it would
+    in production, and the sink's MERGE keys on (bucket_hour,
+    event_type) so update-mode re-emissions converge to final counts."""
+    import tempfile
+
     from motorway_spark.queries.dataquality import _Z_EXPR, _Z_THRESHOLD
+    from motorway_spark.streaming.runner import run_stream_to_upsert
 
     events = stream_events(spark, sf_dir)
     agg = (
@@ -794,14 +804,12 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c",
         )
     )
-    drained = run_stream_to_memory(agg, output_mode="complete")
-    # The z-pass self-joins the hourly table (stats side + flag side),
-    # and a MemoryPlan view cannot self-join (DeduplicateRelations
-    # fails on its leaf). The memory sink is DRIVER-RESIDENT by
-    # construction, so rebasing its rows into a regular DataFrame is
-    # capacity-neutral here; the production form writes the windowed
-    # aggregate to a real table and the flagging pass reads that.
-    hourly = spark.createDataFrame(drained.collect(), drained.schema)
+    hourly = run_stream_to_upsert(
+        agg,
+        table_dir=tempfile.mkdtemp(prefix="anomaly_hourly_"),
+        key_cols=["bucket_hour", "event_type"],
+        output_mode="update",
+    )
     stats = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("c").alias("s"),

@@ -143,3 +143,63 @@ def run_stream_to_memory(
         else:
             spark.conf.unset("spark.sql.shuffle.partitions")
     return spark.table(name)
+
+
+def run_stream_to_upsert(
+    streaming_df: DataFrame,
+    table_dir: str,
+    key_cols: list[str],
+    output_mode: str = "update",
+    timeout_sec: int = 120,
+    shuffle_partitions: int = 8,
+    num_buckets: int = 16,
+) -> DataFrame:
+    """Drive a streaming DataFrame through a keyed ``UpsertParquetSink``
+    (``foreachBatch`` MERGE) until the finite source drains; return the
+    parquet-backed table.
+
+    This is the PRODUCTION stream-to-serving split: the sink is a real
+    table (hash-bucketed parquet), so downstream batch passes can
+    self-join / re-aggregate it freely — the memory sink can't be
+    self-joined (MemoryPlan breaks DeduplicateRelations) and is
+    driver-resident anyway. Update-mode emissions are safe because the
+    upsert keys on ``key_cols`` and its within-/across-batch conflict
+    resolution keeps the latest (highest-sorting) value per key, so a
+    window re-emitted with a larger count converges to the final one.
+    Replayed micro-batches are exactly-once no-ops via the sink's batch
+    WAL (sinks/upsert.py)."""
+    from motorway_spark.sinks.upsert import UpsertParquetSink
+
+    spark = streaming_df.sparkSession
+    sink = UpsertParquetSink(spark, table_dir, key_cols=key_cols, num_buckets=num_buckets)
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        # same Python-worker connect-flake retry as run_stream_to_memory;
+        # a restart is safe because the sink is idempotent under replay.
+        for attempt in (1, 2):
+            query = (
+                streaming_df.writeStream.outputMode(output_mode)
+                .trigger(availableNow=True)
+                .foreachBatch(sink.foreach_batch())
+                .start()
+            )
+            try:
+                query.awaitTermination(timeout_sec)
+                break
+            except Exception as exc:  # noqa: BLE001
+                if attempt == 1 and "Python worker" in str(exc):
+                    continue
+                raise
+            finally:
+                if query.isActive:
+                    query.stop()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+    out = sink.read()
+    if out is None:
+        raise RuntimeError(f"stream produced no batches into {table_dir}")
+    return out

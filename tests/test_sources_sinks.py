@@ -202,3 +202,45 @@ def test_upsert_sink_rewrites_only_touched_buckets(spark, tmp_path):
     # and the merge itself is correct
     rows = {r["k"]: r["v"] for r in sink.read().collect()}
     assert rows["key0"] == 999 and rows["key7"] == 7 and len(rows) == 40
+
+
+def test_run_stream_to_upsert_lands_real_self_joinable_table(spark, tmp_path, sf_dir):
+    """r5: the stream-to-serving split writes through the keyed upsert
+    sink into a REAL parquet table — no driver collect — and the result
+    must (a) match the batch aggregation exactly and (b) self-join,
+    which the memory sink cannot (MemoryPlan breaks
+    DeduplicateRelations)."""
+    from pyspark.sql import functions as F
+
+    from motorway_spark.streaming.runner import run_stream_to_upsert, stream_events
+
+    events = stream_events(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("c"))
+        .select(F.col("window.start").alias("bucket_hour"), "event_type", "c")
+    )
+    table = run_stream_to_upsert(
+        agg,
+        table_dir=str(tmp_path / "hourly"),
+        key_cols=["bucket_hour", "event_type"],
+        output_mode="update",
+    )
+    # (a) exact parity with the batch twin
+    from motorway_spark.catalog import Catalog
+
+    batch = (
+        Catalog(spark, sf_dir)
+        .events.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket_hour"), "event_type"
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    got = {(r["bucket_hour"], r["event_type"]): r["c"] for r in table.collect()}
+    want = {(r["bucket_hour"], r["event_type"]): r["c"] for r in batch.collect()}
+    assert got == want
+    # (b) the table is a real source: a self-join plans and runs
+    stats = table.groupBy("event_type").agg(F.sum("c").alias("s"))
+    joined = table.join(stats, "event_type")
+    assert joined.count() == table.count()
