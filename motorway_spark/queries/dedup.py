@@ -557,21 +557,103 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("hamming") <= 8).orderBy("doc_a", "doc_b")
 
 
-@query("dedup_minhash_mllib")  # rows-only: MLlib hash family is engine-specific
+# MLlib MinHashLSH internals, replicated so the DuckDB oracle can run the
+# IDENTICAL pipeline (the sim_ann_lsh playbook: inline the engine's
+# "random" parameters as SQL literals):
+# - the hash family is h_i(x) = ((1+x)*a_i + b_i) mod HASH_PRIME with
+#   (a_i, b_i) drawn from java.util.Random(seed); seed=42 below, so the
+#   coefficients are fixed constants (tests/test_sketch_accuracy.py pins
+#   them against a freshly fitted model's transform output);
+# - approxSimilarityJoin generates candidates by (table, hash) equality
+#   and filters on the EXACT key distance 1 - |A∩B|/|A∪B| with a STRICT
+#   < threshold (pinned by the same test).
+MLLIB_LSH_PRIME = 2038074743
+MLLIB_LSH_A = [1562431131, 1467211249, 662969971, 595021506,
+               1429255520, 1939977183, 791955277, 592164477]
+MLLIB_LSH_B = [117392763, 102948884, 2023087525, 1519796918,
+               196118093, 969067502, 819572292, 1482678032]
+MLLIB_NUM_FEATURES = 1 << 14
+_SQL_LSH_A = "[" + ", ".join(map(str, MLLIB_LSH_A)) + "]"
+_SQL_LSH_B = "[" + ", ".join(map(str, MLLIB_LSH_B)) + "]"
+
+
+@query(
+    "dedup_minhash_mllib",
+    oracle=f"""
+    WITH idx AS MATERIALIZED (
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(
+               list_distinct(string_split(text, ' ')),
+               t -> ('0x' || substr(md5(t), 1, 15))::BIGINT
+                    % {MLLIB_NUM_FEATURES}))) AS xs
+      FROM documents
+      WHERE len(string_split(text, ' ')) > 0),
+    mh AS MATERIALIZED (
+      SELECT doc_id, xs,
+             list_transform(range(1, 9),
+               i -> list_min(list_transform(xs,
+                      x -> ((1 + x) * {_SQL_LSH_A}[i] + {_SQL_LSH_B}[i])
+                           % {MLLIB_LSH_PRIME}))) AS h
+      FROM idx),
+    bt AS MATERIALIZED (
+      SELECT doc_id, i, h[i] AS hv FROM mh, UNNEST(range(1, 9)) AS t(i)),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bt a JOIN bt b ON a.i = b.i AND a.hv = b.hv
+      WHERE a.doc_id < b.doc_id),
+    jac AS (
+      SELECT doc_a, doc_b,
+             len(list_intersect(xa.xs, xb.xs)) AS nc,
+             len(xa.xs) AS na, len(xb.xs) AS nb
+      FROM cand
+      JOIN idx xa ON doc_a = xa.doc_id
+      JOIN idx xb ON doc_b = xb.doc_id)
+    SELECT doc_a, doc_b,
+           1 - (1 - CAST(nc AS DOUBLE) / (na + nb - nc)) AS est_jaccard
+    FROM jac
+    WHERE (1 - CAST(nc AS DOUBLE) / (na + nb - nc)) < 0.6
+    """,
+)
 def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib MinHashLSH variant (SURVEY.md §2b north-star row): token
-    sets → HashingTF sparse vectors → approxSimilarityJoin. The
-    hand-rolled dedup_minhash above is the oracle-checkable engine
-    implementation; this one demonstrates the packaged MLlib path and
-    its approxSimilarityJoin candidate generation."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    sets → sparse binary vectors → ``MinHashLSH.fit`` →
+    ``approxSimilarityJoin``. The hand-rolled dedup_minhash above is the
+    from-scratch engine implementation; this one demonstrates the
+    packaged MLlib path — and is oracle-EXACT: the featurizer is the
+    repo's cross-engine md5 indexer (``pmod(_h64(token), 2^14)``)
+    instead of HashingTF (murmur3 has no DuckDB twin), and the model's
+    seed-derived hash coefficients are inlined in the oracle SQL as
+    literals, so DuckDB replays candidate generation, the exact-distance
+    rerank, and the strict-< threshold bit-for-bit.
+
+    The VectorUDT shim is a row-Python UDF by necessity — Arrow has no
+    VectorUDT mapping, so every Spark↔MLlib interop crosses this bridge;
+    it builds one SparseVector per doc from an already-computed int
+    array (no tokenization in Python)."""
+    from pyspark.ml.feature import MinHashLSH
+    from pyspark.ml.linalg import SparseVector, VectorUDT
 
     docs = Catalog(spark, sf_dir).documents
     tokens = docs.select(
         "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("tokens")
     ).filter(F.size("tokens") > 0)
-    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 14)
-    feats = tf.transform(tokens)
+    idxs = tokens.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    "tokens",
+                    lambda t: F.pmod(_h64(t), F.lit(MLLIB_NUM_FEATURES)).cast("int"),
+                )
+            )
+        ).alias("xs"),
+    )
+
+    @F.udf(returnType=VectorUDT())
+    def to_vec(xs):
+        return SparseVector(MLLIB_NUM_FEATURES, xs, [1.0] * len(xs))
+
+    feats = idxs.select("doc_id", to_vec("xs").alias("features"))
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feats)
     pairs = (
@@ -580,7 +662,7 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("datasetA.doc_id").alias("doc_a"),
             F.col("datasetB.doc_id").alias("doc_b"),
-            F.round(1 - F.col("jaccard_dist"), 6).alias("est_jaccard"),
+            (F.lit(1.0) - F.col("jaccard_dist")).alias("est_jaccard"),
         )
     )
     return pairs.orderBy("doc_a", "doc_b")

@@ -99,7 +99,6 @@ def test_rows_only_queries_are_rerun_deterministic(spark):
     seeds, deterministic decode stub, seeded sampler) by running each
     twice in one session."""
     for name in (
-        "dedup_minhash_mllib",
         "sim_ann_ivf",
         "multimodal_decode_features",
         "sample_fraction",
@@ -109,3 +108,55 @@ def test_rows_only_queries_are_rerun_deterministic(spark):
         first = _canon_rows(QUERIES[name](spark, SF))
         second = _canon_rows(QUERIES[name](spark, SF))
         assert first == second, name
+
+
+def test_mllib_minhash_oracle_constants_match_fitted_model(spark):
+    """dedup_minhash_mllib's oracle inlines MLlib's seed-42 hash
+    coefficients as SQL literals (r5: rows-only → full oracle). Pin that
+    the inlined constants and the affine formula reproduce a freshly
+    FITTED model's transform output bit-for-bit, and that
+    approxSimilarityJoin's threshold is strict < (a pair at exactly the
+    threshold distance is excluded) — the two facts the oracle's
+    exactness rests on."""
+    from pyspark.ml.feature import MinHashLSH
+    from pyspark.ml.linalg import Vectors
+
+    from motorway_spark.queries.dedup import (
+        MLLIB_LSH_A,
+        MLLIB_LSH_B,
+        MLLIB_LSH_PRIME,
+    )
+
+    sets = {0: [1, 5, 16000], 1: [2, 9999]}
+    df = spark.createDataFrame(
+        [(k, Vectors.sparse(1 << 14, xs, [1.0] * len(xs))) for k, xs in sets.items()],
+        ["id", "features"],
+    )
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    ).fit(df)
+    got = {r["id"]: [int(v[0]) for v in r["hashes"]] for r in model.transform(df).collect()}
+    for k, xs in sets.items():
+        mine = [
+            min(((1 + x) * a + b) % MLLIB_LSH_PRIME for x in xs)
+            for a, b in zip(MLLIB_LSH_A, MLLIB_LSH_B)
+        ]
+        assert mine == got[k], k
+
+    # strict-< threshold: jaccard({1},{1,2}) = 0.5 exactly -> dist 0.5
+    pair_df = spark.createDataFrame(
+        [(0, Vectors.sparse(16, [1], [1.0])), (1, Vectors.sparse(16, [1, 2], [1.0, 1.0]))],
+        ["id", "features"],
+    )
+    m2 = MinHashLSH(inputCol="features", outputCol="h", numHashTables=8, seed=42).fit(pair_df)
+    at_threshold = (
+        m2.approxSimilarityJoin(pair_df, pair_df, 0.5, distCol="d")
+        .filter("datasetA.id < datasetB.id")
+        .count()
+    )
+    above_threshold = (
+        m2.approxSimilarityJoin(pair_df, pair_df, 0.51, distCol="d")
+        .filter("datasetA.id < datasetB.id")
+        .count()
+    )
+    assert at_threshold == 0 and above_threshold == 1
