@@ -72,6 +72,13 @@ BENCH_QUERIES = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    # optional subset (comma-separated names), e.g. for scale-point runs
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
+    bench_queries = (
+        [q for q in (s.strip() for s in subset.split(",")) if q]
+        if subset
+        else BENCH_QUERIES
+    )
 
     from motorway_spark.session import get_session
     from motorway_spark.queries import QUERIES
@@ -88,7 +95,7 @@ def main() -> None:
     # total; the JSON line is ALWAYS emitted.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         fn = QUERIES[name]
         best = float("inf")
         try:
@@ -111,7 +118,7 @@ def main() -> None:
         sf_val = sf
     result = {
         "metric": (
-            f"total wall-clock of {len(timings)}/{len(BENCH_QUERIES)} headline"
+            f"total wall-clock of {len(timings)}/{len(bench_queries)} headline"
             " queries (noop sink, best of 2 runs each)"
         ),
         "value": round(sum(timings.values()), 3),

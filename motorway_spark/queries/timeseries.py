@@ -236,59 +236,79 @@ def range_join_point_in_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def range_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval-overlap join without a selective equality key — per day,
-    every pair of users whose purchase-activity intervals overlap.
+    """Interval-overlap statistics without a selective equality key —
+    per day, how many pairs of users' purchase-activity intervals
+    overlap and by how much in total.
 
-    Scale path (chunk bucketing): each interval explodes into the hour
-    chunks it covers; pairs meet on chunk EQUALITY (hash join), the
-    exact overlap predicate then filters, and ``distinct`` removes
-    multi-chunk duplicates. Per-chunk candidate counts bound the work;
-    the all-pairs-per-day nested loop never materializes. DuckDB's
-    IEJoin handles the oracle side natively.
-    """
-    iv = _purchase_intervals(spark, sf_dir).withColumn(
-        "chunk",
-        F.explode(
-            F.sequence(
-                F.expr(f"s_us div {HOUR_US}"),  # exact integer floor-div
-                F.expr(f"e_us div {HOUR_US}"),
-            )
-        ),
-    )
-    a = iv.select(
-        F.col("day"),
-        F.col("chunk"),
-        F.col("user_id").alias("user_a"),
-        F.col("s_us").alias("a_s"),
-        F.col("e_us").alias("a_e"),
-    )
-    b = iv.select(
-        F.col("day").alias("b_day"),
-        F.col("chunk").alias("b_chunk"),
-        F.col("user_id").alias("user_b"),
-        F.col("s_us").alias("b_s"),
-        F.col("e_us").alias("b_e"),
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("chunk") == F.col("b_chunk"))
-            & (F.col("user_a") < F.col("user_b"))
-            & (F.col("a_s") <= F.col("b_e"))
-            & (F.col("b_s") <= F.col("a_e")),
-        )
-        .select(
+    Scale path (sweep line): the output is AGGREGATE-only, so no plan
+    should ever materialize the pairs — with k same-day intervals the
+    pair count itself is Θ(k²) (the round-5 sf1 measurement: a
+    chunk-bucketed pair join took 99 s at 10× density, ~100× the sf0.1
+    time, because the ANSWER has ~100× pairs). Instead each interval
+    contributes a +1 start and a −1 end point; one per-day window sort
+    gives the active-interval count at every point, and then
+      n_pairs        = Σ over starts of (actives just before the start)
+      sum_overlap_us = Σ over segments of C(active, 2) · segment_length
+    — the measure-theoretic identity Σ_pairs |a∩b| = ∫ C(active(t), 2) dt.
+    O(n log n) per day, one shuffle, no join at all; ends sort AFTER
+    starts at the same µs so closed-interval touching counts as a pair
+    (with zero overlap contribution), matching the oracle's
+    ``a.s <= b.e AND b.s <= a.e``. The oracle keeps the explicit
+    pair-join formulation (DuckDB IEJoin) as ground truth. At 100 TB,
+    partition by (day) — or (day, shard) with a final re-merge — and
+    note C(active,2)·µs stays under int64 while active ≤ ~10⁴ per day.
+    Exact integer arithmetic throughout (intervals are unique per
+    (user, day), so unordered user pairs = interval pairs)."""
+    return _overlap_stats(_purchase_intervals(spark, sf_dir))
+
+
+def _overlap_stats(iv: DataFrame) -> DataFrame:
+    """Sweep-line pair-overlap aggregates over a (day, user_id, s_us,
+    e_us) closed-interval frame — shared by the registered query and the
+    semantics tests (tests/test_timeseries.py pins touching-interval and
+    multi-overlap cases against hand counts)."""
+    pts = iv.select(
+        "day",
+        F.col("s_us").alias("t"),
+        F.lit(1).alias("delta"),
+        F.lit(1).alias("is_start"),
+    ).unionAll(
+        iv.select(
             "day",
-            "user_a",
-            "user_b",
-            (F.least("a_e", "b_e") - F.greatest("a_s", "b_s")).alias("overlap_us"),
+            F.col("e_us").alias("t"),
+            F.lit(-1).alias("delta"),
+            F.lit(0).alias("is_start"),
         )
-        .distinct()
     )
-    return pairs.groupBy(F.col("day").cast("string").alias("day")).agg(
-        F.count("*").alias("n_pairs"),
-        F.sum("overlap_us").alias("sum_overlap_us"),
+    order = [F.col("t"), F.col("is_start").desc()]
+    w_run = (
+        Window.partitionBy("day")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w_next = Window.partitionBy("day").orderBy(*order)
+    stepped = pts.select(
+        "day",
+        "t",
+        "is_start",
+        F.sum("delta").over(w_run).alias("active"),
+        F.lead("t").over(w_next).alias("next_t"),
+    )
+    per_day = (
+        stepped.groupBy(F.col("day").cast("string").alias("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("is_start") == 1, F.col("active") - 1).otherwise(0)
+            ).alias("n_pairs"),
+            F.sum(
+                F.expr("active * (active - 1) div 2")
+                * (F.coalesce(F.col("next_t"), F.col("t")) - F.col("t"))
+            ).alias("sum_overlap_us"),
+        )
+        # the oracle's inner join emits only days with >= 1 overlapping pair
+        .where(F.col("n_pairs") > 0)
+    )
+    return per_day
 
 
 @query(

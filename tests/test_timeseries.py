@@ -63,15 +63,18 @@ def test_session_numbering_per_user(spark):
     assert sess[1] == 1 and sess[2] == 1 and sess[3] == 2
 
 
-def test_interval_overlap_closed_bounds_and_chunking(spark):
-    """Intervals touching at a single microsecond DO overlap (closed
-    bounds), and the chunked join finds pairs whose overlap spans a
-    chunk boundary exactly once (distinct dedups multi-chunk hits)."""
-    from motorway_spark.queries.timeseries import HOUR_US
+def test_interval_overlap_sweep_line_semantics(spark):
+    """The sweep-line aggregates (r5: replaced the pair-materializing
+    chunk join — the answer itself is quadratic in per-day density, so
+    only the AGGREGATES scale) must match hand-counted pair semantics:
+    intervals touching at a single microsecond DO overlap (closed
+    bounds, zero contribution to the sum), and multi-way overlaps count
+    every unordered pair once."""
+    from motorway_spark.queries.timeseries import HOUR_US, _overlap_stats
 
     day = "2024-01-01"
     # a: [10:00, 11:30], b: [11:30, 12:00]  -> touch at 11:30 (overlap 0 µs)
-    # c: [10:30, 12:30] overlaps a across two hour chunks
+    # c: [10:30, 12:30] overlaps a by 1h and b by 30min
     h10 = 1_704_103_200_000_000  # 2024-01-01T10:00:00Z in µs
     iv = spark.createDataFrame(
         [
@@ -81,29 +84,14 @@ def test_interval_overlap_closed_bounds_and_chunking(spark):
         ],
         "day string, user_id bigint, s_us bigint, e_us bigint",
     )
-    chunked = iv.withColumn(
-        "chunk",
-        F.explode(F.sequence(F.expr(f"s_us div {HOUR_US}"), F.expr(f"e_us div {HOUR_US}"))),
+    got = {r["day"]: (r["n_pairs"], r["sum_overlap_us"]) for r in _overlap_stats(iv).collect()}
+    # pairs: (1,2) touch = 0µs, (1,3) = 1h, (2,3) = 30min
+    assert got == {day: (3, HOUR_US + HOUR_US // 2)}
+
+    # a day whose intervals never overlap must NOT emit a row (the
+    # oracle's inner pair join has no row for it either)
+    iv2 = spark.createDataFrame(
+        [(day, 1, h10, h10 + 10), (day, 2, h10 + 20, h10 + 30)],
+        "day string, user_id bigint, s_us bigint, e_us bigint",
     )
-    a = chunked.select("day", "chunk", F.col("user_id").alias("user_a"),
-                       F.col("s_us").alias("a_s"), F.col("e_us").alias("a_e"))
-    b = chunked.select(F.col("chunk").alias("b_chunk"), F.col("user_id").alias("user_b"),
-                       F.col("s_us").alias("b_s"), F.col("e_us").alias("b_e"))
-    pairs = (
-        a.join(
-            b,
-            (F.col("chunk") == F.col("b_chunk"))
-            & (F.col("user_a") < F.col("user_b"))
-            & (F.col("a_s") <= F.col("b_e"))
-            & (F.col("b_s") <= F.col("a_e")),
-        )
-        .select("user_a", "user_b",
-                (F.least("a_e", "b_e") - F.greatest("a_s", "b_s")).alias("overlap_us"))
-        .distinct()
-        .collect()
-    )
-    got = {(r["user_a"], r["user_b"]): r["overlap_us"] for r in pairs}
-    assert got[(1, 2)] == 0           # touching intervals overlap with 0 µs
-    assert got[(1, 3)] == HOUR_US     # 10:30-11:30, found once despite 2 shared chunks
-    assert got[(2, 3)] == HOUR_US // 2
-    assert len(got) == 3
+    assert _overlap_stats(iv2).count() == 0
