@@ -59,6 +59,8 @@ _SWEEP_PRIORITY = [
     "stream_anomaly_zscore",   # r5: rebased via UpsertParquetSink, no collect()
     "dedup_minhash_mllib",     # r5: rows-only -> full oracle (inlined MLlib coeffs)
     "range_join_interval_overlap",  # r5: pair join -> sweep line (99s -> 1.3s at sf1)
+    "dedup_url_canonical",     # new in r5: URL canonicalization dedup
+    "embedding_quality_stats", # new in r5: vector-column data-quality gate
     # -- latest driver row is ROUND 1 (three fixture regens old) --
     "q1_pricing_summary",      # flagship; last full-green row r1 (r4 re-check was local)
     "wordcount",

@@ -433,3 +433,99 @@ def events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"ROUND({_Z_EXPR}, 6)").alias("seasonal_z"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# embedding_quality_stats — data-quality gate for a vector column
+# --------------------------------------------------------------------------
+
+_EMB_DIM = 64  # embeddings fixture dimension (FIXTURES.md §3)
+
+# Unrolled left-to-right sum of squares (same rationale as
+# similarity._dot: whole-stage-codegen'd AND the exact fold order of
+# DuckDB's list_sum, so the per-row double is bit-identical
+# cross-engine). Out-of-contract dimensions make element_at return
+# NULL in both engines, so norm2 is NULL there and MIN/MAX skip it
+# identically.
+_NORM2_SPARK = "(" + " + ".join(
+    f"CAST(element_at(embedding, {i}) AS DOUBLE)"
+    f" * CAST(element_at(embedding, {i}) AS DOUBLE)"
+    for i in range(1, _EMB_DIM + 1)
+) + ")"
+_NORM2_DUCK = (
+    "list_sum(list_transform(embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+)
+
+
+@query(
+    "embedding_quality_stats",
+    oracle=f"""
+    WITH v AS (
+      SELECT label,
+             len(embedding) AS dim,
+             CASE WHEN len(embedding) = {_EMB_DIM}
+                  THEN {_NORM2_DUCK} END AS norm2,
+             len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE))
+                                          OR isinf(CAST(x AS DOUBLE)))) > 0
+               AS has_nonfinite
+      FROM embeddings)
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(CASE WHEN dim <> {_EMB_DIM} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bad_dim,
+           CAST(SUM(CASE WHEN has_nonfinite THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nonfinite,
+           CAST(SUM(CASE WHEN norm2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero,
+           CAST(SUM(CASE WHEN norm2 < 0.25 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_norm,
+           MIN(norm2) AS min_norm2,
+           MAX(norm2) AS max_norm2
+    FROM v GROUP BY label
+    """,
+)
+def embedding_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate for a vector column — the embedding-table twin
+    of ``dq_checks``: per label, how many vectors are dimension-broken,
+    non-finite, zero, or suspiciously low-norm, plus the norm² range.
+    This is the pre-flight a similarity/ANN pipeline runs before
+    trusting cosine math (a single NaN component silently poisons every
+    dot product it touches; a zero vector divides by zero).
+
+    Determinism: all flag columns are INTEGER counts decided by per-row
+    comparisons; norm² is the unrolled left-to-right fold shared with
+    the similarity family (bit-identical cross-engine), and MIN/MAX are
+    order-insensitive picks of those per-row values — no float
+    aggregation anywhere. One scan, one hash aggregate; at 100 TB this
+    is a map-side-combined groupBy on a tiny key (label)."""
+    emb = Catalog(spark, sf_dir).embeddings
+    v = emb.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        F.when(
+            F.size("embedding") == _EMB_DIM, F.expr(_NORM2_SPARK)
+        ).alias("norm2"),
+        F.exists(
+            "embedding",
+            lambda x: F.isnan(x.cast("double"))
+            | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+        ).alias("has_nonfinite"),
+    )
+    return v.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.when(F.col("dim") != _EMB_DIM, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bad_dim"),
+        F.sum(F.when(F.col("has_nonfinite"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_nonfinite"),
+        F.sum(F.when(F.col("norm2") == 0.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero"),
+        F.sum(F.when(F.col("norm2") < 0.25, 1).otherwise(0))
+        .cast("long")
+        .alias("n_low_norm"),
+        F.min("norm2").alias("min_norm2"),
+        F.max("norm2").alias("max_norm2"),
+    )

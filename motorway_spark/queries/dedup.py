@@ -1098,3 +1098,124 @@ def containment_pairs(
             (F.col("n_common").cast("double") / F.col("n_a")).alias("containment"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_url_canonical — URL canonicalization dedup
+# --------------------------------------------------------------------------
+
+# The fixtures carry no URL column, so both engines derive the SAME
+# synthetic raw URLs from (doc_id, source) — three messy variants per
+# canonical page (uppercase scheme/host + www + default port + utm
+# params / trailing slash + fragment + utm / mixed-case host + port) —
+# and the operator under test is the canonicalization kernel that must
+# collapse them. Every step is the Java-regex/RE2 common subset
+# (text_pii_redact precedent).
+_URL_RAW_SPARK = """
+CASE CAST(doc_id % 3 AS INT)
+  WHEN 0 THEN concat('HTTPS://WWW.Example.COM:443/docs/page-',
+                     CAST(doc_id div 3 AS STRING),
+                     '?utm_source=', source, '&ref=rss')
+  WHEN 1 THEN concat('https://example.com/docs/page-',
+                     CAST(doc_id div 3 AS STRING),
+                     '/?ref=rss&utm_campaign=', source, '#frag')
+  ELSE concat('https://Example.com:443/docs/page-',
+              CAST(doc_id div 3 AS STRING), '?ref=rss')
+END
+"""
+_URL_RAW_DUCK = """
+CASE CAST(doc_id % 3 AS INT)
+  WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/docs/page-'
+              || CAST(doc_id // 3 AS VARCHAR)
+              || '?utm_source=' || source || '&ref=rss'
+  WHEN 1 THEN 'https://example.com/docs/page-'
+              || CAST(doc_id // 3 AS VARCHAR)
+              || '/?ref=rss&utm_campaign=' || source || '#frag'
+  ELSE 'https://Example.com:443/docs/page-'
+       || CAST(doc_id // 3 AS VARCHAR) || '?ref=rss'
+END
+"""
+
+# canonicalization, given a string column {u}:
+#   lowercase scheme+host, strip default :443, strip leading www.,
+#   strip trailing path slash, drop the fragment, drop utm_* params,
+#   sort surviving params.
+_CANON_SPARK = """
+concat(
+  lower(regexp_extract({u}, '^([A-Za-z]+)://', 1)), '://',
+  regexp_replace(regexp_replace(
+    lower(regexp_extract({u}, '^[A-Za-z]+://([^/?#]+)', 1)),
+    ':443$', ''), '^www\\\\.', ''),
+  regexp_replace(regexp_extract({u}, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+                 '/+$', ''),
+  CASE WHEN array_join(array_sort(filter(
+         split(regexp_extract({u}, '\\\\?([^#]*)', 1), '&'),
+         x -> x != '' AND substr(x, 1, 4) != 'utm_')), '&') = ''
+       THEN ''
+       ELSE concat('?', array_join(array_sort(filter(
+              split(regexp_extract({u}, '\\\\?([^#]*)', 1), '&'),
+              x -> x != '' AND substr(x, 1, 4) != 'utm_')), '&'))
+  END)
+"""
+_CANON_DUCK = """
+lower(regexp_extract({u}, '^([A-Za-z]+)://', 1)) || '://' ||
+regexp_replace(regexp_replace(
+  lower(regexp_extract({u}, '^[A-Za-z]+://([^/?#]+)', 1)),
+  ':443$', ''), '^www\\.', '') ||
+regexp_replace(regexp_extract({u}, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+               '/+$', '') ||
+CASE WHEN array_to_string(list_sort(list_filter(
+       string_split(regexp_extract({u}, '\\?([^#]*)', 1), '&'),
+       x -> x <> '' AND substr(x, 1, 4) <> 'utm_')), '&') = ''
+     THEN ''
+     ELSE '?' || array_to_string(list_sort(list_filter(
+            string_split(regexp_extract({u}, '\\?([^#]*)', 1), '&'),
+            x -> x <> '' AND substr(x, 1, 4) <> 'utm_')), '&')
+END
+"""
+
+
+@query(
+    "dedup_url_canonical",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, {_URL_RAW_DUCK} AS raw_url FROM documents),
+    canon AS (SELECT doc_id, raw_url,
+                     {_CANON_DUCK.format(u='raw_url')} AS canonical_url
+              FROM raw)
+    SELECT canonical_url,
+           COUNT(*) AS n_variants,
+           COUNT(DISTINCT raw_url) AS n_distinct_raw,
+           MIN(doc_id) AS keeper_doc_id
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the crawl-hygiene step that runs
+    BEFORE content dedup: lowercase scheme/host, strip the default
+    port, the ``www.`` prefix, trailing path slashes, fragments, and
+    ``utm_*`` tracking params, sort surviving params, then group by the
+    canonical form (keep min doc_id). Three deterministic messy
+    variants per page are synthesized from (doc_id, source) —
+    identically in both engines — and must collapse to one canonical
+    URL each.
+
+    Scale shape: canonicalization is a pure per-row map (regex +
+    array ops, whole-stage codegen); the dedup is one hash aggregate on
+    the canonical string — exactly dedup_exact's economics. At 100 TB
+    group states are (count, count-distinct-raw, min) per URL; the
+    distinct-raw count is bounded by the variant count per page, not
+    corpus size."""
+    docs = Catalog(spark, sf_dir).documents
+    canon = docs.select(
+        "doc_id",
+        F.expr(_URL_RAW_SPARK).alias("raw_url"),
+    ).select(
+        "doc_id",
+        "raw_url",
+        F.expr(_CANON_SPARK.format(u="raw_url")).alias("canonical_url"),
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_variants"),
+        F.countDistinct("raw_url").alias("n_distinct_raw"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )

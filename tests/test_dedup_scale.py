@@ -173,3 +173,57 @@ def test_containment_uncapped_would_explode(spark):
     out = containment_pairs(docs, df_cap=10_000).collect()
     boiler_pairs = {(r.doc_a, r.doc_b) for r in out if r.doc_a < 100 and r.doc_b < 100}
     assert len(boiler_pairs) == 60 * 59  # identical docs: containment 1.0 both ways
+
+
+def test_url_canonicalization_kernel_edges(spark):
+    """The canonical kernel (r5) must collapse the documented mess —
+    case, www, default port, trailing slash, fragment, utm params,
+    param order — and must NOT collapse genuinely different URLs."""
+    from motorway_spark.queries.dedup import _CANON_SPARK
+    from pyspark.sql import functions as F
+
+    cases = [
+        # (raw, expected canonical)
+        ("HTTPS://WWW.Example.COM:443/A/b/?utm_source=x&ref=rss#top",
+         "https://example.com/A/b?ref=rss"),
+        ("https://example.com/A/b?ref=rss",
+         "https://example.com/A/b?ref=rss"),
+        ("https://example.com/A/b?b=2&a=1",
+         "https://example.com/A/b?a=1&b=2"),      # params sorted
+        ("https://example.com/A/b?utm_campaign=only",
+         "https://example.com/A/b"),               # all params dropped
+        ("https://example.com:443/",
+         "https://example.com"),                   # root slash stripped
+        ("https://example.com/other",
+         "https://example.com/other"),             # distinct stays distinct
+        ("https://example.com:8443/x",
+         "https://example.com:8443/x"),            # non-default port kept
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "raw_url string")
+    got = [
+        r["c"]
+        for r in df.select(
+            F.expr(_CANON_SPARK.format(u="raw_url")).alias("c")
+        ).collect()
+    ]
+    assert got == [want for _, want in cases]
+
+
+def test_url_canonical_dedup_groups_complete(spark, sf_dir):
+    """Every canonical page must gather its full variant group: doc_ids
+    3k..3k+2 map to page k, so n_variants == 3 (or the partial tail),
+    n_distinct_raw == n_variants (synthesized forms all differ), and
+    the keeper is the smallest doc_id of the group."""
+    from motorway_spark.queries import QUERIES
+
+    rows = QUERIES["dedup_url_canonical"](spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_variants"] for r in rows) == n_docs
+    for r in rows:
+        page = r["keeper_doc_id"] // 3
+        assert r["keeper_doc_id"] == page * 3  # min of the group
+        assert f"/docs/page-{page}?" in r["canonical_url"] or r[
+            "canonical_url"
+        ].endswith(f"/docs/page-{page}")
+        assert r["n_distinct_raw"] == r["n_variants"]
+        assert r["n_variants"] <= 3

@@ -160,3 +160,41 @@ def test_mllib_minhash_oracle_constants_match_fitted_model(spark):
         .count()
     )
     assert at_threshold == 0 and above_threshold == 1
+
+
+def test_embedding_quality_stats_flags_crafted_defects(spark, tmp_path):
+    """r5: the vector-column QA gate must actually flag each defect
+    class — wrong dimension, NaN component, zero vector, low norm —
+    exercised end-to-end on a crafted embeddings table (the Catalog is
+    lazy, so a dir with only embeddings.parquet suffices)."""
+    import math
+
+    from motorway_spark.queries import QUERIES
+
+    dim = 64
+    good = [1.0] + [0.0] * (dim - 1)            # norm2 = 1
+    rows = [
+        (0, good, 0),
+        (1, [0.0] * dim, 0),                     # zero vector
+        (2, [float("nan")] + [0.0] * (dim - 1), 0),  # NaN component
+        (3, [0.1] + [0.0] * (dim - 1), 0),       # low norm (0.01 < 0.25)
+        (4, [1.0] * 10, 1),                      # wrong dimension
+        (5, [2.0] + [0.0] * (dim - 1), 1),       # norm2 = 4
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = {
+        r["label"]: r
+        for r in QUERIES["embedding_quality_stats"](spark, str(tmp_path)).collect()
+    }
+    l0, l1 = out[0], out[1]
+    assert l0["n_vectors"] == 4 and l0["n_bad_dim"] == 0
+    assert l0["n_nonfinite"] == 1 and l0["n_zero"] == 1
+    # zero + low-norm + (NaN -> norm2 NaN, not < 0.25)
+    assert l0["n_low_norm"] == 2
+    assert l0["min_norm2"] == 0.0
+    assert math.isnan(l0["max_norm2"])  # NaN propagates to MAX in Spark+DuckDB
+    assert l1["n_vectors"] == 2 and l1["n_bad_dim"] == 1
+    assert l1["min_norm2"] == 4.0 and l1["max_norm2"] == 4.0
