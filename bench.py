@@ -66,6 +66,9 @@ BENCH_QUERIES = [
     # round-4 batch 3: KPI-dashboard family (the reference vendor's domain)
     "events_funnel",
     "events_retention_cohorts",
+    # round-5 additions: crawl-hygiene URL dedup + vector-column QA gate
+    "dedup_url_canonical",
+    "embedding_quality_stats",
 ]
 
 
