@@ -1,0 +1,44 @@
+"""The examples/ directory is the user-facing API documentation (the
+reference ships runnable examples/ the same way) — each must keep
+running against the engine as shipped."""
+
+from __future__ import annotations
+
+
+def test_wordcount_pipeline_example(spark):
+    from examples.wordcount_pipeline import build
+
+    pipe = build(spark, n_sentences=20)
+    results: list = []
+    pipe.add_sink("word_count", lambda df: results.extend(df.collect()))
+    pipe.run(plan_guard={})
+    assert results and all(r["count"] >= 1 for r in results)
+    # the topology really split sentences: more words than sentences
+    assert sum(r["count"] for r in results) > 20
+
+
+def test_kafka_pipeline_example(spark, tmp_path):
+    from examples.kafka_pipeline import consume_and_count, produce
+
+    from motorway_spark.sources import register_sources
+
+    register_sources(spark)
+    topic = str(tmp_path / "topic")
+    produce(topic, ["a b a", "b a"])
+    got = {r["word"]: r["count"] for r in consume_and_count(spark, topic).collect()}
+    assert got == {"a": 3, "b": 2}
+
+
+def test_training_data_prep_example_queries_run(spark):
+    """The example chains registry operators; pin that the exact set it
+    names stays registered and runnable at the smoke SF."""
+    from motorway_spark.queries import QUERIES
+
+    for name in (
+        "dedup_exact",
+        "dedup_url_canonical",
+        "decontam_ngram_overlap",
+        "embedding_quality_stats",
+        "pipeline_pretraining_mix",
+    ):
+        assert QUERIES[name](spark, "/root/testdata/sf0.001").count() >= 0
