@@ -27,6 +27,18 @@ _SUPPLIER_SCHEMA = "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal 
 _SUPPLIER_COLS = ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
 
 
+def _sf_tag(sf_dir: str) -> str:
+    """Staging-cache key for an sf_dir: basename PLUS a hash of the full
+    path, so two fixture dirs with the same basename (e.g. a generated
+    /tmp/…/sf0.001 next to the driver's) never share — or inherit a
+    stale — staged derivation (same fix as streaming/runner._staging_dir)."""
+    import hashlib
+
+    sf_dir = sf_dir.rstrip("/")
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"{os.path.basename(sf_dir)}-{h}"
+
+
 def _derived(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     """Materialize a CSV/JSON copy of supplier once per SF; return the path.
 
@@ -39,7 +51,7 @@ def _derived(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     """
     import pyarrow.parquet as pq
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = _sf_tag(sf_dir)
     out_dir = f"/tmp/motorway_scans/{tag}"
     out = f"{out_dir}/supplier.{'csv' if fmt == 'csv' else 'jsonl'}"
     if not os.path.exists(out):
@@ -113,7 +125,7 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.orc as orc
     import pyarrow.parquet as pq
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = _sf_tag(sf_dir)
     out_dir = f"/tmp/motorway_scans/{tag}"
     out = f"{out_dir}/supplier.orc"
     if not os.path.exists(out):
@@ -146,7 +158,7 @@ def scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly those rows at parse time, and the oracle applies the same
     predicate to the clean parquet — passing proves the engine drops
     ONLY the malformed records, bit-exact on the survivors."""
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = _sf_tag(sf_dir)
     out_dir = f"/tmp/motorway_scans/{tag}"
     out = f"{out_dir}/supplier_corrupt.csv"
     if not os.path.exists(out):
@@ -200,7 +212,7 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle computes the same aggregate from the original parquet, so
     passing proves the text round-trip and the line scan are value-exact.
     """
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = _sf_tag(sf_dir)
     out_dir = f"/tmp/motorway_scans/{tag}"
     out = f"{out_dir}/documents.txt"
     if not os.path.exists(out):
@@ -254,7 +266,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     derivable from the original fixture); the oracle replays the union
     with explicit NULL columns — passing proves the merged read is
     value-exact, null-pattern included."""
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = _sf_tag(sf_dir)
     base = f"/tmp/motorway_scans/{tag}/lineitem_evo"
     v1, v2 = f"{base}/v1", f"{base}/v2"
     marker = f"{base}/.ready"
@@ -303,7 +315,7 @@ def scan_hive_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     the partitioned round-trip and pruned read are value-exact."""
     import os
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = _sf_tag(sf_dir)
     out = f"/tmp/motorway_scans/{tag}/events_by_type"
     marker = f"{out}/.ready"
     if not os.path.exists(marker):
@@ -352,7 +364,7 @@ def scan_csv_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     its parse and every record reads as clean. The query therefore
     aggregates ``s_acctbal`` (the corrupted field) on the clean side,
     which both forces the full parse and checksums the survivors."""
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = _sf_tag(sf_dir)
     out = f"/tmp/motorway_scans/{tag}/supplier_corrupt.csv"
     if not os.path.exists(out):
         # materialize via the DROPMALFORMED twin's writer

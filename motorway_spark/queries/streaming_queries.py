@@ -402,7 +402,9 @@ def stream_kafka_topic_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from motorway_spark.sources import register_sources
 
     register_sources(spark)
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    from motorway_spark.queries.scans import _sf_tag
+
+    tag = _sf_tag(sf_dir)
     topic = f"/tmp/motorway_topics/{tag}/events"
     marker = f"{topic}/_READY"
     if not os.path.exists(marker):

@@ -11,8 +11,16 @@ REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
-SF_SMOKE = "/root/testdata/sf0.001"
-SF_CORRECT = "/root/testdata/sf0.01"
+# Fixture root is env-overridable so the suite runs anywhere: point
+# SPARK_GRAFT_TESTDATA at a dir holding sf0.001/ and sf0.01/ generated
+# by tools/make_fixture.py (the oracle gate is self-relative — it
+# compares Spark vs DuckDB over the SAME parquet files, so any
+# same-shaped fixture exercises it fully).
+import os
+
+TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata").rstrip("/")
+SF_SMOKE = f"{TESTDATA}/sf0.001"
+SF_CORRECT = f"{TESTDATA}/sf0.01"
 
 
 @pytest.fixture(scope="session")

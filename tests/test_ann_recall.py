@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from motorway_spark.queries import QUERIES
 
-SF = "/root/testdata/sf0.01"
+from tests.conftest import SF_CORRECT as SF
 
 
 def _top3(df, id_col="query_id", n_col="neighbor_id"):

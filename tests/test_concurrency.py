@@ -15,7 +15,7 @@ from concurrent.futures import ThreadPoolExecutor
 
 from motorway_spark.queries import QUERIES
 
-SF = "/root/testdata/sf0.001"
+from tests.conftest import SF_SMOKE as SF
 
 NAMES = [
     "q1_pricing_summary",

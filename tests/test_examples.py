@@ -4,6 +4,8 @@ running against the engine as shipped."""
 
 from __future__ import annotations
 
+from tests.conftest import SF_SMOKE
+
 
 def test_wordcount_pipeline_example(spark):
     from examples.wordcount_pipeline import build
@@ -41,4 +43,4 @@ def test_training_data_prep_example_queries_run(spark):
         "embedding_quality_stats",
         "pipeline_pretraining_mix",
     ):
-        assert QUERIES[name](spark, "/root/testdata/sf0.001").count() >= 0
+        assert QUERIES[name](spark, SF_SMOKE).count() >= 0

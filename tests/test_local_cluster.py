@@ -63,7 +63,7 @@ spark = cluster_session(
 )
 from motorway_spark.streaming.runner import run_stream_to_memory, stream_events
 
-events = stream_events(spark, "/root/testdata/sf0.001")
+events = stream_events(spark, os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata").rstrip("/") + "/sf0.001")
 
 def update_count(key, pdf_iter, state: GroupState):
     n = state.get[0] if state.exists else 0
@@ -88,7 +88,7 @@ got = {
 }
 want = {
     r["user_id"]: r["n"]
-    for r in spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    for r in spark.read.parquet(os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata").rstrip("/") + "/sf0.001/events.parquet")
     .groupBy("user_id").agg(F.count("*").alias("n")).collect()
 }
 assert got == want, (len(got), len(want))
@@ -124,7 +124,7 @@ print("LC_RETRY_OK", len(out))
 from motorway_spark.queries import QUERIES, ORACLES
 from motorway_spark.oracle import _duckdb_con, compare_frames
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata").rstrip("/") + "/sf0.01"
 con = _duckdb_con(SF)
 for name in ("q1_pricing_summary", "join_broadcast_dim", "q3_shipping_priority"):
     spark_pdf = QUERIES[name](spark, SF).toPandas()
@@ -141,7 +141,7 @@ spark = cluster_session(
 from motorway_spark.queries import QUERIES, ORACLES
 from motorway_spark.oracle import _duckdb_con, compare_frames
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata").rstrip("/") + "/sf0.01"
 con = _duckdb_con(SF)
 for name in ("q1_pricing_summary", "win_running", "dedup_exact"):
     spark_pdf = QUERIES[name](spark, SF).toPandas()
@@ -157,7 +157,7 @@ def _run(script: str, *args: str) -> str:
         capture_output=True,
         text=True,
         timeout=420,
-        cwd="/root/repo",
+        cwd=str(__import__("pathlib").Path(__file__).resolve().parent.parent),
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     return proc.stdout

@@ -50,3 +50,17 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
         .count()
     )
     assert joined.count() == expected
+
+
+def test_staging_tags_distinct_for_same_basename_dirs(tmp_path):
+    """r5 regression: two fixture dirs with the same BASENAME must not
+    share a staged-derivation cache (a generated /tmp/x/sf0.001 next to
+    the real sf0.001 silently served the other's staged CSV/topic —
+    caught by the generated-fixture sweep)."""
+    from motorway_spark.queries.scans import _sf_tag
+
+    a = str(tmp_path / "a" / "sf0.001")
+    b = str(tmp_path / "b" / "sf0.001")
+    assert _sf_tag(a) != _sf_tag(b)
+    assert _sf_tag(a) == _sf_tag(a + "/")  # trailing-slash stable
+    assert _sf_tag(a).startswith("sf0.001-")

@@ -12,7 +12,7 @@ import pytest
 
 from motorway_spark.queries import QUERIES
 
-SF = "/root/testdata/sf0.001"
+from tests.conftest import SF_SMOKE as SF
 
 
 def _plan(spark, name: str) -> str:

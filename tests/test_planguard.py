@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from motorway_spark.planguard import PlanGuardError, assert_plan_safe, audit_plan
 from motorway_spark.queries import QUERIES
 
-SF = "/root/testdata/sf0.001"
+from tests.conftest import SF_SMOKE as SF
 
 
 def test_cartesian_product_is_flagged(spark):

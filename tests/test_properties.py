@@ -148,7 +148,7 @@ def test_pack_sequences_fill_invariants(spark):
     from motorway_spark.queries import QUERIES
     from motorway_spark.queries.sampling import PACK_BUDGET
 
-    sf = "/root/testdata/sf0.001"
+    from tests.conftest import SF_SMOKE as sf
     packs = QUERIES["pack_sequences"](spark, sf).collect()
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     from pyspark.sql import functions as F
@@ -237,7 +237,7 @@ def test_simhash_pairs_match_python_reference(spark):
 
     from motorway_spark.queries import QUERIES
 
-    sf = "/root/testdata/sf0.001"
+    from tests.conftest import SF_SMOKE as sf
     rows = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pylist()
 
     def h64(tok: str) -> int:

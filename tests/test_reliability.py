@@ -19,6 +19,8 @@ import sys
 import uuid
 
 _ROCKSDB_SCRIPT = r"""
+import os
+
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -39,7 +41,7 @@ spark.sparkContext.setLogLevel("ERROR")
 
 from motorway_spark.streaming.runner import run_stream_to_memory, stream_events
 
-events = stream_events(spark, "/root/testdata/sf0.001")
+events = stream_events(spark, os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata").rstrip("/") + "/sf0.001")
 
 def update_count(key, pdf_iter, state: GroupState):
     n = state.get[0] if state.exists else 0
@@ -65,7 +67,7 @@ got = {
 }
 want = {
     r["user_id"]: r["n"]
-    for r in spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    for r in spark.read.parquet(os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata").rstrip("/") + "/sf0.001/events.parquet")
     .groupBy("user_id").agg(F.count("*").alias("n")).collect()
 }
 assert got == want, (len(got), len(want))
@@ -114,7 +116,7 @@ def _run(script: str, *args: str) -> str:
         capture_output=True,
         text=True,
         timeout=300,
-        cwd="/root/repo",
+        cwd=str(__import__("pathlib").Path(__file__).resolve().parent.parent),
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     return proc.stdout
@@ -135,6 +137,8 @@ def test_task_retry_recovers_injected_crash(tmp_path):
 
 
 _SPILL_SCRIPT = r"""
+import os
+
 import duckdb
 from pyspark.sql import SparkSession
 
@@ -153,7 +157,7 @@ spark.sparkContext.setLogLevel("ERROR")
 from motorway_spark.queries import QUERIES, ORACLES
 from motorway_spark.oracle import _duckdb_con, compare_frames
 
-SF = "/root/testdata/sf0.1"
+SF = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata").rstrip("/") + "/sf0.1"
 con = _duckdb_con(SF)
 for name in ("q1_pricing_summary", "sessionize_events", "win_running", "dedup_exact"):
     spark_pdf = QUERIES[name](spark, SF).toPandas()

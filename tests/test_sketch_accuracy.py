@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from motorway_spark.queries import QUERIES
 
-SF = "/root/testdata/sf0.01"
+from tests.conftest import SF_CORRECT as SF
 
 
 def test_approx_count_distinct_within_rsd(spark):
