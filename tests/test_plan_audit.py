@@ -425,3 +425,23 @@ def test_corr_and_moments_single_scan(spark):
         )
         assert simple.count("FileScan parquet") == 1, name
         assert "Join" not in simple, name
+
+
+def test_url_canonical_prunes_text_column(spark):
+    """r5: dedup_url_canonical derives URLs from (doc_id, source) only —
+    the scan must prune the (much larger) text column, and the distinct
+    count must not Expand-multiply the aggregate."""
+    plan = _plan(spark, "dedup_url_canonical")
+    read = [line for line in plan.splitlines() if "ReadSchema" in line]
+    assert read and "text" not in read[0]
+    assert "doc_id" in read[0] and "source" in read[0]
+
+
+def test_embedding_quality_stats_single_scan_map_side_combine(spark):
+    """r5: the vector QA gate is one pruned scan + partial/final hash
+    aggregate — nothing else."""
+    plan = _plan(spark, "embedding_quality_stats")
+    read = [line for line in plan.splitlines() if "ReadSchema" in line]
+    assert len(read) == 1 and "embedding" in read[0] and "vec_id" not in read[0]
+    assert plan.count("HashAggregate") >= 2  # map-side combine
+    assert "Join" not in plan
