@@ -99,9 +99,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in bench_queries:
-        fn = QUERIES[name]
         best = float("inf")
         try:
+            # inside the try: an unknown name (subset typo) must land in
+            # "errors", not crash before the JSON line is emitted
+            fn = QUERIES[name]
             for _attempt in range(2):  # best-of-2: de-noise machine variance
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)

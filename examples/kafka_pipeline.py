@@ -66,13 +66,15 @@ def consume_and_count(spark, topic_dir: str):
         .groupBy("word")
         .count()
     )
-    name = f"kafka_wordcount_{uuid.uuid4().hex[:8]}"
+    # FRESH queryName per factory call — start_and_drain may retry, and
+    # a reused name would reattach a stale memory sink
     query = start_and_drain(
         lambda: counts.writeStream.format("memory")
-        .queryName(name)
+        .queryName(f"kafka_wordcount_{uuid.uuid4().hex[:8]}")
         .outputMode("complete")
         .start()
     )
+    name = query.name
     query.stop()
     return spark.table(name)
 

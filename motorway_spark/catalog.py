@@ -34,6 +34,18 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def sf_tag(sf_dir: str) -> str:
+    """Staging-cache key for an sf_dir: basename PLUS a hash of the full
+    path, so two fixture dirs with the same basename never share — or
+    inherit a stale — staged derivation (CSV/ORC/topic/stream stages all
+    key on this)."""
+    import hashlib
+
+    sf_dir = sf_dir.rstrip("/")
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"{os.path.basename(sf_dir)}-{h}"
+
+
 def normalize_events_ts(df: DataFrame) -> DataFrame:
     """Normalize ``events.ts`` to a proper TIMESTAMP whatever parquet
     flavor the fixture was written with. The driver has regenerated the

@@ -79,19 +79,28 @@ def _count_top_level_fields(inner: str) -> int:
     the announced remainder back in."""
     if not inner:
         return 0
+    # split into TOP-LEVEL segments (depth-0 commas only): commas and
+    # truncation markers inside nested struct/array/map type arguments
+    # must not count toward the scan's width
     depth = 0
-    n = 1
-    for ch in inner:
+    segments: list[str] = []
+    start = 0
+    for i, ch in enumerate(inner):
         if ch == "<":
             depth += 1
         elif ch == ">":
             depth -= 1
         elif ch == "," and depth == 0:
-            n += 1
-    more = re.search(r"\.\.\.\s*(\d+)\s+more fields?", inner)
-    if more:
-        # the "... N more fields" tail was itself counted as one segment
-        n += int(more.group(1)) - 1
+            segments.append(inner[start:i])
+            start = i + 1
+    segments.append(inner[start:])
+    n = len(segments)
+    for seg in segments:
+        more = re.fullmatch(r"\s*\.\.\.\s*(\d+)\s+more fields?\s*", seg)
+        if more:
+            # this segment IS the truncation marker: it stands for N
+            # fields, and was counted as one segment above
+            n += int(more.group(1)) - 1
     return n
 
 

@@ -458,15 +458,31 @@ _NORM2_DUCK = (
 )
 
 
+def _bad_component(x):
+    """NULL, NaN, or ±inf — any of which silently poisons downstream
+    vector math (and whose norm² handling diverges between engines:
+    Spark's + propagates NULL, DuckDB's list_sum skips it, so norm² is
+    only computed for CLEAN vectors — identically in both)."""
+    return (
+        x.isNull()
+        | F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == F.lit(float("inf")))
+    )
+
+
 @query(
     "embedding_quality_stats",
     oracle=f"""
     WITH v AS (
       SELECT label,
              len(embedding) AS dim,
-             CASE WHEN len(embedding) = {_EMB_DIM}
+             CASE WHEN len(list_filter(embedding,
+                    x -> x IS NULL OR isnan(CAST(x AS DOUBLE))
+                         OR isinf(CAST(x AS DOUBLE)))) = 0
+                   AND len(embedding) = {_EMB_DIM}
                   THEN {_NORM2_DUCK} END AS norm2,
-             len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE))
+             len(list_filter(embedding, x -> x IS NULL
+                                          OR isnan(CAST(x AS DOUBLE))
                                           OR isinf(CAST(x AS DOUBLE)))) > 0
                AS has_nonfinite
       FROM embeddings)
@@ -488,7 +504,7 @@ _NORM2_DUCK = (
 def embedding_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality gate for a vector column — the embedding-table twin
     of ``dq_checks``: per label, how many vectors are dimension-broken,
-    non-finite, zero, or suspiciously low-norm, plus the norm² range.
+    invalid (a NULL/NaN/±inf component), zero, or suspiciously low-norm, plus the norm² range.
     This is the pre-flight a similarity/ANN pipeline runs before
     trusting cosine math (a single NaN component silently poisons every
     dot product it touches; a zero vector divides by zero).
@@ -504,13 +520,10 @@ def embedding_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.size("embedding").alias("dim"),
         F.when(
-            F.size("embedding") == _EMB_DIM, F.expr(_NORM2_SPARK)
+            (F.size("embedding") == _EMB_DIM) & ~F.exists("embedding", _bad_component),
+            F.expr(_NORM2_SPARK),
         ).alias("norm2"),
-        F.exists(
-            "embedding",
-            lambda x: F.isnan(x.cast("double"))
-            | (F.abs(x.cast("double")) == F.lit(float("inf"))),
-        ).alias("has_nonfinite"),
+        F.exists("embedding", _bad_component).alias("has_nonfinite"),
     )
     return v.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),

@@ -27,16 +27,7 @@ _SUPPLIER_SCHEMA = "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal 
 _SUPPLIER_COLS = ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
 
 
-def _sf_tag(sf_dir: str) -> str:
-    """Staging-cache key for an sf_dir: basename PLUS a hash of the full
-    path, so two fixture dirs with the same basename (e.g. a generated
-    /tmp/…/sf0.001 next to the driver's) never share — or inherit a
-    stale — staged derivation (same fix as streaming/runner._staging_dir)."""
-    import hashlib
-
-    sf_dir = sf_dir.rstrip("/")
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return f"{os.path.basename(sf_dir)}-{h}"
+from motorway_spark.catalog import sf_tag as _sf_tag  # noqa: E402 — shared staging key
 
 
 def _derived(spark: SparkSession, sf_dir: str, fmt: str) -> str:

@@ -752,6 +752,11 @@ def stream_scd2_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the one landed anomaly table kept on disk (previous run's dir is
+# removed on the next invocation)
+_LAST_ANOMALY_DIR: str | None = None
+
+
 def _anomaly_oracle() -> str:
     from motorway_spark.queries.dataquality import _Z_EXPR, _Z_THRESHOLD
 
@@ -790,10 +795,18 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere: the z-pass self-joins the parquet table the way it would
     in production, and the sink's MERGE keys on (bucket_hour,
     event_type) so update-mode re-emissions converge to final counts."""
+    import shutil
     import tempfile
 
     from motorway_spark.queries.dataquality import _Z_EXPR, _Z_THRESHOLD
     from motorway_spark.streaming.runner import run_stream_to_upsert
+
+    # each run lands in a FRESH table dir (a reused dir's replay WAL
+    # would skip the new query's batch 0); the previous run's dir is
+    # removed here so a long session holds at most one (r5 review).
+    global _LAST_ANOMALY_DIR
+    if _LAST_ANOMALY_DIR is not None:
+        shutil.rmtree(_LAST_ANOMALY_DIR, ignore_errors=True)
 
     events = stream_events(spark, sf_dir)
     agg = (
@@ -806,9 +819,11 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c",
         )
     )
+    table_dir = tempfile.mkdtemp(prefix="anomaly_hourly_")
+    _LAST_ANOMALY_DIR = table_dir
     hourly = run_stream_to_upsert(
         agg,
-        table_dir=tempfile.mkdtemp(prefix="anomaly_hourly_"),
+        table_dir=table_dir,
         key_cols=["bucket_hour", "event_type"],
         output_mode="update",
     )

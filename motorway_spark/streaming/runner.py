@@ -25,12 +25,11 @@ def _staging_dir(sf_dir: str) -> str:
     fixtures stay untouched). The stage path hashes the full sf_dir so
     two fixture dirs with the same basename never share (or inherit a
     stale) symlink."""
-    import hashlib
     import os
 
-    sf_dir = sf_dir.rstrip("/")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    stage = f"/tmp/motorway_stream/{os.path.basename(sf_dir)}-{tag}/events"
+    from motorway_spark.catalog import sf_tag
+
+    stage = f"/tmp/motorway_stream/{sf_tag(sf_dir)}/events"
     os.makedirs(stage, exist_ok=True)
     target = f"{sf_dir}/events.parquet"
     link = f"{stage}/events.parquet"
@@ -126,7 +125,13 @@ def run_stream_to_memory(
             query = writer.start()
             try:
                 if drain == "available_now":
-                    query.awaitTermination(timeout_sec)
+                    # awaitTermination returns False on TIMEOUT without
+                    # raising — treating that as success would hand the
+                    # caller a silently PARTIAL sink table
+                    if not query.awaitTermination(timeout_sec):
+                        raise TimeoutError(
+                            f"stream did not drain within {timeout_sec}s"
+                        )
                 else:
                     query.processAllAvailable()
                 break
@@ -185,7 +190,12 @@ def run_stream_to_upsert(
                 .start()
             )
             try:
-                query.awaitTermination(timeout_sec)
+                # False = timed out (no exception): a partial MERGE must
+                # be an error, not a silently short table
+                if not query.awaitTermination(timeout_sec):
+                    raise TimeoutError(
+                        f"stream did not drain within {timeout_sec}s"
+                    )
                 break
             except Exception as exc:  # noqa: BLE001
                 if attempt == 1 and "Python worker" in str(exc):

@@ -128,9 +128,13 @@ def test_read_schema_width_parser_nested_and_truncated():
     ReadSchema: struct<tags:array<struct<k:string,v:string>>,m:map<string,int>>
     (3) Scan parquet
     ReadSchema: struct<a:int,b:int,... 4 more fields>
+    (4) Scan parquet
+    ReadSchema: struct<meta:struct<a:int,... 30 more fields>,b:int>
     """
     widths = [n for n, _ in _read_schema_widths(plan)]
-    assert widths == [3, 2, 6]
+    # (4): the truncation sits INSIDE a nested struct — it must not add
+    # 29 phantom top-level columns (r5 review finding)
+    assert widths == [3, 2, 6, 2]
 
 
 def test_empty_allowance_dict_still_enables_pipeline_guard(spark):

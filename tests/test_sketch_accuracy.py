@@ -180,6 +180,7 @@ def test_embedding_quality_stats_flags_crafted_defects(spark, tmp_path):
         (3, [0.1] + [0.0] * (dim - 1), 0),       # low norm (0.01 < 0.25)
         (4, [1.0] * 10, 1),                      # wrong dimension
         (5, [2.0] + [0.0] * (dim - 1), 1),       # norm2 = 4
+        (6, [None] + [1.0] * (dim - 1), 1),      # NULL component (r5 review)
     ]
     spark.createDataFrame(
         rows, "vec_id bigint, embedding array<float>, label int"
@@ -192,9 +193,18 @@ def test_embedding_quality_stats_flags_crafted_defects(spark, tmp_path):
     l0, l1 = out[0], out[1]
     assert l0["n_vectors"] == 4 and l0["n_bad_dim"] == 0
     assert l0["n_nonfinite"] == 1 and l0["n_zero"] == 1
-    # zero + low-norm + (NaN -> norm2 NaN, not < 0.25)
+    # zero + low-norm; the NaN vector is flagged invalid, so norm2 is
+    # NOT computed for it (NULL-skip vs NULL-propagate divergence
+    # between the engines' sums — the r5 review finding)
     assert l0["n_low_norm"] == 2
     assert l0["min_norm2"] == 0.0
-    assert math.isnan(l0["max_norm2"])  # NaN propagates to MAX in Spark+DuckDB
-    assert l1["n_vectors"] == 2 and l1["n_bad_dim"] == 1
+    assert l0["max_norm2"] == 1.0  # the clean unit vector; NaN excluded
+    assert l1["n_vectors"] == 3 and l1["n_bad_dim"] == 1
+    # the NULL-component vector is a counted defect, not a silent pass
+    assert l1["n_nonfinite"] == 1
     assert l1["min_norm2"] == 4.0 and l1["max_norm2"] == 4.0
+    assert not any(
+        v is not None and math.isnan(v)
+        for r in out.values()
+        for v in (r["min_norm2"], r["max_norm2"])
+    )
