@@ -36,14 +36,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def sf_tag(sf_dir: str) -> str:
     """Staging-cache key for an sf_dir: basename PLUS a hash of the full
-    path, so two fixture dirs with the same basename never share — or
-    inherit a stale — staged derivation (CSV/ORC/topic/stream stages all
-    key on this)."""
+    path AND of every parquet file's (name, size, mtime), so staged
+    derivations (CSV/ORC/topic/stream stages all key on this) go stale
+    neither when two fixture dirs share a basename NOR when a fixture is
+    regenerated IN PLACE at the same path (the driver does exactly that
+    between rounds)."""
+    import glob
     import hashlib
 
     sf_dir = sf_dir.rstrip("/")
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return f"{os.path.basename(sf_dir)}-{h}"
+    h = hashlib.md5(sf_dir.encode())
+    for p in sorted(glob.glob(f"{sf_dir}/*.parquet")):
+        st = os.stat(p)
+        h.update(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return f"{os.path.basename(sf_dir)}-{h.hexdigest()[:8]}"
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:

@@ -64,3 +64,29 @@ def test_staging_tags_distinct_for_same_basename_dirs(tmp_path):
     assert _sf_tag(a) != _sf_tag(b)
     assert _sf_tag(a) == _sf_tag(a + "/")  # trailing-slash stable
     assert _sf_tag(a).startswith("sf0.001-")
+
+
+def test_staging_tag_changes_when_fixture_regenerated_in_place(tmp_path):
+    """The staging tag must also key on fixture CONTENT (size/mtime):
+    the driver regenerates fixtures at the SAME path between rounds, and
+    a path-only tag would serve the previous round's staged derivations."""
+    import os
+    import time
+
+    from motorway_spark.catalog import sf_tag
+
+    d = tmp_path / "sf0.001"
+    d.mkdir()
+    f = d / "supplier.parquet"
+    f.write_bytes(b"one")
+    t1 = sf_tag(str(d))
+    time.sleep(0.01)
+    f.write_bytes(b"two+")  # different size AND mtime
+    t2 = sf_tag(str(d))
+    assert t1 != t2
+    # unchanged content -> stable tag
+    assert sf_tag(str(d)) == t2
+    # and an empty dir still tags (path-only fallback)
+    e = tmp_path / "empty" / "sf0.001"
+    os.makedirs(e)
+    assert sf_tag(str(e)).startswith("sf0.001-")
