@@ -61,6 +61,10 @@ _SWEEP_PRIORITY = [
     "range_join_interval_overlap",  # r5: pair join -> sweep line (99s -> 1.3s at sf1)
     "dedup_url_canonical",     # new in r5: URL canonicalization dedup
     "embedding_quality_stats", # new in r5: vector-column data-quality gate
+    "dedup_chunk_global",      # new in r5: C4-style span dedup (keep-first)
+    "win_moving_median",       # new in r5: exact trailing-frame moving median
+    "events_path_topk",        # new in r5: top 3-step behavioral paths
+    "embedding_random_projection",  # new in r5: seeded JL projection, plan-literal matrix
     # -- latest driver row is ROUND 1 (three fixture regens old) --
     "q1_pricing_summary",      # flagship; last full-green row r1 (r4 re-check was local)
     "wordcount",

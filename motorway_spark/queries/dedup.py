@@ -1229,3 +1229,117 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("raw_url").alias("n_distinct_raw"),
         F.min("doc_id").alias("keeper_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_chunk_global — C4-style span-level exact dedup (keep first occurrence)
+# ---------------------------------------------------------------------------
+#
+# C4 deduplicates three-sentence spans corpus-wide, keeping one occurrence
+# and dropping the rest from every other document (Raffel et al. 2020 §2.2);
+# RefinedWeb does the same at line granularity. The fixture documents are
+# single-line token streams, so the span unit here is a fixed window of
+# CHUNK_TOKENS consecutive tokens (non-overlapping, tail kept short).
+
+CHUNK_TOKENS = 10
+
+
+@query(
+    "dedup_chunk_global",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(tokens) AS tok,
+             generate_subscripts(tokens, 1) AS ord
+      FROM toks),
+    chunks AS (
+      SELECT doc_id,
+             CAST(floor((ord - 1) / {CHUNK_TOKENS}) AS BIGINT) AS idx,
+             string_agg(tok, ' ' ORDER BY ord) AS chunk
+      FROM tok GROUP BY doc_id, CAST(floor((ord - 1) / {CHUNK_TOKENS}) AS BIGINT)),
+    ranked AS (
+      SELECT doc_id, idx,
+             row_number() OVER (PARTITION BY chunk
+                                ORDER BY doc_id, idx) AS rn
+      FROM chunks),
+    kept AS (
+      SELECT c.doc_id, c.idx, c.chunk
+      FROM chunks c JOIN ranked r
+        ON c.doc_id = r.doc_id AND c.idx = r.idx AND r.rn = 1),
+    totals AS (
+      SELECT doc_id, COUNT(*) AS n_chunks_total FROM chunks GROUP BY doc_id),
+    rebuilt AS (
+      SELECT doc_id,
+             COUNT(*) AS n_chunks_kept,
+             string_agg(chunk, ' ' ORDER BY idx) AS kept_text
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           t.n_chunks_total,
+           COALESCE(r.n_chunks_kept, 0) AS n_chunks_kept,
+           COALESCE(r.kept_text, '') AS kept_text
+    FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+    """,
+)
+def dedup_chunk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level global exact dedup, C4-style: split every document into
+    fixed {CHUNK_TOKENS}-token chunks, keep only the globally FIRST
+    occurrence of each distinct chunk (order: doc_id, then position),
+    and reassemble each document from its surviving chunks in original
+    order. Returns per-doc (total chunks, kept chunks, rebuilt text) —
+    the template-heavy fixture corpus loses most of its repeated spans.
+
+    Scale shape (100 TB): chunking is a pure map (split + sequence +
+    slice, no explode shuffle); the keep-first ranking shuffles only the
+    narrow (doc_id, idx, md5-fingerprint) projection — never chunk text
+    — as a window on the 16-byte fingerprint; survivors rejoin the
+    chunk text by (doc_id, idx); reassembly is one hash aggregate on
+    doc_id. Nothing is quadratic; per-group window state is the
+    occurrence list of ONE distinct chunk (bounded by duplication
+    factor, and only (doc_id, idx) pairs at that).
+    """
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).documents
+    # Map-side chunking via higher-order functions: no explode shuffle.
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("tokens"))
+    n_chunks = F.ceil(F.size("tokens") / F.lit(CHUNK_TOKENS)).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(F.col("tokens"), i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " "
+        ),
+    )
+    chunks = toks.select(
+        "doc_id", F.posexplode(chunk_arr).alias("idx", "chunk")
+    ).withColumn("idx", F.col("idx").cast("long"))
+
+    # Keep-first ranking on the md5 fingerprint only (narrow shuffle).
+    fp = chunks.select(
+        "doc_id", "idx", F.md5(F.col("chunk").cast("binary")).alias("fp")
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id", "idx")
+    survivors = (
+        fp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "idx")
+    )
+    kept = chunks.join(survivors, ["doc_id", "idx"], "left_semi")
+
+    totals = chunks.groupBy("doc_id").agg(F.count("*").alias("n_chunks_total"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                lambda s: s.chunk,
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks_total",
+        F.coalesce("n_chunks_kept", F.lit(0)).alias("n_chunks_kept"),
+        F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+    )

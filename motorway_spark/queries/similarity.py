@@ -722,3 +722,71 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_S_NSAT).cast("bigint").alias("n_saturated"),
         F.round(F.expr(f"({_S_SQERR}) / 64"), 12).alias("mse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_random_projection — seeded JL projection 64 -> 4, oracle-exact
+# ---------------------------------------------------------------------------
+
+RP_OUT_DIMS = 4
+
+
+def _rp_matrix() -> list[list[float]]:
+    """Fixed-seed Gaussian projection matrix (RP_OUT_DIMS x DIM),
+    inlined as plan literals like the ANN hyperplanes."""
+    rng = np.random.default_rng(20240815)
+    return [
+        [float(v) for v in row]
+        for row in rng.standard_normal((RP_OUT_DIMS, DIM)) / np.sqrt(RP_OUT_DIMS)
+    ]
+
+
+_RP_ROWS = _rp_matrix()
+
+
+def _rp_term_chain(acc: str, coefs: list[float]) -> str:
+    """One projected component as an unrolled left-to-right chain —
+    identical association order in both engines, so the double result
+    is bit-exact (repr() literals round-trip to the same bits). ``acc``
+    is an element-accessor template with an ``{i}`` placeholder
+    (1-based): DuckDB ``embedding[{i}]`` == Spark
+    ``element_at(embedding, {i})``."""
+    return " + ".join(
+        f"CAST({acc.format(i=i + 1)} AS DOUBLE) * {coefs[i]!r}" for i in range(DIM)
+    )
+
+
+@query(
+    "embedding_random_projection",
+    oracle=f"""
+    SELECT vec_id,
+      {", ".join(f"ROUND({_rp_term_chain('embedding[{i}]', row)}, 6) AS p{k + 1}"
+                 for k, row in enumerate(_RP_ROWS))}
+    FROM embeddings
+    """,
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: reduce the 64-dim
+    embedding column to RP_OUT_DIMS dims with a fixed-seed Gaussian
+    matrix (rows scaled by 1/sqrt(k), so pairwise distances are
+    preserved in expectation) — the storage/ANN compaction step that
+    runs before coarse indexing. The matrix lives in the plan as
+    literals; each output dim is an unrolled 64-term multiply-add chain
+    (whole-stage codegen, identical left-to-right IEEE order in DuckDB),
+    so results are bit-exact cross-engine before the display rounding.
+
+    Scale shape: a pure per-row map — zero shuffles, zero broadcast
+    (the matrix is plan-resident), and column pruning reads only
+    (vec_id, embedding). At 100 TB this is scan-bound; the same chain
+    shape extends to any k, and for k large enough to matter one
+    switches to the BLAS-per-Arrow-batch kernel sim_knn_matmul already
+    uses."""
+    emb = Catalog(spark, sf_dir).embeddings
+    # Spark's element_at == DuckDB's 1-based [] indexing.
+    cols = [
+        F.round(
+            F.expr(_rp_term_chain("element_at(embedding, {i})", row)), 6
+        ).alias(f"p{k + 1}")
+        for k, row in enumerate(_RP_ROWS)
+    ]
+    return emb.select("vec_id", *cols)

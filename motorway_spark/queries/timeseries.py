@@ -889,3 +889,49 @@ def events_seasonality_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "events_path_topk",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS s1,
+             lead(event_type, 1) OVER w AS s2,
+             lead(event_type, 2) OVER w AS s3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    paths AS (
+      SELECT s1, s2, s3, CAST(COUNT(*) AS BIGINT) AS n_paths
+      FROM seq WHERE s3 IS NOT NULL GROUP BY s1, s2, s3)
+    SELECT s1, s2, s3, n_paths FROM paths
+    ORDER BY n_paths DESC, s1, s2, s3 LIMIT 10
+    """,
+)
+def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential path mining: the 10 most common 3-step event-type
+    paths across all user streams — the second-order extension of
+    events_markov_transitions and the workhorse behind funnel discovery
+    ('which 3-step journeys actually happen?'). Two leads in ONE window
+    pass (same partition/order spec → Catalyst evaluates both in a
+    single Window operator), then a global count over at most |types|³
+    path keys and a deterministic top-10.
+
+    Scale shape: one hash exchange on user_id + in-partition sort for
+    the leads; the path aggregation is map-side-combinable into at most
+    |types|³ (here 5³=125) groups, so the final shuffle and the sort are
+    over a constant-size table no matter the event volume."""
+    from pyspark.sql import Window
+
+    events = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    ).where(F.col("s3").isNotNull())
+    return (
+        seq.groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "s1", "s2", "s3")
+        .limit(10)
+    )

@@ -318,3 +318,52 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_first").over(w_run).alias("distinct_types_so_far"),
         )
     )
+
+
+@query(
+    "win_moving_median",
+    oracle="""
+    WITH windowed AS (
+      SELECT event_id, user_id, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+               AS vals
+      FROM events)
+    SELECT event_id, user_id, value,
+           len(vals) AS frame_n,
+           list_sort(vals)[CAST(floor((len(vals) + 1) / 2) AS INT)]
+             AS moving_median
+    FROM windowed
+    """,
+)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact moving median over the trailing 5-event frame per user —
+    the robust-smoothing primitive Spark has no native window function
+    for. Implemented as collect-sort-select inside the frame:
+    ``element_at(array_sort(collect_list(value) OVER frame), (n+1)//2)``
+    with the LOWER-middle rule for even frames, so the result is always
+    an actual input value — no interpolation, no cross-engine float
+    arithmetic at all, hence bit-exact against the oracle.
+
+    Scale shape: one hash exchange on user_id + in-partition sort (the
+    standard window economics); per-row state is the 5-element frame
+    buffer, constant regardless of corpus size. A growing frame would
+    make this O(frame log frame) per row — for large frames the
+    production form switches to the two-heap / order-statistic-tree
+    pattern inside applyInPandas; at frame=5 the array sort is cheaper
+    than any such machinery."""
+    events = Catalog(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    vals = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(vals)
+    return events.select(
+        "event_id",
+        "user_id",
+        "value",
+        n.cast("long").alias("frame_n"),
+        F.element_at(vals, F.floor((n + 1) / 2).cast("int")).alias("moving_median"),
+    )

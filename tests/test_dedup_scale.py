@@ -227,3 +227,42 @@ def test_url_canonical_dedup_groups_complete(spark, sf_dir):
         ].endswith(f"/docs/page-{page}")
         assert r["n_distinct_raw"] == r["n_variants"]
         assert r["n_variants"] <= 3
+
+
+def test_chunk_dedup_keep_first_semantics(spark, tmp_path):
+    """r5: dedup_chunk_global must keep the globally FIRST occurrence of
+    each 10-token chunk ((doc_id, idx) order), drop every later copy,
+    chunk the tail short, and reassemble survivors in original order —
+    pinned on a crafted corpus where the expected output is computable
+    by hand."""
+    from motorway_spark.queries import QUERIES
+    from motorway_spark.queries.dedup import CHUNK_TOKENS
+
+    assert CHUNK_TOKENS == 10
+    c1 = " ".join(f"a{i}" for i in range(10))   # chunk shared by all docs
+    c2 = " ".join(f"b{i}" for i in range(10))   # unique to doc 0
+    c3 = " ".join(f"c{i}" for i in range(10))   # unique to doc 1
+    tail = "t0 t1 t2"                            # 3-token tail chunk (doc 2)
+    rows = [
+        (0, f"{c1} {c2}", "en", "s", 0),         # keeps both (first owner of c1)
+        (1, f"{c1} {c3}", "en", "s", 0),         # keeps only c3
+        (2, f"{c1} {tail}", "en", "s", 0),       # keeps only the tail
+        (3, c1, "en", "s", 0),                   # keeps nothing
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["dedup_chunk_global"](spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 4  # empty docs still reported
+    assert (out[0]["n_chunks_total"], out[0]["n_chunks_kept"]) == (2, 2)
+    assert out[0]["kept_text"] == f"{c1} {c2}"
+    assert (out[1]["n_chunks_total"], out[1]["n_chunks_kept"]) == (2, 1)
+    assert out[1]["kept_text"] == c3
+    assert (out[2]["n_chunks_total"], out[2]["n_chunks_kept"]) == (2, 1)
+    assert out[2]["kept_text"] == tail
+    assert (out[3]["n_chunks_total"], out[3]["n_chunks_kept"]) == (1, 0)
+    assert out[3]["kept_text"] == ""

@@ -445,3 +445,38 @@ def test_embedding_quality_stats_single_scan_map_side_combine(spark):
     assert len(read) == 1 and "embedding" in read[0] and "vec_id" not in read[0]
     assert plan.count("HashAggregate") >= 2  # map-side combine
     assert "Join" not in plan
+
+
+def test_random_projection_pure_map(spark):
+    """r5: embedding_random_projection is a pure per-row map — the
+    projection matrix lives in the plan as literals, so there must be
+    NO exchange, join, or broadcast; the scan prunes the label column."""
+    plan = _plan(spark, "embedding_random_projection")
+    read = [line for line in plan.splitlines() if "ReadSchema" in line]
+    assert len(read) == 1 and "embedding" in read[0] and "label" not in read[0]
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_path_topk_single_window_bounded_sort(spark):
+    """r5: events_path_topk's two leads share one window spec (ONE
+    Window operator), the path aggregate map-side combines, and the
+    top-10 is a bounded TakeOrderedAndProject — never a global sort."""
+    simple = (
+        QUERIES["events_path_topk"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert simple.count("Window ") == 1
+    assert simple.count("HashAggregate") >= 2  # partial + final
+    assert "TakeOrderedAndProject" in simple
+    assert "Sort [n_paths" not in simple  # no full global sort
+
+
+def test_chunk_dedup_fingerprint_shuffle(spark):
+    """r5: dedup_chunk_global's keep-first ranking must shuffle on the
+    md5 fingerprint (narrow 32-char key), not on chunk text, and the
+    survivor join back to text must be a LeftSemi."""
+    plan = _plan(spark, "dedup_chunk_global")
+    assert "hashpartitioning(fp" in plan
+    assert "LeftSemi" in plan

@@ -95,3 +95,35 @@ def test_interval_overlap_sweep_line_semantics(spark):
         "day string, user_id bigint, s_us bigint, e_us bigint",
     )
     assert _overlap_stats(iv2).count() == 0
+
+
+def test_moving_median_lower_middle_rule(spark, tmp_path):
+    """r5: win_moving_median's even-frame rule is the LOWER middle of the
+    sorted frame (an actual input value, never an interpolation) and the
+    frame is trailing ROWS 4 PRECEDING..CURRENT — pinned on one crafted
+    user stream where every frame's median is hand-computable."""
+    import datetime
+
+    from motorway_spark.queries import QUERIES
+
+    t0 = datetime.datetime(2024, 1, 1)
+    vals = [5.0, 1.0, 4.0, 2.0, 3.0, 9.0]
+    rows = [
+        (i, t0 + datetime.timedelta(minutes=i), 1, "view", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = {
+        r["event_id"]: r
+        for r in QUERIES["win_moving_median"](spark, str(tmp_path)).collect()
+    }
+    # frames: [5] [5,1] [5,1,4] [5,1,4,2] [5,1,4,2,3] [1,4,2,3,9]
+    expected = {0: 5.0, 1: 1.0, 2: 4.0, 3: 2.0, 4: 3.0, 5: 3.0}
+    for eid, want in expected.items():
+        assert out[eid]["moving_median"] == want, eid
+    assert out[5]["frame_n"] == 5 and out[1]["frame_n"] == 2
