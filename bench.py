@@ -69,6 +69,12 @@ BENCH_QUERIES = [
     # round-5 additions: crawl-hygiene URL dedup + vector-column QA gate
     "dedup_url_canonical",
     "embedding_quality_stats",
+    # round-5 batch 2: span-level dedup, moving median, path mining,
+    # JL projection
+    "dedup_chunk_global",
+    "win_moving_median",
+    "events_path_topk",
+    "embedding_random_projection",
 ]
 
 
