@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "win_moving_median",
     "events_path_topk",
     "embedding_random_projection",
+    "dedup_semantic_semdedup",
 ]
 
 

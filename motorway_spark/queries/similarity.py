@@ -790,3 +790,152 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k, row in enumerate(_RP_ROWS)
     ]
     return emb.select("vec_id", *cols)
+
+
+# ---------------------------------------------------------------------------
+# dedup_semantic_semdedup — cluster-then-prune semantic dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+SEM_TAU = 0.3  # within-cell cosine threshold (fixture vectors are near-
+               # orthogonal random points; real corpora use ~0.95+)
+
+
+@query(
+    "dedup_semantic_semdedup",
+    oracle=f"""
+    WITH cells AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cent
+      FROM embeddings
+      WHERE vec_id BETWEEN {IVF_CENTROID_LO} AND {IVF_CENTROID_HI}),
+    dists AS MATERIALIZED (
+      SELECT e.vec_id, c.cell,
+             list_sum(list_transform(range(1, 65),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE))
+                  * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE)))) AS d
+      FROM embeddings e CROSS JOIN cells c),
+    assigned AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM dists)
+      WHERE rn = 1),
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb, a.cell,
+             {_SQL_DOT.format(a='ea.embedding', b='eb.embedding')}
+               / ({_SQL_NORM.format(a='ea.embedding')}
+                  * {_SQL_NORM.format(a='eb.embedding')}) AS cos
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id),
+    best_lower AS (
+      SELECT vb AS vec_id, va AS dup_of, cos FROM (
+        SELECT va, vb, cos,
+               row_number() OVER (PARTITION BY vb
+                                  ORDER BY cos DESC, va) AS rn
+        FROM pairs WHERE cos >= {SEM_TAU!r})
+      WHERE rn = 1)
+    SELECT a.vec_id, a.cell,
+           (b.dup_of IS NULL) AS keep,
+           b.dup_of,
+           ROUND(b.cos, 6) AS dup_cosine
+    FROM assigned a LEFT JOIN best_lower b ON a.vec_id = b.vec_id
+    """,
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup by clustering the
+    embedding space, then comparing pairs ONLY within a cluster — the
+    modern LLM-corpus pruning step that removes meaning-level duplicates
+    exact/minhash dedup can't see. Cells come from the same fixed
+    corpus-vector codebook as sim_ann_ivf_fixed (standard practice
+    trains the coarse quantizer on a tiny sample); a vector is dropped
+    (keep=false) when some LOWER-id cell-mate has cosine >= SEM_TAU —
+    the keep-lowest-id rule every dedup op in this engine uses — and
+    reports its strongest lower neighbor for audit.
+
+    Determinism: cell assignment accumulates squared-L2 per dimension
+    (left fold, first-min argmin — bit-identical to the oracle's
+    (d, cell) ordering); cosines fold left-to-right in doubles; the
+    dup_of winner orders by (cos DESC, id) on raw doubles, so both
+    engines pick the identical row before any rounding.
+
+    Scale shape: assignment is one mapInPandas pass (8-vector codebook
+    in the closure, no shuffle); the pair stage is a cell-equality
+    self-join — O(Σ cell²) like the published algorithm, bounded by
+    cell size, NOT corpus size: production SemDeDup scales the cell
+    count with the corpus (k ∝ n keeps cell width constant, the paper
+    uses k=50k for LAION), exactly how MH_BUCKET_CAP bounds the minhash
+    bucket fan-out. Embeddings travel into the join pruned to
+    (vec_id, embedding); the winner-per-vector aggregate is a narrow
+    shuffle on vec_id."""
+    import numpy as np
+    import pandas as pd
+
+    emb = Catalog(spark, sf_dir).embeddings
+    cent_rows = sorted(
+        emb.filter(
+            (F.col("vec_id") >= IVF_CENTROID_LO)
+            & (F.col("vec_id") <= IVF_CENTROID_HI)
+        )
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cents = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+
+    def assign(batches):
+        for pdf in batches:
+            vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
+            acc = np.zeros((vecs.shape[0], cents.shape[0]))
+            for i in range(vecs.shape[1]):
+                d = vecs[:, i : i + 1] - cents[None, :, i]
+                acc += d * d  # per-dim left fold == oracle's range() fold
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cell": acc.argmin(axis=1).astype(np.int32),
+                }
+            )
+
+    par = spark.sparkContext.defaultParallelism
+    assigned = (
+        emb.repartition(par)
+        .select("vec_id", "embedding")
+        .mapInPandas(assign, schema="vec_id long, embedding array<float>, cell int")
+    )
+
+    a = assigned.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        "cell",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("cell").alias("cell_b"),
+    )
+    cos = _dot("ea", "eb") / (_norm("ea") * _norm("eb"))
+    pairs = (
+        a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("va") < F.col("vb")))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= SEM_TAU)
+        .select("vb", "va", "cos")
+    )
+    # winner per vb: max cosine, ties -> lowest va (min over (-cos, va))
+    best = (
+        pairs.groupBy("vb")
+        .agg(F.min(F.struct((-F.col("cos")).alias("neg"), F.col("va"), F.col("cos"))).alias("w"))
+        .select(
+            F.col("vb").alias("vec_id"),
+            F.col("w.va").alias("dup_of"),
+            F.col("w.cos").alias("cos"),
+        )
+    )
+    return assigned.select("vec_id", "cell").join(best, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.col("dup_of").isNull().alias("keep"),
+        "dup_of",
+        F.round("cos", 6).alias("dup_cosine"),
+    )

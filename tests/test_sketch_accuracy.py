@@ -208,3 +208,50 @@ def test_embedding_quality_stats_flags_crafted_defects(spark, tmp_path):
         for r in out.values()
         for v in (r["min_norm2"], r["max_norm2"])
     )
+
+
+def test_semdedup_within_cell_only(spark, tmp_path):
+    """r5: dedup_semantic_semdedup must (a) drop a vector whose lower-id
+    CELL-MATE is cosine-similar, naming it dup_of, and (b) KEEP a
+    similar pair that lands in different cells — the published SemDeDup
+    approximation — pinned on a crafted fixture where cell assignment
+    and cosines are hand-computable. The codebook is vec_ids 100-107."""
+    from motorway_spark.queries import QUERIES
+    from motorway_spark.queries.similarity import IVF_CENTROID_LO, SEM_TAU
+
+    assert IVF_CENTROID_LO == 100 and SEM_TAU == 0.3
+    dim = 64
+
+    def unit(ix_w):  # sparse unit-ish vector from {index: weight}
+        v = [0.0] * dim
+        for i, w in ix_w.items():
+            v[i] = w
+        n = sum(x * x for x in v) ** 0.5
+        return [x / n for x in v]
+
+    rows = [(100 + k, unit({k: 1.0}), 0) for k in range(8)]  # orthogonal codebook
+    rows += [
+        (0, unit({0: 1.0}), 0),            # cell 0
+        (1, unit({0: 0.9, 1: 0.1}), 0),    # cell 0, cos(v0,v1)≈0.994 -> dup of 0
+        (2, unit({1: 0.8, 0: 0.6}), 0),    # nearest centroid e2 -> cell 1,
+                                           # cos(v2,v0)=0.6 >= tau but KEPT
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = {
+        r["vec_id"]: r
+        for r in QUERIES["dedup_semantic_semdedup"](spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 11
+    assert out[0]["cell"] == 0 and out[0]["keep"] is True
+    assert out[1]["cell"] == 0 and out[1]["keep"] is False
+    assert out[1]["dup_of"] == 0 and out[1]["dup_cosine"] > 0.99
+    assert out[2]["cell"] == 1 and out[2]["keep"] is True  # cross-cell miss
+    # codebook vectors participate too: 100 == v0 exactly (dup of 0),
+    # 101 has cos 0.8 with its cell-mate v2 (dup of 2); the rest are
+    # orthogonal to everything and survive
+    assert out[100]["keep"] is False and out[100]["dup_of"] == 0
+    assert out[101]["keep"] is False and out[101]["dup_of"] == 2
+    assert all(out[100 + k]["keep"] is True for k in range(2, 8))
