@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "events_path_topk",
     "embedding_random_projection",
     "dedup_semantic_semdedup",
+    "pipeline_corpus_curation",
 ]
 
 

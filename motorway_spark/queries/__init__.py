@@ -66,6 +66,7 @@ _SWEEP_PRIORITY = [
     "events_path_topk",        # new in r5: top 3-step behavioral paths
     "embedding_random_projection",  # new in r5: seeded JL projection, plan-literal matrix
     "dedup_semantic_semdedup",  # new in r5: SemDeDup cluster-then-prune semantic dedup
+    "pipeline_corpus_curation",  # new in r5: gates -> semantic dedup -> token accounting
     # -- latest driver row is ROUND 1 (three fixture regens old) --
     "q1_pricing_summary",      # flagship; last full-green row r1 (r4 re-check was local)
     "wordcount",

@@ -432,3 +432,140 @@ def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "entity_id",
     ).select("entity_id", "canonical_name", "n_members", "member_key_sum")
+
+
+# ---------------------------------------------------------------------------
+# pipeline_corpus_curation — quality gates -> semantic dedup -> accounting
+# ---------------------------------------------------------------------------
+
+from motorway_spark.queries.similarity import (  # noqa: E402
+    _SQL_DOT,
+    _SQL_NORM,
+    IVF_CENTROID_HI,
+    IVF_CENTROID_LO,
+    SEM_ANCHOR_W,
+    SEM_TAU,
+    semdedup_flags,
+)
+
+CUR_LANG = "en"
+CUR_MIN_TOKENS = 30
+
+
+@query(
+    "pipeline_corpus_curation",
+    oracle=f"""
+    WITH docs_t AS (
+      SELECT doc_id, source, lang,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    quality AS MATERIALIZED (
+      SELECT * FROM docs_t
+      WHERE lang = '{CUR_LANG}' AND n_tokens >= {CUR_MIN_TOKENS}),
+    cells AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cent
+      FROM embeddings
+      WHERE vec_id BETWEEN {IVF_CENTROID_LO} AND {IVF_CENTROID_HI}),
+    vq AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding
+      FROM embeddings e JOIN quality q ON e.vec_id = q.doc_id),
+    dists AS MATERIALIZED (
+      SELECT v.vec_id, c.cell,
+             list_sum(list_transform(range(1, 65),
+               i -> (CAST(v.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE))
+                  * (CAST(v.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE)))) AS d
+      FROM vq v CROSS JOIN cells c),
+    assigned AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM dists)
+      WHERE rn = 1),
+    anchors AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS arn
+        FROM assigned)
+      WHERE arn <= {SEM_ANCHOR_W}),
+    dupped AS (
+      SELECT DISTINCT b.vec_id
+      FROM anchors a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN vq ea ON ea.vec_id = a.vec_id
+      JOIN vq eb ON eb.vec_id = b.vec_id
+      WHERE {_SQL_DOT.format(a='ea.embedding', b='eb.embedding')}
+            / ({_SQL_NORM.format(a='ea.embedding')}
+               * {_SQL_NORM.format(a='eb.embedding')}) >= {SEM_TAU!r}),
+    kept AS (
+      SELECT q.* FROM quality q
+      WHERE q.doc_id NOT IN (SELECT vec_id FROM dupped))
+    SELECT t.source,
+           CAST(t.n_candidates AS BIGINT) AS n_candidates,
+           CAST(COALESCE(q.n_quality, 0) AS BIGINT) AS n_quality,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(k.tokens_kept, 0) AS BIGINT) AS tokens_kept
+    FROM (SELECT source, COUNT(*) AS n_candidates FROM docs_t GROUP BY source) t
+    LEFT JOIN (SELECT source, COUNT(*) AS n_quality
+               FROM quality GROUP BY source) q ON t.source = q.source
+    LEFT JOIN (SELECT source, COUNT(*) AS n_kept, SUM(n_tokens) AS tokens_kept
+               FROM kept GROUP BY source) k ON t.source = k.source
+    """,
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern corpus-curation composite — the SemDeDup-era counterpart
+    of pipeline_training_prep's minhash chain: language + length gates
+    first (cheap single-scan predicates prune before any vector work),
+    then SEMANTIC dedup over the survivors' embeddings (semdedup_flags
+    with the corpus-trained codebook — the quantizer sees the full
+    table, the flags only the filtered subset, exactly how a production
+    curation run reuses its quantizer across filter iterations), then
+    per-source accounting of the surviving token budget. The oracle
+    replays the full chain including the anchor-capped within-cell
+    cosine decisions.
+
+    Output: per source — documents scanned, past quality gates, kept
+    after semantic dedup, and the surviving token count (the number
+    that actually matters when filling a pre-training mix).
+
+    Scale shape: gates are scan predicates (pushdown-friendly); the
+    doc->vector join is id-keyed; semantic dedup inherits semdedup's
+    O(n·W) anchor bound; accounting is a map-side-combinable aggregate
+    over |sources| groups. All counts integer — no float determinism
+    surface anywhere outside the (bit-exact) cosine kernel."""
+    cat = Catalog(spark, sf_dir)
+    docs_t = cat.documents.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    quality = docs_t.filter(
+        (F.col("lang") == CUR_LANG) & (F.col("n_tokens") >= CUR_MIN_TOKENS)
+    )
+    emb = cat.embeddings
+    vectors = emb.join(
+        quality.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    ).select("vec_id", "embedding")
+    flags = semdedup_flags(spark, emb, vectors)
+    kept = quality.join(
+        flags.filter(F.col("keep")).select(F.col("vec_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    totals = docs_t.groupBy("source").agg(F.count("*").alias("n_candidates"))
+    q_agg = quality.groupBy("source").agg(F.count("*").alias("n_quality"))
+    k_agg = kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_tokens").alias("tokens_kept"),
+    )
+    return (
+        totals.join(q_agg, "source", "left")
+        .join(k_agg, "source", "left")
+        .select(
+            "source",
+            "n_candidates",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
+        )
+    )

@@ -809,6 +809,152 @@ SEM_ANCHOR_W = 64  # per-cell anchor width: every vector is compared only
 _LAST_SEM_ASSIGNED = None
 
 
+def semdedup_flags(
+    spark: SparkSession, codebook_src: DataFrame, vectors: DataFrame
+) -> DataFrame:
+    """SemDeDup core over any (vec_id, embedding) frame: cells from the
+    fixed corpus-vector codebook in ``codebook_src`` (vec_ids
+    IVF_CENTROID_LO..HI — the quantizer is trained once on the full
+    corpus even when ``vectors`` is a filtered subset), anchor-capped
+    within-cell cosine flags for ``vectors``. Shared by the registered
+    query and pipeline_corpus_curation; see dedup_semantic_semdedup for
+    semantics, determinism, and scale notes."""
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = sorted(
+        codebook_src.filter(
+            (F.col("vec_id") >= IVF_CENTROID_LO)
+            & (F.col("vec_id") <= IVF_CENTROID_HI)
+        )
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cents = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+
+    def assign(batches):
+        for pdf in batches:
+            vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
+            acc = np.zeros((vecs.shape[0], cents.shape[0]))
+            for i in range(vecs.shape[1]):
+                d = vecs[:, i : i + 1] - cents[None, :, i]
+                acc += d * d  # per-dim left fold == oracle's range() fold
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cell": acc.argmin(axis=1).astype(np.int32),
+                }
+            )
+
+    par = spark.sparkContext.defaultParallelism
+    assigned = (
+        vectors.repartition(par)
+        .select("vec_id", "embedding")
+        .mapInPandas(assign, schema="vec_id long, embedding array<float>, cell int")
+    )
+    # assigned feeds three consumers (anchor collect, kernel input,
+    # final rollcall) — eager-persist so the assignment map runs once
+    # (the dedup_containment lesson; previous call's cache released).
+    global _LAST_SEM_ASSIGNED
+    if _LAST_SEM_ASSIGNED is not None:
+        _LAST_SEM_ASSIGNED.unpersist()
+    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    _LAST_SEM_ASSIGNED = assigned
+    assigned.count()
+
+    # Bounded anchor collect: the W lowest-id members of each cell —
+    # at most W*k = 512 vectors (128 KB), the sim_knn_matmul closure
+    # pattern. Production replaces the collect with a broadcast.
+    w_anchor = Window.partitionBy("cell").orderBy("vec_id")
+    anchor_rows = (
+        assigned.withColumn("arn", F.row_number().over(w_anchor))
+        .filter(F.col("arn") <= SEM_ANCHOR_W)
+        .select("vec_id", "cell", "embedding")
+        .collect()
+    )
+
+    def _fold_dots(m: "np.ndarray", a: "np.ndarray") -> "np.ndarray":
+        """(rows x dim) x (anchors x dim) -> rows x anchors, accumulated
+        dimension-by-dimension: vectorized left fold, bit-equal to the
+        oracle's sequential list_sum."""
+        acc = np.zeros((m.shape[0], a.shape[0]))
+        for i in range(m.shape[1]):
+            acc += m[:, i : i + 1] * a[None, :, i]
+        return acc
+
+    by_cell: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for c in sorted({r["cell"] for r in anchor_rows}):
+        rows_c = sorted(
+            (r for r in anchor_rows if r["cell"] == c), key=lambda r: r["vec_id"]
+        )
+        ids = np.array([r["vec_id"] for r in rows_c], dtype=np.int64)
+        mat = np.array([r["embedding"] for r in rows_c], dtype=np.float64)
+        by_cell[c] = (ids, mat)
+
+    def _fold_norms(m: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(m.shape[0])
+        for i in range(m.shape[1]):
+            acc += m[:, i] * m[:, i]
+        return np.sqrt(acc)
+
+    anchor_norms = {c: _fold_norms(mat) for c, (ids, mat) in by_cell.items()}
+
+    def find_dups(batches):
+        for pdf in batches:
+            out_vb, out_va, out_cos = [], [], []
+            for c in pdf["cell"].unique():
+                if c not in by_cell:
+                    continue
+                sub = pdf[pdf["cell"] == c]
+                vecs = np.array(list(sub["embedding"]), dtype=np.float64)
+                vids = sub["vec_id"].to_numpy()
+                a_ids, a_mat = by_cell[c]
+                dots = _fold_dots(vecs, a_mat)
+                norms = _fold_norms(vecs)
+                cos = dots / (norms[:, None] * anchor_norms[c][None, :])
+                hit_r, hit_a = np.nonzero(
+                    (cos >= SEM_TAU) & (a_ids[None, :] < vids[:, None])
+                )
+                out_vb.extend(vids[hit_r])
+                out_va.extend(a_ids[hit_a])
+                out_cos.extend(cos[hit_r, hit_a])
+            yield pd.DataFrame(
+                {
+                    "vb": pd.Series(out_vb, dtype="int64"),
+                    "va": pd.Series(out_va, dtype="int64"),
+                    "cos": pd.Series(out_cos, dtype="float64"),
+                }
+            )
+
+    pairs = assigned.select("vec_id", "cell", "embedding").mapInPandas(
+        find_dups, schema="vb long, va long, cos double"
+    )
+    # winner per vb: max cosine, ties -> lowest va (min over (-cos, va))
+    best = (
+        pairs.groupBy("vb")
+        .agg(
+            F.min(
+                F.struct((-F.col("cos")).alias("neg"), F.col("va"), F.col("cos"))
+            ).alias("w")
+        )
+        .select(
+            F.col("vb").alias("vec_id"),
+            F.col("w.va").alias("dup_of"),
+            F.col("w.cos").alias("cos"),
+        )
+    )
+    return assigned.select("vec_id", "cell").join(best, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.col("dup_of").isNull().alias("keep"),
+        "dup_of",
+        F.round("cos", 6).alias("dup_cosine"),
+    )
+
+
+
 @query(
     "dedup_semantic_semdedup",
     oracle=f"""
@@ -895,136 +1041,5 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     width), 21 s at sf1 vs 2.6 s for this kernel. At fixture scale every
     cell is narrower than W, so capped and published results coincide.
     """
-    import numpy as np
-    import pandas as pd
-
     emb = Catalog(spark, sf_dir).embeddings
-    cent_rows = sorted(
-        emb.filter(
-            (F.col("vec_id") >= IVF_CENTROID_LO)
-            & (F.col("vec_id") <= IVF_CENTROID_HI)
-        )
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r["vec_id"],
-    )
-    cents = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
-
-    def assign(batches):
-        for pdf in batches:
-            vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
-            acc = np.zeros((vecs.shape[0], cents.shape[0]))
-            for i in range(vecs.shape[1]):
-                d = vecs[:, i : i + 1] - cents[None, :, i]
-                acc += d * d  # per-dim left fold == oracle's range() fold
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "embedding": pdf["embedding"],
-                    "cell": acc.argmin(axis=1).astype(np.int32),
-                }
-            )
-
-    par = spark.sparkContext.defaultParallelism
-    assigned = (
-        emb.repartition(par)
-        .select("vec_id", "embedding")
-        .mapInPandas(assign, schema="vec_id long, embedding array<float>, cell int")
-    )
-    # assigned feeds three consumers (anchor collect, kernel input,
-    # final rollcall) — eager-persist so the assignment map runs once
-    # (the dedup_containment lesson; previous call's cache released).
-    global _LAST_SEM_ASSIGNED
-    if _LAST_SEM_ASSIGNED is not None:
-        _LAST_SEM_ASSIGNED.unpersist()
-    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
-    _LAST_SEM_ASSIGNED = assigned
-    assigned.count()
-
-    # Bounded anchor collect: the W lowest-id members of each cell —
-    # at most W*k = 512 vectors (128 KB), the sim_knn_matmul closure
-    # pattern. Production replaces the collect with a broadcast.
-    w_anchor = Window.partitionBy("cell").orderBy("vec_id")
-    anchor_rows = (
-        assigned.withColumn("arn", F.row_number().over(w_anchor))
-        .filter(F.col("arn") <= SEM_ANCHOR_W)
-        .select("vec_id", "cell", "embedding")
-        .collect()
-    )
-
-    def _fold_dots(m: "np.ndarray", a: "np.ndarray") -> "np.ndarray":
-        """(rows x dim) x (anchors x dim) -> rows x anchors, accumulated
-        dimension-by-dimension: vectorized left fold, bit-equal to the
-        oracle's sequential list_sum."""
-        acc = np.zeros((m.shape[0], a.shape[0]))
-        for i in range(m.shape[1]):
-            acc += m[:, i : i + 1] * a[None, :, i]
-        return acc
-
-    by_cell: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    for c in sorted({r["cell"] for r in anchor_rows}):
-        rows_c = sorted(
-            (r for r in anchor_rows if r["cell"] == c), key=lambda r: r["vec_id"]
-        )
-        ids = np.array([r["vec_id"] for r in rows_c], dtype=np.int64)
-        mat = np.array([r["embedding"] for r in rows_c], dtype=np.float64)
-        by_cell[c] = (ids, mat)
-    def _fold_norms(m: "np.ndarray") -> "np.ndarray":
-        acc = np.zeros(m.shape[0])
-        for i in range(m.shape[1]):
-            acc += m[:, i] * m[:, i]
-        return np.sqrt(acc)
-
-    anchor_norms = {c: _fold_norms(mat) for c, (ids, mat) in by_cell.items()}
-
-    def find_dups(batches):
-        for pdf in batches:
-            out_vb, out_va, out_cos = [], [], []
-            for c in pdf["cell"].unique():
-                if c not in by_cell:
-                    continue
-                sub = pdf[pdf["cell"] == c]
-                vecs = np.array(list(sub["embedding"]), dtype=np.float64)
-                vids = sub["vec_id"].to_numpy()
-                a_ids, a_mat = by_cell[c]
-                dots = _fold_dots(vecs, a_mat)
-                norms = _fold_norms(vecs)
-                cos = dots / (norms[:, None] * anchor_norms[c][None, :])
-                hit_r, hit_a = np.nonzero(
-                    (cos >= SEM_TAU) & (a_ids[None, :] < vids[:, None])
-                )
-                out_vb.extend(vids[hit_r])
-                out_va.extend(a_ids[hit_a])
-                out_cos.extend(cos[hit_r, hit_a])
-            yield pd.DataFrame(
-                {
-                    "vb": pd.Series(out_vb, dtype="int64"),
-                    "va": pd.Series(out_va, dtype="int64"),
-                    "cos": pd.Series(out_cos, dtype="float64"),
-                }
-            )
-
-    pairs = assigned.select("vec_id", "cell", "embedding").mapInPandas(
-        find_dups, schema="vb long, va long, cos double"
-    )
-    # winner per vb: max cosine, ties -> lowest va (min over (-cos, va))
-    best = (
-        pairs.groupBy("vb")
-        .agg(
-            F.min(
-                F.struct((-F.col("cos")).alias("neg"), F.col("va"), F.col("cos"))
-            ).alias("w")
-        )
-        .select(
-            F.col("vb").alias("vec_id"),
-            F.col("w.va").alias("dup_of"),
-            F.col("w.cos").alias("cos"),
-        )
-    )
-    return assigned.select("vec_id", "cell").join(best, "vec_id", "left").select(
-        "vec_id",
-        "cell",
-        F.col("dup_of").isNull().alias("keep"),
-        "dup_of",
-        F.round("cos", 6).alias("dup_cosine"),
-    )
+    return semdedup_flags(spark, emb, emb)

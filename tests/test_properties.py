@@ -378,3 +378,32 @@ def test_url_canonicalization_idempotent_and_mess_invariant(spark):
     assert all(len(v) == 1 for v in seen.values()), {
         k: v for k, v in seen.items() if len(v) > 1
     }
+
+
+def test_corpus_curation_funnel_invariants(spark, sf_dir):
+    """r5: pipeline_corpus_curation's funnel must be monotone per source
+    (candidates >= quality >= kept), count every document exactly once,
+    and its quality stage must equal the directly-computed gate count."""
+    from pyspark.sql import functions as F
+
+    from motorway_spark.queries import QUERIES
+    from motorway_spark.queries.pipelines import CUR_LANG, CUR_MIN_TOKENS
+
+    rows = QUERIES["pipeline_corpus_curation"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r["n_candidates"] for r in rows) == docs.count()
+    for r in rows:
+        assert r["n_candidates"] >= r["n_quality"] >= r["n_kept"] >= 0
+        assert (r["n_kept"] == 0) == (r["tokens_kept"] == 0)
+        assert r["tokens_kept"] >= r["n_kept"] * CUR_MIN_TOKENS
+
+    gate = (
+        docs.filter(F.col("lang") == CUR_LANG)
+        .filter(F.size(F.split("text", " ")) >= CUR_MIN_TOKENS)
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    want = {r["source"]: r["count"] for r in gate}
+    got = {r["source"]: r["n_quality"] for r in rows}
+    assert {k: v for k, v in got.items() if v} == want
