@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "embedding_random_projection",
     "dedup_semantic_semdedup",
     "pipeline_corpus_curation",
+    "sample_importance_weighted",
+    "graph_pagerank_bipartite",
 ]
 
 

@@ -38,6 +38,7 @@ from motorway_spark.queries import setops  # noqa: F401,E402
 # entries (q11/q13/q16/q20, recursive CTE, lateral, salted join), which
 # should sweep before families that are fully green already.
 from motorway_spark.queries import sampling  # noqa: F401,E402
+from motorway_spark.queries import graph  # noqa: F401,E402
 from motorway_spark.queries import tpch_extra  # noqa: F401,E402
 from motorway_spark.queries import joins  # noqa: F401,E402
 from motorway_spark.queries import relational  # noqa: F401,E402
@@ -67,6 +68,8 @@ _SWEEP_PRIORITY = [
     "embedding_random_projection",  # new in r5: seeded JL projection, plan-literal matrix
     "dedup_semantic_semdedup",  # new in r5: SemDeDup cluster-then-prune semantic dedup
     "pipeline_corpus_curation",  # new in r5: gates -> semantic dedup -> token accounting
+    "sample_importance_weighted",  # new in r5: md5-deterministic Bernoulli reweighting
+    "graph_pagerank_bipartite",  # new in r5: integer PageRank, unrolled-CTE oracle
     # -- latest driver row is ROUND 1 (three fixture regens old) --
     "q1_pricing_summary",      # flagship; last full-green row r1 (r4 re-check was local)
     "wordcount",

@@ -1,0 +1,117 @@
+"""Iterative graph analytics over the TPC-H trade graph.
+
+The engine's iterative-algorithm family: dedup.label_propagation covers
+connected components (recursive-CTE oracle); this module adds the other
+canonical fixed-point computation — PageRank — in a DETERMINISTIC
+integer formulation so the full iteration replays bit-for-bit in the
+DuckDB oracle (float PageRank sums contributions in engine-dependent
+order; integer "surfer counts" with floor division are order-free).
+
+Graph: the customer<->supplier bipartite graph induced by line items
+(who trades with whom), symmetrized — node ids are custkey*2 /
+suppkey*2+1 so the two key spaces cannot collide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from motorway_spark.catalog import Catalog
+from motorway_spark.queries.registry import query
+
+PR_ITERS = 3
+PR_INIT = 1_000_000  # initial surfers per node
+PR_BASE = 150_000    # (1-d) * PR_INIT with d = 0.85
+PR_TOP = 20
+
+
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    """One integer-PageRank iteration as SQL (DuckDB // = floor div)."""
+    return f"""{cur} AS (
+      SELECT e.dst AS node,
+             CAST({PR_BASE} + (85 * CAST(SUM(c.cnt // d.deg) AS BIGINT)) // 100
+                  AS BIGINT) AS cnt
+      FROM edges e
+      JOIN {prev} c ON c.node = e.src
+      JOIN deg d ON d.node = e.src
+      GROUP BY e.dst)"""
+
+
+@query(
+    "graph_pagerank_bipartite",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS c_node, l_suppkey * 2 + 1 AS s_node
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS (
+      SELECT c_node AS src, s_node AS dst FROM pairs
+      UNION ALL
+      SELECT s_node AS src, c_node AS dst FROM pairs),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    c0 AS (SELECT node, CAST({PR_INIT} AS BIGINT) AS cnt FROM deg),
+    {_pr_iter_sql('c0', 'c1')},
+    {_pr_iter_sql('c1', 'c2')},
+    {_pr_iter_sql('c2', 'c3')}
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           node // 2 AS key,
+           cnt AS score
+    FROM c3
+    ORDER BY cnt DESC, node LIMIT {PR_TOP}
+    """,
+)
+def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer<->supplier trade graph, {PR_ITERS}
+    fixed iterations, INTEGER surfer-count formulation: every node
+    starts with 1e6 surfers; each iteration a node sends
+    floor(count/degree) along every edge and receives
+    150000 + floor(0.85 * sum(incoming)). Floor division and integer
+    sums make the fixed point path-independent — no float accumulation
+    order to disagree on — so the ENTIRE iteration replays exactly in
+    the oracle's unrolled CTE chain. Output: top-{PR_TOP} most central
+    trade partners (deterministic tie-break on node id).
+
+    Scale shape: one distinct-pair aggregation builds the edge list
+    (narrow int keys); each iteration is an src-keyed join + dst-keyed
+    aggregate — two hash shuffles over the EDGE list, never anything
+    wider; degree is computed once and re-joined (broadcast-size here,
+    AQE chooses). Fixed iteration count keeps plan depth bounded; an
+    until-convergence variant would localCheckpoint per iteration like
+    dedup.label_propagation does. Top-k is TakeOrderedAndProject —
+    no global sort."""
+    cat = Catalog(spark, sf_dir)
+    pairs = (
+        cat.orders.join(
+            cat.lineitem, F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c_node").alias("src"), F.col("s_node").alias("dst")
+    ).unionAll(pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed(
+        "src", "node"
+    )
+    counts = deg.select("node", F.lit(PR_INIT).cast("bigint").alias("cnt"))
+    for _ in range(PR_ITERS):
+        msgs = (
+            edges.join(counts, edges.src == counts.node)
+            .join(deg.withColumnRenamed("node", "dnode"), F.col("src") == F.col("dnode"))
+            .select("dst", F.expr("cnt div deg").alias("contrib"))
+        )
+        counts = msgs.groupBy("dst").agg(
+            (F.lit(PR_BASE) + F.expr(f"(85 * sum(contrib)) div 100")).alias("cnt")
+        ).withColumnRenamed("dst", "node")
+    top = counts.orderBy(F.desc("cnt"), "node").limit(PR_TOP)
+    return top.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("key"),
+        F.col("cnt").alias("score"),
+    )

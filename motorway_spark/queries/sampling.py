@@ -287,3 +287,90 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.join(docs.select("doc_id", "source"), "doc_id").select(
         "doc_id", "source", "n_shared_ngrams", "contaminated_by"
     )
+
+
+# ---------------------------------------------------------------------------
+# Importance-weighted sampling: keep-probability proportional to a score.
+# ---------------------------------------------------------------------------
+
+IW_SCALE = 100.0  # weight = min(1, n_tokens / IW_SCALE): favor long docs
+# 16^15 — md5's first 15 hex chars as a uniform in [0, 1): u = digits/16^15
+_IW_DENOM = float(16**15)
+
+
+@query(
+    "sample_importance_weighted",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             least(1.0, len(string_split(text, ' ')) / {IW_SCALE!r}) AS weight,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               / {_IW_DENOM!r} AS u
+      FROM documents),
+    kept AS (SELECT * FROM scored WHERE u < weight)
+    SELECT s.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(CAST(s.weight AS DECIMAL(38,6))) AS DOUBLE), 4)
+             AS expected_kept,
+           CAST(COALESCE(k.tokens_kept, 0) AS BIGINT) AS tokens_kept
+    FROM scored s
+    LEFT JOIN (SELECT source, COUNT(*) AS n_kept, SUM(n_tokens) AS tokens_kept
+               FROM kept GROUP BY source) k ON s.source = k.source
+    GROUP BY s.source, k.n_kept, k.tokens_kept
+    """,
+)
+def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted corpus sampling (DoReMi/DSIR-style reweighting
+    reduced to its pipeline primitive): each document is kept with
+    probability equal to its weight — here min(1, n_tokens/100), the
+    favor-long-documents heuristic — decided DETERMINISTICALLY by
+    comparing the document's md5-uniform u = first-15-hex-digits/16^15
+    against the weight. No RNG: the decision is a pure function of
+    doc_id, so it is stable under repartitioning, retries, and engine
+    choice (the module's md5 convention extended from ordering to
+    Bernoulli thresholding). Output is the per-source accounting:
+    population, kept count, EXPECTED kept (sum of weights, exact-decimal
+    summed), and surviving tokens — expected vs actual converging is the
+    sanity check a production reweighting job monitors.
+
+    Scale shape: scoring and the keep decision are pure per-row maps on
+    a pruned (doc_id, text->length, source) scan; the accounting is one
+    map-side-combinable aggregate over |sources| groups. The weight
+    function swaps freely (quality scores, domain multipliers) without
+    changing the plan shape."""
+    docs = Catalog(spark, sf_dir).documents
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    weight = F.least(F.lit(1.0), n_tokens / F.lit(IW_SCALE))
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    ) / F.lit(_IW_DENOM)
+    scored = docs.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        weight.alias("weight"),
+        u.alias("u"),
+    )
+    kept = scored.filter(F.col("u") < F.col("weight"))
+    k_agg = kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"), F.sum("n_tokens").alias("tokens_kept")
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum(F.col("weight").cast("decimal(38,6)")).cast("double"), 4
+            ).alias("expected_kept"),
+        )
+        .join(k_agg, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            "expected_kept",
+            F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
+        )
+    )

@@ -126,7 +126,15 @@ from motorway_spark.oracle import _duckdb_con, compare_frames
 
 SF = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata").rstrip("/") + "/sf0.01"
 con = _duckdb_con(SF)
-for name in ("q1_pricing_summary", "join_broadcast_dim", "q3_shipping_priority"):
+# dedup_chunk_global (r5) adds a Python-HOF chunking map, a window on
+# md5 fingerprints, a LeftSemi rejoin, and per-doc reassembly — all of
+# which now cross real executor boundaries here
+for name in (
+    "q1_pricing_summary",
+    "join_broadcast_dim",
+    "q3_shipping_priority",
+    "dedup_chunk_global",
+):
     spark_pdf = QUERIES[name](spark, SF).toPandas()
     problems = compare_frames(spark_pdf, con.sql(ORACLES[name]).df())
     assert not problems, (name, problems[:3])

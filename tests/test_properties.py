@@ -407,3 +407,45 @@ def test_corpus_curation_funnel_invariants(spark, sf_dir):
     want = {r["source"]: r["count"] for r in gate}
     got = {r["source"]: r["n_quality"] for r in rows}
     assert {k: v for k, v in got.items() if v} == want
+
+
+def test_pagerank_matches_pure_python_reference(spark, tmp_path):
+    """r5: graph_pagerank_bipartite must equal an independent pure-Python
+    integer-PageRank on a crafted 5-node trade graph (and the fixture
+    run at sf must stay engine-deterministic via its oracle). The
+    reference implements the same surfer-count recurrence with dicts —
+    no Spark, no SQL."""
+    from motorway_spark.queries import QUERIES
+    from motorway_spark.queries.graph import PR_BASE, PR_INIT, PR_ITERS
+
+    # trade pairs: c1-{s1,s2}, c2-{s1}, c3-{s1}
+    pairs = [(1, 1), (1, 2), (2, 1), (3, 1)]
+    spark.createDataFrame(
+        [(i, c) for i, (c, _) in enumerate(pairs)], "o_orderkey bigint, o_custkey bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(i, s) for i, (_, s) in enumerate(pairs)], "l_orderkey bigint, l_suppkey bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    # independent reference
+    edges = []
+    for c, s in set(pairs):
+        edges.append((c * 2, s * 2 + 1))
+        edges.append((s * 2 + 1, c * 2))
+    deg: dict[int, int] = {}
+    for src, _ in edges:
+        deg[src] = deg.get(src, 0) + 1
+    cnt = {n: PR_INIT for n in deg}
+    for _ in range(PR_ITERS):
+        inbox: dict[int, int] = {}
+        for src, dst in edges:
+            inbox[dst] = inbox.get(dst, 0) + cnt[src] // deg[src]
+        cnt = {n: PR_BASE + (85 * s) // 100 for n, s in inbox.items()}
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    got = QUERIES["graph_pagerank_bipartite"](spark, str(tmp_path)).collect()
+    assert len(got) == len(want)
+    for row, (node, score) in zip(got, want):
+        assert row["score"] == score
+        assert row["key"] == node // 2
+        assert row["node_type"] == ("customer" if node % 2 == 0 else "supplier")
