@@ -179,7 +179,7 @@ def test_local_cluster_stateful_streaming_batch_equal():
 def test_local_cluster_task_retry_and_oracle_exact_joins(tmp_path):
     out = _run(_RETRY_AND_ORACLE_SCRIPT, str(tmp_path))
     assert "LC_RETRY_OK 1000" in out
-    assert out.count("LC_ORACLE_OK") == 3
+    assert out.count("LC_ORACLE_OK") == 4
 
 
 def test_local_cluster_forced_spill_oracle_exact():
