@@ -44,6 +44,13 @@ def _pr_iter_sql(prev: str, cur: str) -> str:
       GROUP BY e.dst)"""
 
 
+# iteration CTE chain generated from PR_ITERS so oracle and Spark loop
+# can never drift apart
+_PR_ITER_CTES = ",\n    ".join(
+    _pr_iter_sql(f"c{i}", f"c{i + 1}") for i in range(PR_ITERS)
+)
+
+
 @query(
     "graph_pagerank_bipartite",
     oracle=f"""
@@ -56,14 +63,12 @@ def _pr_iter_sql(prev: str, cur: str) -> str:
       SELECT s_node AS src, c_node AS dst FROM pairs),
     deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
     c0 AS (SELECT node, CAST({PR_INIT} AS BIGINT) AS cnt FROM deg),
-    {_pr_iter_sql('c0', 'c1')},
-    {_pr_iter_sql('c1', 'c2')},
-    {_pr_iter_sql('c2', 'c3')}
+    {_PR_ITER_CTES}
     SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
              AS node_type,
            node // 2 AS key,
            cnt AS score
-    FROM c3
+    FROM c{PR_ITERS}
     ORDER BY cnt DESC, node LIMIT {PR_TOP}
     """,
 )
