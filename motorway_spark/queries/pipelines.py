@@ -519,9 +519,10 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the corpus-trained codebook — the quantizer sees the full
     table, the flags only the filtered subset, exactly how a production
     curation run reuses its quantizer across filter iterations), then
-    per-source accounting of the surviving token budget. The oracle
-    replays the full chain including the anchor-capped within-cell
-    cosine decisions.
+    per-source accounting of the surviving token budget. Documents with
+    no embedding row pass the dedup stage untouched — the stage abstains
+    rather than drops what it cannot judge. The oracle replays the full
+    chain including the anchor-capped within-cell cosine decisions.
 
     Output: per source — documents scanned, past quality gates, kept
     after semantic dedup, and the surviving token count (the number
@@ -547,11 +548,13 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
     ).select("vec_id", "embedding")
     flags = semdedup_flags(spark, emb, vectors)
+    # Documents with no embedding row pass through: semantic dedup
+    # ABSTAINS where it has no vector to judge (the oracle's NOT IN
+    # dupped has the same semantics). Invisible at sf0.01 where the two
+    # tables are 1:1 — caught at sf0.1 where docs outnumber vectors.
     kept = quality.join(
-        flags.filter(F.col("keep")).select(F.col("vec_id").alias("doc_id")),
-        "doc_id",
-        "left_semi",
-    )
+        flags.select(F.col("vec_id").alias("doc_id"), "keep"), "doc_id", "left"
+    ).filter(F.col("keep").isNull() | F.col("keep"))
     totals = docs_t.groupBy("source").agg(F.count("*").alias("n_candidates"))
     q_agg = quality.groupBy("source").agg(F.count("*").alias("n_quality"))
     k_agg = kept.groupBy("source").agg(
