@@ -125,6 +125,13 @@ def main() -> None:
             continue
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        # isolation between queries: operators that persist a frame for
+        # their own multi-branch plans (containment doc_sets, semdedup
+        # assignment, pagerank edges) release the PREVIOUS invocation's
+        # cache themselves, but across DIFFERENT operators the caches
+        # accumulate — at sf10 three live caches in one JVM starved the
+        # next fill. A real job runs one operator's plan, not 47.
+        spark.catalog.clearCache()
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
