@@ -31,7 +31,13 @@ def main() -> None:
     spark = get_session("example-training-prep")
 
     print("== corpus hygiene ==")
-    for name in ("dedup_exact", "dedup_url_canonical", "decontam_ngram_overlap"):
+    for name in (
+        "dedup_exact",
+        "dedup_url_canonical",
+        "decontam_ngram_overlap",
+        "dedup_chunk_global",
+        "dedup_semantic_semdedup",
+    ):
         df = QUERIES[name](spark, sf_dir)
         print(f"{name}: {df.count()} rows")
 
@@ -40,6 +46,12 @@ def main() -> None:
 
     print("== pretraining mix (quality -> dedup -> cap -> split -> pack) ==")
     QUERIES["pipeline_pretraining_mix"](spark, sf_dir).show(truncate=False)
+
+    print("== corpus curation (gates -> semantic dedup -> token budget) ==")
+    QUERIES["pipeline_corpus_curation"](spark, sf_dir).show(truncate=False)
+
+    print("== importance-weighted sampling (expected vs actual) ==")
+    QUERIES["sample_importance_weighted"](spark, sf_dir).show(truncate=False)
 
 
 if __name__ == "__main__":

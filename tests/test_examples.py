@@ -40,7 +40,11 @@ def test_training_data_prep_example_queries_run(spark):
         "dedup_exact",
         "dedup_url_canonical",
         "decontam_ngram_overlap",
+        "dedup_chunk_global",
+        "dedup_semantic_semdedup",
         "embedding_quality_stats",
         "pipeline_pretraining_mix",
+        "pipeline_corpus_curation",
+        "sample_importance_weighted",
     ):
         assert QUERIES[name](spark, SF_SMOKE).count() >= 0
