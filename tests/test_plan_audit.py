@@ -480,3 +480,37 @@ def test_chunk_dedup_fingerprint_shuffle(spark):
     plan = _plan(spark, "dedup_chunk_global")
     assert "hashpartitioning(fp" in plan
     assert "LeftSemi" in plan
+
+
+def test_importance_sampling_prunes_unused_columns(spark):
+    """r5: sample_importance_weighted derives everything from
+    (doc_id, text, source) — the scans must prune lang and n_chars, and
+    no branch may read the documents file more than twice (scored feeds
+    the population and kept branches)."""
+    plan = _plan(spark, "sample_importance_weighted")
+    reads = [line for line in plan.splitlines() if "ReadSchema" in line]
+    assert reads and all("lang" not in r and "n_chars" not in r for r in reads)
+    assert len(reads) <= 2  # population + kept branches, nothing more
+
+
+def test_pagerank_iterations_run_from_cache(spark):
+    """r5: after the eager edge-list persist, the returned PageRank
+    plan must execute entirely from the InMemoryRelation — zero parquet
+    scans in the iteration/rollcall DAG (the orders x lineitem scan
+    happened exactly once, at fill time)."""
+    plan = _plan(spark, "graph_pagerank_bipartite")
+    assert "InMemoryTableScan" in plan
+    # the outer plan re-reads nothing from disk; TakeOrdered bounds top-k
+    outer = plan.split("InMemoryRelation", 1)[0]
+    assert "Scan parquet" not in outer
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_corpus_curation_scan_pruning(spark):
+    """r5: the curation pipeline reads documents pruned to
+    (doc_id, lang, source, text) — n_chars never travels — and
+    embeddings pruned to (vec_id, embedding) — label never travels."""
+    plan = _plan(spark, "pipeline_corpus_curation")
+    reads = [line for line in plan.splitlines() if "ReadSchema" in line]
+    assert reads
+    assert all("n_chars" not in r and "label" not in r for r in reads)
