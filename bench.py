@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "pipeline_corpus_curation",
     "sample_importance_weighted",
     "graph_pagerank_bipartite",
+    "events_changepoint_cusum",
 ]
 
 

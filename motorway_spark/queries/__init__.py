@@ -70,6 +70,7 @@ _SWEEP_PRIORITY = [
     "pipeline_corpus_curation",  # new in r5: gates -> semantic dedup -> token accounting
     "sample_importance_weighted",  # new in r5: md5-deterministic Bernoulli reweighting
     "graph_pagerank_bipartite",  # new in r5: integer PageRank, unrolled-CTE oracle
+    "events_changepoint_cusum",  # new in r5: integer CUSUM rate-shift monitor
     # -- latest driver row is ROUND 1 (three fixture regens old) --
     "q1_pricing_summary",      # flagship; last full-green row r1 (r4 re-check was local)
     "wordcount",

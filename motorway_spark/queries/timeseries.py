@@ -935,3 +935,86 @@ def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), "s1", "s2", "s3")
         .limit(10)
     )
+
+
+@query(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    scaled AS (
+      SELECT event_type, hour, x,
+             CAST(COUNT(*) OVER wp AS BIGINT) AS n,
+             CAST(SUM(x) OVER wp AS BIGINT) AS total
+      FROM hourly
+      WINDOW wp AS (PARTITION BY event_type)),
+    cum AS (
+      SELECT event_type, hour, x, total,
+             CAST(SUM(2 * n * x - 3 * total) OVER wo AS BIGINT) AS c
+      FROM scaled
+      WINDOW wo AS (PARTITION BY event_type ORDER BY hour
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    cusum AS (
+      SELECT event_type, hour, x, total, c,
+             CAST(MIN(c) OVER wo AS BIGINT) AS runmin
+      FROM cum
+      WINDOW wo AS (PARTITION BY event_type ORDER BY hour
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_type, hour, x,
+           c - least(CAST(0 AS BIGINT), runmin) AS cusum_scaled,
+           (c - least(CAST(0 AS BIGINT), runmin)) > 2 * total AS changepoint
+    FROM cusum
+    """,
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over per-type hourly event rates —
+    the sequential rate-shift monitor (Page 1954) behind 'did this
+    event stream's behavior change, and when'. The one-sided CUSUM
+    recursion s_t = max(0, s_{t-1} + x_t - mu - k) is NOT directly a
+    window function, but the classic reduction IS: with
+    y_t = x_t - mu - k and C_t = cumsum(y), s_t = C_t - min(0,
+    running_min(C)) — two frames over one partition spec. With slack
+    k = mu/2 and everything scaled by 2n (n = hours per type), every
+    quantity is an INTEGER: y_scaled = 2n*x - 3*total, threshold
+    s > 2*total (one mean-rate of cumulative excess) — no float exists
+    anywhere, so the oracle is exact by construction.
+
+    Scale shape: the raw stream pre-aggregates to (type, hour) counts
+    FIRST (map-side combinable; the shuffle carries hourly states, not
+    events), then the CUSUM windows sort |hours| rows per type —
+    bounded by the time range, not the event volume. Per-partition
+    window state is O(1) (running sum + running min)."""
+    from pyspark.sql import Window
+
+    events = Catalog(spark, sf_dir).events
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    wp = Window.partitionBy("event_type")
+    scaled = hourly.select(
+        "event_type",
+        "hour",
+        "x",
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("x").over(wp).alias("total"),
+    )
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    y = 2 * F.col("n") * F.col("x") - 3 * F.col("total")
+    cum = scaled.select(
+        "event_type", "hour", "x", "total", F.sum(y).over(wo).alias("c")
+    )
+    cusum = cum.withColumn("runmin", F.min("c").over(wo))
+    s = F.col("c") - F.least(F.lit(0).cast("long"), F.col("runmin"))
+    return cusum.select(
+        "event_type",
+        "hour",
+        "x",
+        s.alias("cusum_scaled"),
+        (s > 2 * F.col("total")).alias("changepoint"),
+    )

@@ -127,3 +127,37 @@ def test_moving_median_lower_middle_rule(spark, tmp_path):
     for eid, want in expected.items():
         assert out[eid]["moving_median"] == want, eid
     assert out[5]["frame_n"] == 5 and out[1]["frame_n"] == 2
+
+
+def test_cusum_flags_rate_shift_and_stays_quiet_before(spark, tmp_path):
+    """r5: events_changepoint_cusum on a crafted 2,2,2,2,20,20,20,20
+    hourly series — the scaled CUSUM is hand-computable (y = 16x - 264,
+    threshold 2*total = 176): zero through the quiet phase, then
+    56/112/168/224 after the shift, crossing the threshold exactly at
+    the final hour."""
+    import datetime
+
+    from motorway_spark.queries import QUERIES
+
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for h, n in enumerate([2, 2, 2, 2, 20, 20, 20, 20]):
+        for i in range(n):
+            rows.append(
+                (eid, t0 + datetime.timedelta(hours=h, minutes=i), 1, "view", 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = sorted(
+        QUERIES["events_changepoint_cusum"](spark, str(tmp_path)).collect(),
+        key=lambda r: r["hour"],
+    )
+    assert [r["x"] for r in out] == [2, 2, 2, 2, 20, 20, 20, 20]
+    assert [r["cusum_scaled"] for r in out] == [0, 0, 0, 0, 56, 112, 168, 224]
+    assert [r["changepoint"] for r in out] == [False] * 7 + [True]
