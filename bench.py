@@ -124,15 +124,19 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:300]}"
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
-        # isolation between queries: operators that persist a frame for
-        # their own multi-branch plans (containment doc_sets, semdedup
-        # assignment, pagerank edges) release the PREVIOUS invocation's
-        # cache themselves, but across DIFFERENT operators the caches
-        # accumulate — at sf10 three live caches in one JVM starved the
-        # next fill. A real job runs one operator's plan, not 47.
-        spark.catalog.clearCache()
+        else:
+            timings[name] = round(best, 3)
+            print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        finally:
+            # isolation between queries: operators that persist a frame
+            # for their own multi-branch plans (containment doc_sets,
+            # semdedup assignment, pagerank edges) release the PREVIOUS
+            # invocation's cache themselves, but across DIFFERENT
+            # operators the caches accumulate — at sf10 three live
+            # caches in one JVM starved the next fill. Runs on the
+            # error path too: a failed query's partial caches must not
+            # poison its successors. A real job runs one plan, not 48.
+            spark.catalog.clearCache()
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:

@@ -1283,7 +1283,7 @@ CHUNK_TOKENS = 10
 )
 def dedup_chunk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level global exact dedup, C4-style: split every document into
-    fixed {CHUNK_TOKENS}-token chunks, keep only the globally FIRST
+    fixed CHUNK_TOKENS(=10)-token chunks, keep only the globally FIRST
     occurrence of each distinct chunk (order: doc_id, then position),
     and reassemble each document from its surviving chunks in original
     order. Returns per-doc (total chunks, kept chunks, rebuilt text) —

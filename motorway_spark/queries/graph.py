@@ -73,14 +73,14 @@ _PR_ITER_CTES = ",\n    ".join(
     """,
 )
 def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the customer<->supplier trade graph, {PR_ITERS}
+    """PageRank over the customer<->supplier trade graph, PR_ITERS(=3)
     fixed iterations, INTEGER surfer-count formulation: every node
     starts with 1e6 surfers; each iteration a node sends
     floor(count/degree) along every edge and receives
     150000 + floor(0.85 * sum(incoming)). Floor division and integer
     sums make the fixed point path-independent — no float accumulation
     order to disagree on — so the ENTIRE iteration replays exactly in
-    the oracle's unrolled CTE chain. Output: top-{PR_TOP} most central
+    the oracle's unrolled CTE chain. Output: top-PR_TOP(=20) most central
     trade partners (deterministic tie-break on node id).
 
     Scale shape: one distinct-pair aggregation builds the edge list

@@ -439,13 +439,9 @@ def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from motorway_spark.queries.similarity import (  # noqa: E402
-    _SQL_DOT,
-    _SQL_NORM,
-    IVF_CENTROID_HI,
-    IVF_CENTROID_LO,
-    SEM_ANCHOR_W,
     SEM_TAU,
     semdedup_flags,
+    semdedup_oracle_ctes,
 )
 
 CUR_LANG = "en"
@@ -462,40 +458,12 @@ CUR_MIN_TOKENS = 30
     quality AS MATERIALIZED (
       SELECT * FROM docs_t
       WHERE lang = '{CUR_LANG}' AND n_tokens >= {CUR_MIN_TOKENS}),
-    cells AS MATERIALIZED (
-      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cent
-      FROM embeddings
-      WHERE vec_id BETWEEN {IVF_CENTROID_LO} AND {IVF_CENTROID_HI}),
     vq AS MATERIALIZED (
       SELECT e.vec_id, e.embedding
       FROM embeddings e JOIN quality q ON e.vec_id = q.doc_id),
-    dists AS MATERIALIZED (
-      SELECT v.vec_id, c.cell,
-             list_sum(list_transform(range(1, 65),
-               i -> (CAST(v.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE))
-                  * (CAST(v.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE)))) AS d
-      FROM vq v CROSS JOIN cells c),
-    assigned AS MATERIALIZED (
-      SELECT vec_id, cell FROM (
-        SELECT vec_id, cell,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-        FROM dists)
-      WHERE rn = 1),
-    anchors AS (
-      SELECT vec_id, cell FROM (
-        SELECT vec_id, cell,
-               row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS arn
-        FROM assigned)
-      WHERE arn <= {SEM_ANCHOR_W}),
+    {semdedup_oracle_ctes('vq')},
     dupped AS (
-      SELECT DISTINCT b.vec_id
-      FROM anchors a JOIN assigned b
-        ON a.cell = b.cell AND a.vec_id < b.vec_id
-      JOIN vq ea ON ea.vec_id = a.vec_id
-      JOIN vq eb ON eb.vec_id = b.vec_id
-      WHERE {_SQL_DOT.format(a='ea.embedding', b='eb.embedding')}
-            / ({_SQL_NORM.format(a='ea.embedding')}
-               * {_SQL_NORM.format(a='eb.embedding')}) >= {SEM_TAU!r}),
+      SELECT DISTINCT vb AS vec_id FROM sem_pairs WHERE cos >= {SEM_TAU!r}),
     kept AS (
       SELECT q.* FROM quality q
       WHERE q.doc_id NOT IN (SELECT vec_id FROM dupped))

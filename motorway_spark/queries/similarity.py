@@ -913,9 +913,15 @@ def semdedup_flags(
                 a_ids, a_mat = by_cell[c]
                 dots = _fold_dots(vecs, a_mat)
                 norms = _fold_norms(vecs)
-                cos = dots / (norms[:, None] * anchor_norms[c][None, :])
+                # zero-norm vectors have no cosine: 0/0 -> NaN, and
+                # isfinite excludes them -> semantic dedup abstains
+                # (mirrored by the oracle's norm > 0 guards)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dots / (norms[:, None] * anchor_norms[c][None, :])
                 hit_r, hit_a = np.nonzero(
-                    (cos >= SEM_TAU) & (a_ids[None, :] < vids[:, None])
+                    np.isfinite(cos)
+                    & (cos >= SEM_TAU)
+                    & (a_ids[None, :] < vids[:, None])
                 )
                 out_vb.extend(vids[hit_r])
                 out_va.extend(a_ids[hit_a])
@@ -955,10 +961,16 @@ def semdedup_flags(
 
 
 
-@query(
-    "dedup_semantic_semdedup",
-    oracle=f"""
-    WITH cells AS MATERIALIZED (
+def semdedup_oracle_ctes(vec_src: str) -> str:
+    """The SemDeDup assignment/anchor/pair CTE chain as oracle SQL,
+    parameterized on the vector-source CTE/table name — shared by the
+    dedup_semantic_semdedup and pipeline_corpus_curation oracles so the
+    two cannot drift (the SQL twin of the semdedup_flags factoring).
+    The pair stage guards both norms > 0: a zero vector has no cosine,
+    so semantic dedup ABSTAINS on it in BOTH engines (numpy yields NaN
+    — excluded via isfinite; DuckDB would otherwise sort NaN as
+    greatest and wrongly drop the vector)."""
+    return f"""cells AS MATERIALIZED (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cent
       FROM embeddings
       WHERE vec_id BETWEEN {IVF_CENTROID_LO} AND {IVF_CENTROID_HI}),
@@ -967,7 +979,7 @@ def semdedup_flags(
              list_sum(list_transform(range(1, 65),
                i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE))
                   * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE)))) AS d
-      FROM embeddings e CROSS JOIN cells c),
+      FROM {vec_src} e CROSS JOIN cells c),
     assigned AS MATERIALIZED (
       SELECT vec_id, cell FROM (
         SELECT vec_id, cell,
@@ -980,21 +992,29 @@ def semdedup_flags(
                row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS arn
         FROM assigned)
       WHERE arn <= {SEM_ANCHOR_W}),
-    pairs AS (
+    sem_pairs AS (
       SELECT a.vec_id AS va, b.vec_id AS vb, a.cell,
              {_SQL_DOT.format(a='ea.embedding', b='eb.embedding')}
                / ({_SQL_NORM.format(a='ea.embedding')}
                   * {_SQL_NORM.format(a='eb.embedding')}) AS cos
       FROM anchors a JOIN assigned b
         ON a.cell = b.cell AND a.vec_id < b.vec_id
-      JOIN embeddings ea ON ea.vec_id = a.vec_id
-      JOIN embeddings eb ON eb.vec_id = b.vec_id),
+      JOIN {vec_src} ea ON ea.vec_id = a.vec_id
+      JOIN {vec_src} eb ON eb.vec_id = b.vec_id
+      WHERE {_SQL_NORM.format(a='ea.embedding')} > 0
+        AND {_SQL_NORM.format(a='eb.embedding')} > 0)"""
+
+
+@query(
+    "dedup_semantic_semdedup",
+    oracle=f"""
+    WITH {semdedup_oracle_ctes('embeddings')},
     best_lower AS (
       SELECT vb AS vec_id, va AS dup_of, cos FROM (
         SELECT va, vb, cos,
                row_number() OVER (PARTITION BY vb
                                   ORDER BY cos DESC, va) AS rn
-        FROM pairs WHERE cos >= {SEM_TAU!r})
+        FROM sem_pairs WHERE cos >= {SEM_TAU!r})
       WHERE rn = 1)
     SELECT a.vec_id, a.cell,
            (b.dup_of IS NULL) AS keep,

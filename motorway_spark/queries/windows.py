@@ -328,7 +328,7 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
              list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
                AS vals
-      FROM events)
+      FROM events WHERE value IS NOT NULL)
     SELECT event_id, user_id, value,
            len(vals) AS frame_n,
            list_sort(vals)[CAST(floor((len(vals) + 1) / 2) AS INT)]
@@ -352,7 +352,12 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     production form switches to the two-heap / order-statistic-tree
     pattern inside applyInPandas; at frame=5 the array sort is cheaper
     than any such machinery."""
-    events = Catalog(spark, sf_dir).events
+    # NULL measurements are excluded up front: Spark's collect_list
+    # silently drops NULLs from the frame while DuckDB's list() keeps
+    # them (and sorts them FIRST), so a NULL row would shift both
+    # frame_n and the middle index between engines. Filtering first
+    # gives both engines the identical frame contents by construction.
+    events = Catalog(spark, sf_dir).events.filter(F.col("value").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

@@ -235,6 +235,8 @@ def test_semdedup_within_cell_only(spark, tmp_path):
         (1, unit({0: 0.9, 1: 0.1}), 0),    # cell 0, cos(v0,v1)≈0.994 -> dup of 0
         (2, unit({1: 0.8, 0: 0.6}), 0),    # nearest centroid e2 -> cell 1,
                                            # cos(v2,v0)=0.6 >= tau but KEPT
+        (3, [0.0] * dim, 0),               # zero vector: no cosine exists ->
+                                           # semantic dedup must ABSTAIN (keep)
     ]
     spark.createDataFrame(
         rows, "vec_id bigint, embedding array<float>, label int"
@@ -244,7 +246,8 @@ def test_semdedup_within_cell_only(spark, tmp_path):
         r["vec_id"]: r
         for r in QUERIES["dedup_semantic_semdedup"](spark, str(tmp_path)).collect()
     }
-    assert len(out) == 11
+    assert len(out) == 12
+    assert out[3]["keep"] is True and out[3]["dup_of"] is None  # abstained
     assert out[0]["cell"] == 0 and out[0]["keep"] is True
     assert out[1]["cell"] == 0 and out[1]["keep"] is False
     assert out[1]["dup_of"] == 0 and out[1]["dup_cosine"] > 0.99
