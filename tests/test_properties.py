@@ -449,3 +449,115 @@ def test_pagerank_matches_pure_python_reference(spark, tmp_path):
         assert row["score"] == score
         assert row["key"] == node // 2
         assert row["node_type"] == ("customer" if node % 2 == 0 else "supplier")
+
+
+def test_moving_median_matches_numpy_on_random_streams(spark):
+    """r5: win_moving_median vs an independent numpy reference (sorted
+    trailing window, lower-middle pick) on seeded random multi-user
+    streams — no SQL, no window functions in the reference."""
+    import datetime
+
+    import numpy as np
+
+    from motorway_spark.queries.windows import win_moving_median  # noqa: F401
+    from motorway_spark.queries import QUERIES
+
+    rng = np.random.default_rng(7)
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    series: dict[int, list[float]] = {u: [] for u in range(3)}
+    eid = 0
+    for u in range(3):
+        for i in range(40):
+            v = float(round(rng.uniform(0, 100), 2))
+            series[u].append(v)
+            rows.append((eid, t0 + datetime.timedelta(minutes=i), u, "view", v, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            (r["user_id"], r["event_id"]): r["moving_median"]
+            for r in QUERIES["win_moving_median"](spark, d).collect()
+        }
+
+    eid = 0
+    for u in range(3):
+        for i in range(40):
+            frame = sorted(series[u][max(0, i - 4) : i + 1])
+            want = frame[(len(frame) + 1) // 2 - 1]
+            assert got[(u, eid)] == want, (u, i)
+            eid += 1
+
+
+def test_cusum_matches_recursion_on_random_series(spark):
+    """r5: the cumsum-minus-running-min reduction inside
+    events_changepoint_cusum must equal the literal
+    s_t = max(0, s_{t-1} + y_t) recursion — checked on seeded random
+    hourly series via a pure-Python reference of the SCALED recurrence."""
+    import datetime
+
+    import numpy as np
+
+    from motorway_spark.queries import QUERIES
+
+    rng = np.random.default_rng(11)
+    t0 = datetime.datetime(2024, 5, 1)
+    counts = [int(c) for c in rng.integers(1, 30, size=48)]
+    rows = []
+    eid = 0
+    for h, n in enumerate(counts):
+        for i in range(n):
+            rows.append(
+                (eid, t0 + datetime.timedelta(hours=h, seconds=i), 1, "view", 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    import os, tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = sorted(
+            QUERIES["events_changepoint_cusum"](spark, d).collect(),
+            key=lambda r: r["hour"],
+        )
+
+    n_hours, total = len(counts), sum(counts)
+    s, want = 0, []
+    for x in counts:
+        s = max(0, s + (2 * n_hours * x - 3 * total))
+        want.append(s)
+    assert [r["cusum_scaled"] for r in out] == want
+    assert [r["changepoint"] for r in out] == [s > 2 * total for s in want]
+
+
+def test_chunk_dedup_global_distinct_invariant(spark, sf_dir):
+    """r5: keep-first chunk dedup must keep EXACTLY one occurrence of
+    every distinct chunk corpus-wide: sum(n_chunks_kept) == number of
+    distinct chunk strings, computed independently in pure Python from
+    the raw fixture text."""
+    from motorway_spark.queries import QUERIES
+    from motorway_spark.queries.dedup import CHUNK_TOKENS
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    distinct = set()
+    total_chunks = 0
+    for r in docs:
+        toks = r["text"].split(" ")
+        for i in range(0, len(toks), CHUNK_TOKENS):
+            distinct.add(" ".join(toks[i : i + CHUNK_TOKENS]))
+            total_chunks += 1
+
+    out = QUERIES["dedup_chunk_global"](spark, sf_dir).collect()
+    assert sum(r["n_chunks_kept"] for r in out) == len(distinct)
+    assert sum(r["n_chunks_total"] for r in out) == total_chunks
