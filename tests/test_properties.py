@@ -561,3 +561,133 @@ def test_chunk_dedup_global_distinct_invariant(spark, sf_dir):
     out = QUERIES["dedup_chunk_global"](spark, sf_dir).collect()
     assert sum(r["n_chunks_kept"] for r in out) == len(distinct)
     assert sum(r["n_chunks_total"] for r in out) == total_chunks
+
+
+def test_semdedup_matches_pure_python_reference(spark, tmp_path):
+    """r5: dedup_semantic_semdedup vs an independent pure-Python
+    SemDeDup (sequential per-dim folds for distances/dots/norms,
+    first-min argmin, anchor cap, (cos desc, id) winner) on a seeded
+    random corpus with planted exact and near duplicates."""
+    import numpy as np
+
+    from motorway_spark.queries import QUERIES
+    from motorway_spark.queries.similarity import (
+        IVF_CENTROID_LO,
+        SEM_ANCHOR_W,
+        SEM_TAU,
+    )
+
+    rng = np.random.default_rng(23)
+    dim = 64
+    vecs: dict[int, list[float]] = {}
+    for vid in list(range(30)) + list(range(100, 108)):
+        v = rng.normal(size=dim)
+        vecs[vid] = [float(x) for x in (v / np.linalg.norm(v)).astype(np.float32)]
+    vecs[31] = vecs[5]                       # planted exact dup
+    mix = 0.97 * np.array(vecs[7]) + 0.03 * np.array(vecs[8])
+    vecs[32] = [float(x) for x in (mix / np.linalg.norm(mix)).astype(np.float32)]
+
+    rows = [(vid, v, 0) for vid, v in sorted(vecs.items())]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    # ---- pure-Python reference (same fold orders, no numpy matrices)
+    def fold_d2(x, c):
+        s = 0.0
+        for i in range(dim):
+            s += (x[i] - c[i]) * (x[i] - c[i])
+        return s
+
+    def fold_dot(a, b):
+        s = 0.0
+        for i in range(dim):
+            s += a[i] * b[i]
+        return s
+
+    cents = [vecs[100 + k] for k in range(8)]
+    cell = {}
+    for vid, v in vecs.items():
+        ds = [fold_d2(v, c) for c in cents]
+        cell[vid] = ds.index(min(ds))
+    anchors: dict[int, list[int]] = {}
+    for vid in sorted(vecs):
+        anchors.setdefault(cell[vid], [])
+        if len(anchors[cell[vid]]) < SEM_ANCHOR_W:
+            anchors[cell[vid]].append(vid)
+    want = {}
+    for vid in sorted(vecs):
+        cands = []
+        nb = fold_dot(vecs[vid], vecs[vid]) ** 0.5
+        for a in anchors[cell[vid]]:
+            if a >= vid:
+                continue
+            na = fold_dot(vecs[a], vecs[a]) ** 0.5
+            if na == 0.0 or nb == 0.0:
+                continue
+            cos = fold_dot(vecs[a], vecs[vid]) / (na * nb)
+            if cos >= SEM_TAU:
+                cands.append((-cos, a, cos))
+        if cands:
+            neg, a, cos = min(cands)
+            want[vid] = (cell[vid], False, a, cos)
+        else:
+            want[vid] = (cell[vid], True, None, None)
+
+    got = {
+        r["vec_id"]: r
+        for r in QUERIES["dedup_semantic_semdedup"](spark, str(tmp_path)).collect()
+    }
+    assert got.keys() == want.keys()
+    for vid, (c, keep, dup_of, cos) in want.items():
+        r = got[vid]
+        assert (r["cell"], r["keep"], r["dup_of"]) == (c, keep, dup_of), vid
+        if cos is not None:
+            assert abs(r["dup_cosine"] - round(cos, 6)) < 1e-9, vid
+    # the planted dups must actually be caught
+    assert want[31][1] is False and want[31][2] == 5
+    assert want[32][1] is False
+
+
+def test_chunk_dedup_matches_pure_python_reference(spark, tmp_path):
+    """r5: dedup_chunk_global vs an independent pure-Python keep-first
+    implementation (dict of first-seen chunks, order-preserving
+    reassembly) on a seeded random template-heavy corpus — full
+    row-by-row equality including rebuilt text."""
+    import numpy as np
+
+    from motorway_spark.queries import QUERIES
+    from motorway_spark.queries.dedup import CHUNK_TOKENS
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(30)]
+    templates = [
+        " ".join(rng.choice(vocab, size=CHUNK_TOKENS)) for _ in range(6)
+    ]
+    docs = []
+    for doc_id in range(25):
+        parts = [templates[t] for t in rng.integers(0, 6, size=rng.integers(1, 5))]
+        if rng.random() < 0.5:  # fresh tail of random length (incl. short)
+            parts.append(" ".join(rng.choice(vocab, size=rng.integers(1, 15))))
+        docs.append((doc_id, " ".join(parts), "en", "s", 0))
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    seen: set[str] = set()
+    want = {}
+    for doc_id, text, *_ in docs:  # doc_id ascending == global first-seen order
+        toks = text.split(" ")
+        chunks = [
+            " ".join(toks[i : i + CHUNK_TOKENS])
+            for i in range(0, len(toks), CHUNK_TOKENS)
+        ]
+        kept = [c for c in chunks if c not in seen]
+        seen.update(chunks)
+        want[doc_id] = (len(chunks), len(kept), " ".join(kept))
+
+    got = {
+        r["doc_id"]: (r["n_chunks_total"], r["n_chunks_kept"], r["kept_text"])
+        for r in QUERIES["dedup_chunk_global"](spark, str(tmp_path)).collect()
+    }
+    assert got == want
