@@ -682,8 +682,11 @@ def test_chunk_dedup_matches_pure_python_reference(spark, tmp_path):
             " ".join(toks[i : i + CHUNK_TOKENS])
             for i in range(0, len(toks), CHUNK_TOKENS)
         ]
-        kept = [c for c in chunks if c not in seen]
-        seen.update(chunks)
+        kept = []
+        for c in chunks:  # seen updates IN the loop: an in-doc repeat of
+            if c not in seen:  # the same chunk is kept only once
+                kept.append(c)
+                seen.add(c)
         want[doc_id] = (len(chunks), len(kept), " ".join(kept))
 
     got = {
