@@ -981,6 +981,12 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     s > 2*total (one mean-rate of cumulative excess) — no float exists
     anywhere, so the oracle is exact by construction.
 
+    Bucket semantics: the series is the OBSERVED hourly buckets —
+    hours with zero events are absent rather than zero-filled (the
+    fixture stream is dense, so both engines see identical series
+    either way); a strict wall-clock cadence composes this with the
+    events_gap_fill_lerp spine the way production monitors do.
+
     Scale shape: the raw stream pre-aggregates to (type, hour) counts
     FIRST (map-side combinable; the shuffle carries hourly states, not
     events), then the CUSUM windows sort |hours| rows per type —
