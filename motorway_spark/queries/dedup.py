@@ -51,23 +51,42 @@ def _h64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("bigint")
 
 
+def _empty_str_array() -> Column:
+    return F.array().cast("array<string>")
+
+
 def _char_shingles(text: Column, k: int = 4) -> Column:
-    """Distinct char k-grams (1-based substring positions)."""
-    n = F.greatest(F.length(text) - (k - 1), F.lit(0))
-    return F.array_distinct(
-        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(text, i, F.lit(k)))
-    )
+    """Distinct char k-grams (1-based substring positions). Texts
+    shorter than k yield [] — guarded explicitly because Spark's
+    ``sequence(1, 0)`` auto-infers step -1 and yields [1, 0] (DuckDB's
+    ``range(1, 1)`` is empty): unguarded, a short text crashed the word
+    variant on ``slice(_, 0, k)`` and silently produced a phantom
+    shingle here (found by the NULL/degenerate-input smoke)."""
+    n = F.length(text) - (k - 1)
+    return F.when(
+        n >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n), lambda i: F.substring(text, i, F.lit(k))
+            )
+        ),
+    ).otherwise(_empty_str_array())
 
 
 def _word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-grams; docs with fewer than k tokens yield []
+    (see _char_shingles for the sequence(1, 0) trap)."""
     words = F.split(text, " ")
-    n = F.greatest(F.size(words) - (k - 1), F.lit(0))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
-        )
-    )
+    n = F.size(words) - (k - 1)
+    return F.when(
+        n >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+            )
+        ),
+    ).otherwise(_empty_str_array())
 
 
 # SQL twins of the shingle builders (DuckDB list comprehensions).

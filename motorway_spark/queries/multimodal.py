@@ -97,17 +97,34 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["payload"].map(_decode_stub)
+            means, frames, ok = [], [], []
+            for payload in pdf["payload"]:
+                # dead-letter semantics IN-BAND: an undecodable payload
+                # (the stub raises, like a real codec would) yields a
+                # NULL-feature row flagged decode_ok=false instead of
+                # killing the whole job — the crash-isolation contract
+                # scan_csv_dead_letter already implements for scans
+                try:
+                    f = _decode_stub(payload)
+                    means.append(round(f["pixel_mean"], 6))
+                    frames.append(f["n_frames"])
+                    ok.append(True)
+                except NotImplementedError:
+                    means.append(None)
+                    frames.append(None)
+                    ok.append(False)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "pixel_mean": [round(f["pixel_mean"], 6) for f in feats],
-                    "n_frames": [f["n_frames"] for f in feats],
+                    "pixel_mean": pd.array(means, dtype="float64"),
+                    "n_frames": pd.array(frames, dtype="Int32"),
+                    "decode_ok": ok,
                 }
             )
 
     return mm.mapInPandas(
-        decode_batches, schema="doc_id long, pixel_mean double, n_frames int"
+        decode_batches,
+        schema="doc_id long, pixel_mean double, n_frames int, decode_ok boolean",
     ).orderBy("doc_id")
 
 

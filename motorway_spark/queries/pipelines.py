@@ -46,8 +46,9 @@ QUALITY_FLOOR = 0.65
       m AS (SELECT doc_id,
                    len(toks) AS n_tokens,
                    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
-                   CAST(len(regexp_extract_all(text, '{_PUNCT_SQL}')) AS DOUBLE)
-                     / length(text) AS punct_ratio,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE CAST(len(regexp_extract_all(text, '{_PUNCT_SQL}')) AS DOUBLE)
+                             / length(text) END AS punct_ratio,
                    CAST({_sql_stopword_hits(STOPWORDS['en'])} AS DOUBLE) / len(toks)
                      AS stop_ratio
             FROM t)
@@ -236,8 +237,9 @@ PIPE_PACK_BUDGET = 512
       m AS (SELECT doc_id,
                    len(toks) AS n_tokens,
                    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
-                   CAST(len(regexp_extract_all(text, '{_PUNCT_SQL}')) AS DOUBLE)
-                     / length(text) AS punct_ratio,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE CAST(len(regexp_extract_all(text, '{_PUNCT_SQL}')) AS DOUBLE)
+                             / length(text) END AS punct_ratio,
                    CAST({_sql_stopword_hits(STOPWORDS['en'])} AS DOUBLE) / len(toks)
                      AS stop_ratio
             FROM t)

@@ -34,6 +34,21 @@ TOP_K = 5
 
 DIM = 64  # embeddings fixture dimension (FIXTURES.md §3)
 
+# Row-level vector validity: the numpy kernels (matmul/LSH/IVF/semdedup)
+# convert Arrow batches with np.array(..., dtype=float64), which throws
+# on NULL or ragged rows — so every kernel filters to valid vectors and
+# ABSTAINS on the rest (their rows simply don't participate), and each
+# paired oracle applies the IDENTICAL predicate. Element-level defects
+# (NaN/NULL components) are embedding_quality_stats' job — kernels
+# assume a QA-gated column, as the docstrings state.
+_VALID_VEC_SQL = "embedding IS NOT NULL AND len(embedding) = 64"
+
+
+def _valid_vectors(df: DataFrame) -> DataFrame:
+    return df.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == DIM)
+    )
+
 
 def _dot(a: Column | str, b: Column | str) -> Column:
     """Unrolled left-to-right dot product. The naive ``F.aggregate``
@@ -85,7 +100,9 @@ _SQL_NORM = (
              ROUND({_SQL_DOT.format(a='q.embedding', b='c.embedding')}
                    / ({_SQL_NORM.format(a='q.embedding')}
                       * {_SQL_NORM.format(a='c.embedding')}), 6) AS cosine
-      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      FROM (SELECT * FROM embeddings WHERE {_VALID_VEC_SQL}) q
+      JOIN (SELECT * FROM embeddings WHERE {_VALID_VEC_SQL}) c
+        ON q.vec_id <> c.vec_id
       WHERE q.vec_id < {N_QUERIES}),
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY query_id
@@ -195,7 +212,8 @@ _SQL_ANN_PLANES = ",\n      ".join(
     proj AS MATERIALIZED (
       SELECT e.vec_id, p.tbl, p.w,
              {_SQL_DOT.format(a='e.embedding', b='p.plane')} AS d
-      FROM embeddings e CROSS JOIN planes p),
+      FROM (SELECT * FROM embeddings WHERE {_VALID_VEC_SQL}) e
+      CROSS JOIN planes p),
     buckets AS MATERIALIZED (
       SELECT vec_id, tbl, SUM(CASE WHEN d > 0 THEN w ELSE 0 END) AS bucket
       FROM proj GROUP BY vec_id, tbl),
@@ -252,7 +270,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     n_tables, k_bits = ANN_TABLES, ANN_BITS
-    emb = Catalog(spark, sf_dir).embeddings
+    emb = _valid_vectors(Catalog(spark, sf_dir).embeddings)
     # 64 × 32 projection matrix rides the closure; ALL table buckets
     # come from ~64 vectorized accumulate steps per Arrow batch. The
     # declarative alternative — 32 unrolled 64-term sign expressions
@@ -337,7 +355,9 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND({_SQL_DOT.format(a='q.embedding', b='c.embedding')}
                    / ({_SQL_NORM.format(a='q.embedding')}
                       * {_SQL_NORM.format(a='c.embedding')}), 6) AS cosine
-      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      FROM (SELECT * FROM embeddings WHERE {_VALID_VEC_SQL}) q
+      JOIN (SELECT * FROM embeddings WHERE {_VALID_VEC_SQL}) c
+        ON q.vec_id <> c.vec_id
       WHERE q.vec_id < {N_QUERIES}),
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY query_id
@@ -363,7 +383,7 @@ def sim_knn_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = Catalog(spark, sf_dir).embeddings
+    emb = _valid_vectors(Catalog(spark, sf_dir).embeddings)
     q_rows = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .select("vec_id", "embedding")
@@ -424,7 +444,8 @@ IVF_CENTROID_LO, IVF_CENTROID_HI = 100, 107  # vec_ids of the fixed codebook
              list_sum(list_transform(range(1, 65),
                i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE))
                   * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE)))) AS d
-      FROM embeddings e CROSS JOIN cells c),
+      FROM (SELECT * FROM embeddings WHERE {_VALID_VEC_SQL}) e
+      CROSS JOIN cells c),
     assigned AS MATERIALIZED (
       SELECT vec_id, cell FROM (
         SELECT vec_id, cell,
@@ -483,7 +504,7 @@ def sim_ann_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = Catalog(spark, sf_dir).embeddings
+    emb = _valid_vectors(Catalog(spark, sf_dir).embeddings)
     # one bounded collect serves both the codebook (8 vectors) and the
     # query set (20) — two separate collects would each pay a Spark job
     small = emb.filter(
@@ -584,7 +605,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     n_cells, n_probe = 8, 2
-    emb = Catalog(spark, sf_dir).embeddings
+    emb = _valid_vectors(Catalog(spark, sf_dir).embeddings)
     par = spark.sparkContext.defaultParallelism
     vecs = emb.repartition(par).select(
         "vec_id", "embedding", array_to_vector(F.col("embedding")).alias("features")
@@ -823,7 +844,8 @@ def semdedup_flags(
     import pandas as pd
 
     cent_rows = sorted(
-        codebook_src.filter(
+        _valid_vectors(codebook_src)
+        .filter(
             (F.col("vec_id") >= IVF_CENTROID_LO)
             & (F.col("vec_id") <= IVF_CENTROID_HI)
         )
@@ -850,7 +872,8 @@ def semdedup_flags(
 
     par = spark.sparkContext.defaultParallelism
     assigned = (
-        vectors.repartition(par)
+        _valid_vectors(vectors)
+        .repartition(par)
         .select("vec_id", "embedding")
         .mapInPandas(assign, schema="vec_id long, embedding array<float>, cell int")
     )
@@ -979,7 +1002,8 @@ def semdedup_oracle_ctes(vec_src: str) -> str:
              list_sum(list_transform(range(1, 65),
                i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE))
                   * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE)))) AS d
-      FROM {vec_src} e CROSS JOIN cells c),
+      FROM (SELECT * FROM {vec_src} WHERE {_VALID_VEC_SQL}) e
+      CROSS JOIN cells c),
     assigned AS MATERIALIZED (
       SELECT vec_id, cell FROM (
         SELECT vec_id, cell,

@@ -137,8 +137,9 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (SELECT doc_id,
                  len(toks) AS n_tokens,
                  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
-                 CAST(len(regexp_extract_all(text, '{_PUNCT_SQL}')) AS DOUBLE)
-                   / length(text) AS punct_ratio,
+                 CASE WHEN length(text) = 0 THEN 0.0
+                      ELSE CAST(len(regexp_extract_all(text, '{_PUNCT_SQL}')) AS DOUBLE)
+                           / length(text) END AS punct_ratio,
                  CAST({_sql_stopword_hits(STOPWORDS['en'])} AS DOUBLE) / len(toks)
                    AS stop_ratio
           FROM t)
@@ -159,7 +160,13 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens("text")
     n = F.size(toks)
     uniq = F.size(F.array_distinct(toks)).cast("double") / n
-    punct = F.regexp_count("text", F.lit(_PUNCT)).cast("double") / F.length("text")
+    # empty text: define punct_ratio as 0 rather than 0/0 (ANSI Spark
+    # raises DIVIDE_BY_ZERO; DuckDB yields inf — found by the
+    # degenerate-input smoke; the identical CASE lives in the oracle)
+    punct = F.when(
+        F.length("text") > 0,
+        F.regexp_count("text", F.lit(_PUNCT)).cast("double") / F.length("text"),
+    ).otherwise(F.lit(0.0))
     stop = _stopword_hits(toks, STOPWORDS["en"]).cast("double") / n
     score = (
         0.4 * F.least(n / F.lit(50.0), F.lit(1.0))

@@ -1,0 +1,108 @@
+"""Degenerate-input crash safety: NULL values, empty text, NULL vectors.
+
+The oracle gate proves correctness on well-formed fixtures; production
+data carries NULLs, empty documents, and missing embeddings. Every
+operator must at minimum EXECUTE on such data (abstain/skip semantics
+are each operator's documented choice). This file regression-pins the
+13 operators the round-5 degenerate-input smoke found crashing:
+three classes — Spark's sequence(1,0) yielding [1,0] in the shingle
+builders, np.array(...) on NULL embedding rows in the vector kernels,
+and ANSI DIVIDE_BY_ZERO on empty text — all fixed with oracle parity.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from motorway_spark.queries import QUERIES
+
+from tests.conftest import SF_SMOKE
+
+FORMER_CRASHERS = [
+    "dedup_ngram_jaccard",        # shingle slice on short/empty text
+    "dedup_containment",
+    "decontam_ngram_overlap",
+    "dedup_semantic_semdedup",    # NULL embedding into numpy kernel
+    "sim_ann_lsh",
+    "sim_knn_matmul",
+    "sim_ann_ivf_fixed",
+    "sim_ann_ivf",                # NULL vector into MLlib fit
+    "pipeline_corpus_curation",
+    "text_quality",               # empty text -> length 0 division
+    "pipeline_training_prep",
+    "pipeline_pretraining_mix",
+    "multimodal_decode_features", # empty payload -> dead-letter flag
+]
+
+
+@pytest.fixture(scope="module")
+def null_sf(spark, tmp_path_factory):
+    """sf0.001 with NULL/empty injected into non-key columns: every ~41st
+    event value NULL, every ~47th document empty, every ~59th lang NULL,
+    every ~61st non-codebook embedding NULL."""
+    d = tmp_path_factory.mktemp("nullfix")
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    ev.withColumn(
+        "value", F.when(F.col("event_id") % 41 == 0, None).otherwise(F.col("value"))
+    ).withColumn(
+        "props", F.when(F.col("event_id") % 53 == 0, None).otherwise(F.col("props"))
+    ).write.parquet(str(d / "events.parquet"))
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    docs.withColumn(
+        "text", F.when(F.col("doc_id") % 47 == 0, F.lit("")).otherwise(F.col("text"))
+    ).withColumn(
+        "lang", F.when(F.col("doc_id") % 59 == 0, None).otherwise(F.col("lang"))
+    ).write.parquet(str(d / "documents.parquet"))
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    emb.withColumn(
+        "embedding",
+        F.when(
+            (F.col("vec_id") % 61 == 0)
+            & ~F.col("vec_id").between(100, 107)
+            & (F.col("vec_id") >= 20),
+            None,
+        ).otherwise(F.col("embedding")),
+    ).write.parquet(str(d / "embeddings.parquet"))
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+        spark.read.parquet(f"{SF_SMOKE}/{t}.parquet").write.parquet(str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", FORMER_CRASHERS)
+def test_former_crashers_execute_on_degenerate_data(spark, null_sf, name):
+    rows = QUERIES[name](spark, null_sf).collect()
+    assert rows is not None
+    spark.catalog.clearCache()
+
+
+def test_decode_features_dead_letters_empty_payloads(spark, null_sf):
+    """Empty payloads must land as decode_ok=false NULL-feature rows —
+    the in-band dead-letter route — never kill the job."""
+    out = {r["doc_id"]: r for r in QUERIES["multimodal_decode_features"](spark, null_sf).collect()}
+    bad = [r for r in out.values() if not r["decode_ok"]]
+    assert bad and all(r["pixel_mean"] is None and r["n_frames"] is None for r in bad)
+    good = [r for r in out.values() if r["decode_ok"]]
+    assert good and all(r["pixel_mean"] is not None for r in good)
+
+
+def test_shingles_empty_and_short_text_cross_engine():
+    """_word_shingles/_char_shingles on sub-k inputs must yield [] —
+    matching DuckDB's range(1,1)=[] — not crash or phantom-shingle
+    (Spark's sequence(1,0) is [1,0], the round-5 trap)."""
+    from motorway_spark.session import get_session
+    from motorway_spark.queries.dedup import _char_shingles, _word_shingles
+
+    spark = get_session("shingle-edge", cpus=2, shuffle_partitions=2)
+    df = spark.createDataFrame(
+        [("",), ("ab",), ("one two",), ("one two three four",)], "text string"
+    )
+    rows = df.select(
+        _word_shingles(F.col("text")).alias("w"),
+        _char_shingles(F.col("text")).alias("c"),
+    ).collect()
+    assert rows[0]["w"] == [] and rows[0]["c"] == []          # empty
+    assert rows[1]["w"] == [] and rows[1]["c"] == []          # sub-k both
+    assert rows[2]["w"] == [] and rows[2]["c"] != []          # 2 words
+    assert rows[3]["w"] == ["one two three", "two three four"]
