@@ -71,6 +71,7 @@ _SWEEP_PRIORITY = [
     "sample_importance_weighted",  # new in r5: md5-deterministic Bernoulli reweighting
     "graph_pagerank_bipartite",  # new in r5: integer PageRank, unrolled-CTE oracle
     "events_changepoint_cusum",  # new in r5: integer CUSUM rate-shift monitor
+    "multimodal_decode_features",  # r5: schema changed (in-band dead-letter decode_ok)
     # -- latest driver row is ROUND 1 (three fixture regens old) --
     "q1_pricing_summary",      # flagship; last full-green row r1 (r4 re-check was local)
     "wordcount",
