@@ -13,6 +13,7 @@ Usage: python -m motorway_spark.oracle [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -24,7 +25,12 @@ from motorway_spark.catalog import TABLES
 def _duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        # tolerate BOTH layouts: a single parquet file (the driver
+        # fixtures) and a Spark-written directory of part files
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     return con
 
 

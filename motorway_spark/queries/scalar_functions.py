@@ -341,7 +341,12 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").alias("k_str"),
         parsed.getField("k").alias("k_int"),
-        F.get_json_object("props", "$").isNotNull().alias("is_valid"),
+        # validity of a NULL document is unknown, not false: DuckDB's
+        # json_valid(NULL) is NULL; mirror that (degenerate-input smoke)
+        F.when(
+            F.col("props").isNotNull(),
+            F.get_json_object("props", "$").isNotNull(),
+        ).alias("is_valid"),
         (parsed.getField("k") * 2).alias("k_doubled"),
         F.get_json_object("props", "$.missing").alias("missing_field"),
     )
@@ -475,7 +480,8 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '[a-z]*a[a-z]*', 0)) AS INTEGER)
              AS n_a_words,
-           array_to_string(regexp_extract_all(text, '[a-z]*a[a-z]*', 0)[1:3], '|')
+           COALESCE(array_to_string(
+               regexp_extract_all(text, '[a-z]*a[a-z]*', 0)[1:3], '|'), '')
              AS first_a_words,
            CAST(len(regexp_extract_all(text, '[0-9]+', 0)) AS INTEGER) AS n_numbers
     FROM documents
@@ -493,6 +499,9 @@ def fn_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.where("doc_id % 5 = 0").select(
         "doc_id",
         F.size(F.expr("regexp_extract_all(text, '[a-z]*a[a-z]*', 0)")).alias("n_a_words"),
+        # no-match -> '' in BOTH engines: Spark's array_join([]) is ''
+        # but DuckDB's array_to_string([]) is NULL, hence the oracle's
+        # COALESCE (degenerate-input smoke)
         F.array_join(
             F.slice(F.expr("regexp_extract_all(text, '[a-z]*a[a-z]*', 0)"), 1, 3), "|"
         ).alias("first_a_words"),

@@ -210,8 +210,14 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Exact, order-independent accumulation, fully vectorized:
             # fixture/oracle values are DECIMAL(38,6)-quantized, so each
             # value*1e6 is within one ulp of an integer — np.rint
-            # recovers it exactly and int64 sums are associative.
-            total_micro += int(np.rint(pdf["value"].to_numpy() * 1e6).astype(np.int64).sum())
+            # recovers it exactly and int64 sums are associative. NULL
+            # measurements arrive as NaN and are skipped — SQL SUM
+            # semantics, matching the oracle (COUNT(*) still counts the
+            # row); unmasked, NaN poisons the int64 cast (degenerate-
+            # input smoke).
+            v = pdf["value"].to_numpy()
+            v = v[~np.isnan(v)]
+            total_micro += int(np.rint(v * 1e6).astype(np.int64).sum())
         state.update((n, total_micro))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_micro": [total_micro]}
@@ -298,10 +304,11 @@ def stream_stateful_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFra
             for pdf in rows:
                 n += len(pdf)
                 # same exact int64 micro-unit accumulation as the
-                # applyInPandasWithState twin above
-                total_micro += int(
-                    np.rint(pdf["value"].to_numpy() * 1e6).astype(np.int64).sum()
-                )
+                # applyInPandasWithState twin above (incl. the SQL-SUM
+                # NaN skip)
+                v = pdf["value"].to_numpy()
+                v = v[~np.isnan(v)]
+                total_micro += int(np.rint(v * 1e6).astype(np.int64).sum())
             self._totals.update((n, total_micro))
             yield pd.DataFrame(
                 {"user_id": [key[0]], "n_events": [n], "total_micro": [total_micro]}

@@ -32,11 +32,23 @@ def _staging_dir(sf_dir: str) -> str:
     stage = f"/tmp/motorway_stream/{sf_tag(sf_dir)}/events"
     os.makedirs(stage, exist_ok=True)
     target = f"{sf_dir}/events.parquet"
-    link = f"{stage}/events.parquet"
-    if os.path.islink(link) and os.readlink(link) != target:
-        os.remove(link)
-    if not os.path.exists(link):
-        os.symlink(target, link)
+    if os.path.isdir(target):
+        # Spark-written fixture: a DIRECTORY of part files. The file
+        # stream source lists the load path non-recursively, so a
+        # single symlink to the dir yields zero rows — symlink each
+        # part file into the stage instead (degenerate-input smoke).
+        parts = sorted(
+            p for p in os.listdir(target) if p.endswith(".parquet")
+        )
+        targets = {f"part{i}.parquet": f"{target}/{p}" for i, p in enumerate(parts)}
+    else:
+        targets = {"events.parquet": target}
+    for name, tgt in targets.items():
+        link = f"{stage}/{name}"
+        if os.path.islink(link) and os.readlink(link) != tgt:
+            os.remove(link)
+        if not os.path.exists(link):
+            os.symlink(tgt, link)
     return stage
 
 

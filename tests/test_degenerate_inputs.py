@@ -106,3 +106,31 @@ def test_shingles_empty_and_short_text_cross_engine():
     assert rows[1]["w"] == [] and rows[1]["c"] == []          # sub-k both
     assert rows[2]["w"] == [] and rows[2]["c"] != []          # 2 words
     assert rows[3]["w"] == ["one two three", "two three four"]
+
+
+NULL_PARITY = [
+    # queries whose NULL-input semantics diverged between engines until
+    # round 5 aligned them (json_valid(NULL)=NULL, array_to_string([])
+    # = NULL vs '', NaN poisoning the stateful micro-sum)
+    "fn_json",
+    "fn_regex_extract_all",
+    "stream_stateful_user_totals",
+]
+
+
+@pytest.mark.parametrize("name", NULL_PARITY)
+def test_null_semantics_oracle_parity(spark, null_sf, name):
+    """Not just crash safety: these queries must stay ORACLE-EXACT on
+    NULL-injected data (the full null-fixture sweep is 195/195; this
+    pins the three that ever diverged)."""
+    from motorway_spark.oracle import _duckdb_con, compare_frames
+    from motorway_spark.queries import ORACLES
+
+    con = _duckdb_con(null_sf)
+    try:
+        spark_pdf = QUERIES[name](spark, null_sf).toPandas()
+        problems = compare_frames(spark_pdf, con.sql(ORACLES[name]).df())
+        assert not problems, problems[:3]
+    finally:
+        con.close()
+        spark.catalog.clearCache()
