@@ -26,6 +26,7 @@ import json
 import os
 import tempfile
 import uuid
+import zlib
 
 from pyspark.sql import functions as F
 
@@ -43,7 +44,10 @@ def produce(topic_dir: str, sentences: list[str]) -> None:
     parts: dict[int, list[str]] = {p: [] for p in range(n_partitions)}
     for sentence in sentences:
         for word in sentence.split(" "):
-            parts[hash(word) % n_partitions].append(word)
+            # stable hash: builtin hash() is PYTHONHASHSEED-randomized per
+            # process, which would break the advertised keyed layout's
+            # run-to-run reproducibility
+            parts[zlib.crc32(word.encode()) % n_partitions].append(word)
     for p, words in parts.items():
         with open(f"{topic_dir}/partition-{p}.jsonl", "w") as fh:
             for word in words:

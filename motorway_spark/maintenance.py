@@ -114,3 +114,80 @@ def compact_parquet(
     return CompactionStats(
         in_files=in_files, in_bytes=in_bytes, out_files=out_files, rows=rows
     )
+
+
+# ---------------------------------------------------------------------------
+# Operator cache lifecycle
+# ---------------------------------------------------------------------------
+#
+# Several operators persist an intermediate frame that feeds multiple plan
+# branches of ONE invocation (containment doc_sets, pagerank edge list,
+# SemDeDup cell assignment). The frame must outlive the call — the returned
+# DataFrame references it lazily and materializes later — so it can't be
+# unpersisted on return; but left unmanaged, back-to-back jobs accumulate
+# live caches that starve each other's fills (the SCALE.md sf10 lesson:
+# three operators' leftover caches evicted the fourth's working set).
+#
+# CacheRegistry gives those operators one shared lifecycle:
+#   * one live frame per SCOPE (an operator name) — re-invoking an operator
+#     releases its own previous cache;
+#   * registering under a NEW scope releases every OTHER scope's cache
+#     (exclusive-by-default): these are single-job working sets, and by the
+#     time the next operator starts, the previous one's result has been
+#     materialized. Release is unpersist, not deletion — Spark lineage
+#     recomputes if a stale handle is re-materialized, so this is a
+#     performance policy, never a correctness hazard. Pass exclusive=False
+#     for deliberately concurrent jobs.
+#   * every release is BEST-EFFORT: the old frame may belong to a
+#     since-stopped SparkSession (test suites and tools create several);
+#     py4j raises on a stopped context, and that must not fail the NEXT
+#     job before it starts.
+
+from pyspark import StorageLevel  # noqa: E402
+from pyspark.sql import DataFrame  # noqa: E402
+
+
+class CacheRegistry:
+    def __init__(self) -> None:
+        self._live: dict[str, DataFrame] = {}
+
+    def persist_swap(
+        self,
+        scope: str,
+        df: DataFrame,
+        *,
+        storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+        eager: bool = True,
+        exclusive: bool = True,
+    ) -> DataFrame:
+        """Persist ``df`` as ``scope``'s live cache, releasing the scope's
+        previous frame (and, when ``exclusive``, every other scope's).
+        ``eager`` fills the cache with a count() so concurrent plan
+        branches don't race an empty cache and each re-run the input map."""
+        self.release(scope)
+        if exclusive:
+            for other in [s for s in self._live if s != scope]:
+                self.release(other)
+        df = df.persist(storage_level)
+        self._live[scope] = df
+        if eager:
+            df.count()
+        return df
+
+    def release(self, scope: str) -> None:
+        df = self._live.pop(scope, None)
+        if df is not None:
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — stopped session, dead JVM
+                pass
+
+    def release_all(self) -> None:
+        for scope in list(self._live):
+            self.release(scope)
+
+    def scopes(self) -> list[str]:
+        return sorted(self._live)
+
+
+CACHES = CacheRegistry()

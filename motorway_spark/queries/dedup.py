@@ -25,7 +25,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from motorway_spark.catalog import Catalog
 from motorway_spark.queries.registry import query
@@ -997,9 +996,6 @@ def _lev1_candidates(df: DataFrame, id_col: str, name_col: str) -> DataFrame:
 CONTAIN_DF_CAP = 5
 CONTAIN_NUM, CONTAIN_DEN = 9, 10  # threshold 0.9 as an exact fraction
 
-# the one doc_sets cache containment_pairs keeps alive (released on the
-# next invocation — see the persist note in the function body)
-_LAST_DOC_SETS: DataFrame | None = None
 
 
 @query(
@@ -1065,22 +1061,20 @@ def containment_pairs(
     # doc_sets feeds THREE plan branches (the exploded candidate side and
     # both verify joins); without a persist each branch re-runs the
     # shingle map and the repartition exchange. The fill is EAGER
-    # (count() below) because the branches' stages run concurrently —
-    # a lazy persist lets them race and each recompute the map before
-    # the cache is populated. MEMORY_AND_DISK so the per-doc arrays
-    # spill rather than OOM at large corpus sizes. The PREVIOUS call's
-    # cache is released first, so repeated invocations in one session
-    # (sweeps, best-of-2 bench, tests) hold at most ONE cached frame.
-    global _LAST_DOC_SETS
-    if _LAST_DOC_SETS is not None:
-        _LAST_DOC_SETS.unpersist()
-    doc_sets = (
-        docs.repartition(par)
-        .select("doc_id", _word_shingles(F.col("text")).alias("shs"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # because the branches' stages run concurrently — a lazy persist
+    # lets them race and each recompute the map before the cache is
+    # populated. MEMORY_AND_DISK so the per-doc arrays spill rather
+    # than OOM at large corpus sizes. Lifecycle is the shared
+    # CacheRegistry: one live frame per operator, other operators'
+    # leftover caches released before this fill (SCALE.md sf10 lesson).
+    from motorway_spark.maintenance import CACHES
+
+    doc_sets = CACHES.persist_swap(
+        "containment.doc_sets",
+        docs.repartition(par).select(
+            "doc_id", _word_shingles(F.col("text")).alias("shs")
+        ),
     )
-    _LAST_DOC_SETS = doc_sets
-    doc_sets.count()
     sh = doc_sets.select("doc_id", F.explode("shs").alias("s"))
     rare = (
         sh.groupBy("s")

@@ -17,14 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyspark import StorageLevel
 
 from motorway_spark.catalog import Catalog
 from motorway_spark.queries.registry import query
 
-# the one edge-list cache graph_pagerank_bipartite keeps alive (released
-# on the next invocation — the dedup_containment persist discipline)
-_LAST_EDGES = None
 
 PR_ITERS = 3
 PR_INIT = 1_000_000  # initial surfers per node
@@ -109,20 +105,16 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The edge list (with degree pre-joined) feeds every iteration AND
     # the degree/init computations — without a persist the expensive
     # orders x lineitem distinct-pair scan re-executes once per plan
-    # branch (measured 16.5 s -> 4.0 s at sf1). Eager fill, previous
-    # invocation's cache released (the dedup_containment discipline).
-    global _LAST_EDGES
-    if _LAST_EDGES is not None:
-        _LAST_EDGES.unpersist()
+    # branch (measured 16.5 s -> 4.0 s at sf1). Eager fill via the
+    # shared CacheRegistry (one live frame per operator; other
+    # operators' leftover caches released first — SCALE.md sf10 lesson).
     # hash-partition the cache on src so every iteration's join reuses
     # this layout and only the (node-sized) counts side shuffles
-    edges_deg = (
-        edges.join(deg, "src")
-        .repartition("src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    from motorway_spark.maintenance import CACHES
+
+    edges_deg = CACHES.persist_swap(
+        "pagerank.edges", edges.join(deg, "src").repartition("src")
     )
-    _LAST_EDGES = edges_deg
-    edges_deg.count()
     counts = (
         edges_deg.select(F.col("src").alias("node"))
         .distinct()

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
@@ -825,9 +824,6 @@ SEM_ANCHOR_W = 64  # per-cell anchor width: every vector is compared only
                    # pair stage is O(n * W) — the MH_BUCKET_CAP treatment
                    # applied to SemDeDup's within-cluster comparisons
 
-# the one assignment cache dedup_semantic_semdedup keeps alive (released
-# on the next invocation, like dedup.containment_pairs' doc_sets)
-_LAST_SEM_ASSIGNED = None
 
 
 def semdedup_flags(
@@ -878,14 +874,12 @@ def semdedup_flags(
         .mapInPandas(assign, schema="vec_id long, embedding array<float>, cell int")
     )
     # assigned feeds three consumers (anchor collect, kernel input,
-    # final rollcall) — eager-persist so the assignment map runs once
-    # (the dedup_containment lesson; previous call's cache released).
-    global _LAST_SEM_ASSIGNED
-    if _LAST_SEM_ASSIGNED is not None:
-        _LAST_SEM_ASSIGNED.unpersist()
-    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
-    _LAST_SEM_ASSIGNED = assigned
-    assigned.count()
+    # final rollcall) — eager-persist so the assignment map runs once.
+    # Lifecycle via the shared CacheRegistry: one live frame per
+    # operator, other operators' leftovers released (SCALE.md lesson).
+    from motorway_spark.maintenance import CACHES
+
+    assigned = CACHES.persist_swap("semdedup.assigned", assigned)
 
     # Bounded anchor collect: the W lowest-id members of each cell —
     # at most W*k = 512 vectors (128 KB), the sim_knn_matmul closure

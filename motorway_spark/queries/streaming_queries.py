@@ -834,6 +834,12 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["bucket_hour", "event_type"],
         output_mode="update",
     )
+    # The landed table is small (hourly × type counts); eagerly
+    # localCheckpoint it so the RETURNED frame no longer depends on the
+    # on-disk dir — the next invocation rmtree's it, and a caller that
+    # materializes the first result after a second call must not get a
+    # FileNotFound/empty scan (r5 advice).
+    hourly = hourly.localCheckpoint(eager=True)
     stats = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("c").alias("s"),

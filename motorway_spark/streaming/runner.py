@@ -185,6 +185,8 @@ def run_stream_to_upsert(
     window re-emitted with a larger count converges to the final one.
     Replayed micro-batches are exactly-once no-ops via the sink's batch
     WAL (sinks/upsert.py)."""
+    import shutil
+
     from motorway_spark.sinks.upsert import UpsertParquetSink
 
     spark = streaming_df.sparkSession
@@ -192,9 +194,16 @@ def run_stream_to_upsert(
     prev = spark.conf.get("spark.sql.shuffle.partitions", None)
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        # same Python-worker connect-flake retry as run_stream_to_memory;
-        # a restart is safe because the sink is idempotent under replay.
+        # same Python-worker connect-flake retry as run_stream_to_memory.
+        # The retry starts a BRAND-NEW query whose batch ids restart at 0,
+        # but the sink's batch-id WAL is per-TABLE — batches committed by
+        # the failed first attempt would suppress the new query's
+        # same-numbered batches even if their composition differs, so the
+        # table dir (data + WAL) is wiped before the restart and the
+        # deterministic finite source rebuilds it from scratch.
         for attempt in (1, 2):
+            if attempt > 1:
+                shutil.rmtree(table_dir, ignore_errors=True)
             query = (
                 streaming_df.writeStream.outputMode(output_mode)
                 .trigger(availableNow=True)

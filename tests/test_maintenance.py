@@ -128,3 +128,82 @@ def test_compaction_single_file_and_roundtrip_stats(spark, sf_dir):
     stats = compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
     assert stats.out_files == 1
     assert stats.rows == spark.read.parquet(src).count()
+
+
+# ---------------------------------------------------------------------------
+# CacheRegistry: shared operator cache lifecycle
+# ---------------------------------------------------------------------------
+
+from motorway_spark.maintenance import CACHES, CacheRegistry
+
+
+def test_cache_registry_exclusive_swap_releases_other_scopes(spark, sf_dir):
+    reg = CacheRegistry()
+    # genuinely different plans: same-shaped frames that differ only in
+    # output NAMES canonicalize identically, and CacheManager would match
+    # one against the other's cache entry
+    a = spark.range(100).withColumnRenamed("id", "a")
+    b = spark.range(200).filter("id % 2 = 0").withColumnRenamed("id", "b")
+
+    a = reg.persist_swap("op_a", a)
+    assert a.storageLevel.useMemory
+    assert reg.scopes() == ["op_a"]
+
+    b = reg.persist_swap("op_b", b)
+    assert b.storageLevel.useMemory
+    # op_a's cache was released when op_b registered (exclusive default)
+    assert reg.scopes() == ["op_b"]
+    assert not a.storageLevel.useMemory
+    # released-but-referenced frames still compute (lineage recompute)
+    assert a.count() == 100
+    reg.release_all()
+    assert reg.scopes() == []
+    assert not b.storageLevel.useMemory
+
+
+def test_cache_registry_same_scope_swap_and_non_exclusive(spark):
+    reg = CacheRegistry()
+    a1 = reg.persist_swap("op", spark.range(10))
+    a2 = reg.persist_swap("op", spark.range(20))
+    assert not a1.storageLevel.useMemory
+    assert a2.storageLevel.useMemory
+
+    other = reg.persist_swap("other", spark.range(5), exclusive=False)
+    # non-exclusive: both live
+    assert sorted(reg.scopes()) == ["op", "other"]
+    assert a2.storageLevel.useMemory and other.storageLevel.useMemory
+    reg.release_all()
+
+
+def test_cache_registry_release_is_best_effort(spark):
+    """A dead frame (stopped session / raising unpersist) must not fail
+    the NEXT operator's registration (r5 advice)."""
+
+    class _Dead:
+        def unpersist(self):
+            raise RuntimeError("SparkContext was shut down")
+
+    reg = CacheRegistry()
+    reg._live["dead"] = _Dead()  # simulate a frame from a stopped session
+    fresh = reg.persist_swap("fresh", spark.range(3))
+    assert fresh.storageLevel.useMemory
+    assert reg.scopes() == ["fresh"]
+    reg.release_all()
+
+
+def test_operators_back_to_back_release_each_other(spark, sf_dir):
+    """The SCALE.md sf10 lesson, pinned: running containment then
+    pagerank leaves only pagerank's cache live (and vice versa)."""
+    from motorway_spark.queries.dedup import dedup_containment
+    from motorway_spark.queries.graph import graph_pagerank_bipartite
+
+    dedup_containment(spark, sf_dir).count()
+    assert "containment.doc_sets" in CACHES.scopes()
+
+    graph_pagerank_bipartite(spark, sf_dir).count()
+    assert "pagerank.edges" in CACHES.scopes()
+    assert "containment.doc_sets" not in CACHES.scopes()
+
+    dedup_containment(spark, sf_dir).count()
+    assert CACHES.scopes() == ["containment.doc_sets"]
+    CACHES.release_all()
