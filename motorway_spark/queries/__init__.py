@@ -44,17 +44,77 @@ from motorway_spark.queries import joins  # noqa: F401,E402
 from motorway_spark.queries import relational  # noqa: F401,E402
 from motorway_spark.queries import windows  # noqa: F401,E402
 
-# Explicit sweep priority (round 5). The driver's per-round correctness
-# budget is ~50 queries, taken in registration order. Every query has a
-# driver row; priority is now pure staleness plus this round's changes:
-#   1. queries whose code or oracle CHANGED in round 5 (the containment
-#      doc_sets cache, the production-sink anomaly stream, the new
-#      minhash-mllib inlined-coefficient oracle);
-#   2. the 42-query cohort whose latest driver row is ROUND 1 — three
-#      fixture regenerations old (agg/join/window/setop/TPC-H families);
-#   3. the head of the round-2 cohort to fill the ~50 budget; the rest
-#      of the r02 cohort follows immediately after for round 6.
+# Explicit sweep priority (round 6). The driver's per-round correctness
+# budget is ~50 queries, taken in registration order. After round 5 the
+# latest-row distribution is r05:50/r04:47/r03:49/r02:40/r01:9 — this
+# round's goal is retiring the whole r01/r02 cohort (49 queries), so:
+#   1. entries NEW in round 6 (no driver row at all);
+#   2. the 9 queries whose latest driver row is ROUND 1 (oldest first);
+#   3. the 40-query round-2 cohort.
+# 1 + 9 + 40 = 50 — exactly the budget. Queries touched by the round-6
+# cache-registry refactor (dedup_containment, graph_pagerank_bipartite,
+# dedup_semantic_semdedup, stream_anomaly_zscore) are behaviorally
+# identical, freshly r5-green, and re-verified in the local sweeps, so
+# they don't displace stale entries from the budget.
 _SWEEP_PRIORITY = [
+    # -- new in round 6 --
+    "events_changepoint_cusum_filled",  # zero-filled spine -> CUSUM composition
+    # -- latest driver row is ROUND 1 --
+    "order_limit",
+    "sample_fraction",
+    "set_except",
+    "set_intersect",
+    "set_union_all",
+    "set_union_distinct",
+    "topk_per_group",
+    "unpivot_metrics",
+    "win_distribution",
+    # -- latest driver row is ROUND 2 --
+    "dedup_minhash",
+    "dedup_exact",
+    "dedup_exact_keep_first",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "sim_knn_cosine",
+    "sim_pairs_threshold",
+    "sim_ann_ivf",
+    "text_stats",
+    "text_token_count",
+    "text_lang_id",
+    "text_quality",
+    "text_fingerprint",
+    "text_commonness_score",
+    "text_tfidf_topterms",
+    "topk_heavy_hitters",
+    "hypertable_rollup",
+    "sessionize_events",
+    "scd2_intervals",
+    "range_join_point_in_interval",
+    "zorder_clustering",
+    "profile_columns",
+    "pipeline_engagement_report",
+    "fn_string",
+    "fn_string_split",
+    "fn_datetime",
+    "fn_datetime_agg",
+    "fn_array",
+    "fn_array_ops",
+    "fn_map_explode",
+    "fn_json",
+    "fn_json_build",
+    "multimodal_metadata",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "udf_pandas_normalize",
+    "udf_python_row_normalize",
+    "udf_grouped_minmax",
+    "udtf_char_histogram",
+]
+
+# Round-5 ordering kept for the tier below: everything here has an
+# r3/r4/r5 driver row already.
+_SWEEP_PRIORITY_R5 = [
     # -- changed in round 5: must get a fresh driver row --
     "dedup_containment",       # r5: doc_sets persisted across the 3-way fan-out
     "stream_anomaly_zscore",   # r5: rebased via UpsertParquetSink, no collect()
@@ -268,7 +328,7 @@ def _reorder_for_sweep() -> None:
     # the first occurrence fixes a dict key's position.
     ordered = {
         n: QUERIES[n]
-        for n in (*_SWEEP_PRIORITY, *_SWEEP_PRIORITY_R4)
+        for n in (*_SWEEP_PRIORITY, *_SWEEP_PRIORITY_R5, *_SWEEP_PRIORITY_R4)
         if n in QUERIES
     }
     for name, fn in QUERIES.items():

@@ -937,18 +937,15 @@ def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_changepoint_cusum",
-    oracle="""
-    WITH hourly AS (
-      SELECT event_type, date_trunc('hour', ts) AS hour,
-             CAST(COUNT(*) AS BIGINT) AS x
-      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+# The scaled-integer CUSUM chain over a (event_type, hour, x) series —
+# shared by the observed-bucket query and its zero-filled-spine
+# composition so the two oracles can never drift apart.
+_CUSUM_SQL_TAIL = """
     scaled AS (
       SELECT event_type, hour, x,
              CAST(COUNT(*) OVER wp AS BIGINT) AS n,
              CAST(SUM(x) OVER wp AS BIGINT) AS total
-      FROM hourly
+      FROM {src}
       WINDOW wp AS (PARTITION BY event_type)),
     cum AS (
       SELECT event_type, hour, x, total,
@@ -966,38 +963,15 @@ def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            c - least(CAST(0 AS BIGINT), runmin) AS cusum_scaled,
            (c - least(CAST(0 AS BIGINT), runmin)) > 2 * total AS changepoint
     FROM cusum
-    """,
-)
-def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUSUM changepoint detection over per-type hourly event rates —
-    the sequential rate-shift monitor (Page 1954) behind 'did this
-    event stream's behavior change, and when'. The one-sided CUSUM
-    recursion s_t = max(0, s_{t-1} + x_t - mu - k) is NOT directly a
-    window function, but the classic reduction IS: with
-    y_t = x_t - mu - k and C_t = cumsum(y), s_t = C_t - min(0,
-    running_min(C)) — two frames over one partition spec. With slack
-    k = mu/2 and everything scaled by 2n (n = hours per type), every
-    quantity is an INTEGER: y_scaled = 2n*x - 3*total, threshold
-    s > 2*total (one mean-rate of cumulative excess) — no float exists
-    anywhere, so the oracle is exact by construction.
+"""
 
-    Bucket semantics: the series is the OBSERVED hourly buckets —
-    hours with zero events are absent rather than zero-filled (the
-    fixture stream is dense, so both engines see identical series
-    either way); a strict wall-clock cadence composes this with the
-    events_gap_fill_lerp spine the way production monitors do.
 
-    Scale shape: the raw stream pre-aggregates to (type, hour) counts
-    FIRST (map-side combinable; the shuffle carries hourly states, not
-    events), then the CUSUM windows sort |hours| rows per type —
-    bounded by the time range, not the event volume. Per-partition
-    window state is O(1) (running sum + running min)."""
+def _cusum_over(hourly: DataFrame) -> DataFrame:
+    """Spark side of the shared chain: scaled-integer CUSUM over a
+    (event_type, hour, x) frame (see events_changepoint_cusum docstring
+    for the reduction)."""
     from pyspark.sql import Window
 
-    events = Catalog(spark, sf_dir).events
-    hourly = events.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
-    ).agg(F.count(F.lit(1)).alias("x"))
     wp = Window.partitionBy("event_type")
     scaled = hourly.select(
         "event_type",
@@ -1024,3 +998,103 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.alias("cusum_scaled"),
         (s > 2 * F.col("total")).alias("changepoint"),
     )
+
+
+@query(
+    "events_changepoint_cusum",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    {_CUSUM_SQL_TAIL.format(src="hourly")}
+    """,
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over per-type hourly event rates —
+    the sequential rate-shift monitor (Page 1954) behind 'did this
+    event stream's behavior change, and when'. The one-sided CUSUM
+    recursion s_t = max(0, s_{t-1} + x_t - mu - k) is NOT directly a
+    window function, but the classic reduction IS: with
+    y_t = x_t - mu - k and C_t = cumsum(y), s_t = C_t - min(0,
+    running_min(C)) — two frames over one partition spec. With slack
+    k = mu/2 and everything scaled by 2n (n = hours per type), every
+    quantity is an INTEGER: y_scaled = 2n*x - 3*total, threshold
+    s > 2*total (one mean-rate of cumulative excess) — no float exists
+    anywhere, so the oracle is exact by construction.
+
+    Bucket semantics: the series is the OBSERVED hourly buckets —
+    hours with zero events are absent rather than zero-filled (the
+    fixture stream is dense, so both engines see identical series
+    either way); a strict wall-clock cadence composes this with the
+    events_gap_fill_lerp spine the way production monitors do.
+
+    Scale shape: the raw stream pre-aggregates to (type, hour) counts
+    FIRST (map-side combinable; the shuffle carries hourly states, not
+    events), then the CUSUM windows sort |hours| rows per type —
+    bounded by the time range, not the event volume. Per-partition
+    window state is O(1) (running sum + running min)."""
+    events = Catalog(spark, sf_dir).events
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    return _cusum_over(hourly)
+
+
+@query(
+    "events_changepoint_cusum_filled",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    bounds AS (
+      SELECT event_type, MIN(hour) AS lo, MAX(hour) AS hi
+      FROM hourly GROUP BY event_type),
+    spine AS (
+      SELECT event_type,
+             UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      FROM bounds),
+    dense AS (
+      SELECT s.event_type, CAST(s.hour AS TIMESTAMP) AS hour,
+             COALESCE(h.x, CAST(0 AS BIGINT)) AS x
+      FROM spine s LEFT JOIN hourly h
+        ON h.event_type = s.event_type AND h.hour = s.hour),
+    {_CUSUM_SQL_TAIL.format(src="dense")}
+    """,
+)
+def events_changepoint_cusum_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production monitor shape: events_changepoint_cusum composed
+    with a per-type zero-filled hour spine (the events_gap_fill_lerp
+    cadence pattern) — every wall-clock hour inside a type's observed
+    range contributes a bucket, with x = 0 where no events arrived. A
+    silent outage now SHIFTS the rate and trips the detector, which
+    the observed-bucket variant structurally cannot see; the CUSUM
+    tail is the shared _cusum_over/_CUSUM_SQL_TAIL chain, so the two
+    variants cannot drift.
+
+    Scale shape: bounds is a 2-value-per-type aggregate; the spine
+    explodes one row per (type, hour) — time-range-bounded, not
+    event-bounded (8,760/type/year) — and the left join back to the
+    hourly counts is a hash join on the (type, hour) key. Everything
+    downstream is the bounded-window CUSUM chain."""
+    events = Catalog(spark, sf_dir).events
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    dense = spine.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce(F.col("x"), F.lit(0).cast("long")).alias("x"),
+    )
+    return _cusum_over(dense)
