@@ -203,7 +203,15 @@ class LongPollStreamReader(DataSourceStreamReader):
         with open(tmp, "w") as fh:
             json.dump({"seq": watermark}, fh)
         os.replace(tmp, self._commit_file())
+        delivered = [eid for seq, eid, _p in self._buffer if seq < watermark]
         self._buffer = [e for e in self._buffer if e[0] >= watermark]
+        # transports with server-side acknowledgement (SQS delete-on-
+        # commit) get told which events Spark has durably delivered;
+        # the ack runs AFTER the local watermark is durable, so a crash
+        # between the two re-delivers (at-least-once) instead of losing
+        ack = getattr(self.channel, "ack", None)
+        if ack is not None and delivered:
+            ack(delivered)
         # compact the WAL to the live suffix (bounded by in-flight data)
         wal_tmp = self._wal_file() + ".tmp"
         with open(wal_tmp, "w") as fh:

@@ -132,4 +132,11 @@ def make_poll_transport(options):
             auth_header=options.get("authHeader", ""),
             timeout_sec=float(options.get("timeoutSec", 30)),
         )
-    raise ValueError(f"unknown longpoll transport {kind!r} (dir|http)")
+    if kind == "sqs":
+        # boto3-backed queue poll with commit-scoped deletes (the
+        # transport additionally exposes ack(); the reader calls it on
+        # Spark batch commit — SQS delete-on-pipeline-success)
+        from motorway_spark.sources.aws import make_sqs_poll_transport
+
+        return make_sqs_poll_transport(options)
+    raise ValueError(f"unknown longpoll transport {kind!r} (dir|http|sqs)")

@@ -1,0 +1,239 @@
+"""boto3 transport contract tests against an in-process moto server.
+
+The dir/HTTP connector twins proved the Spark-side contracts (WAL
+buffering, delete-on-commit, selective retry, two-phase commit); these
+tests re-prove the queue-shaped invariants over REAL boto3 wire calls —
+the rung the reference's AWS connectors occupy
+(/root/reference/motorway/contrib/amazon_sqs/ramps.py:8-31,
+amazon_kinesis/intersections.py:10-69). moto runs in SERVER mode
+(real HTTP on localhost) so executor-side tasks — the Kinesis sink's
+``foreachPartition`` — reach it from Python worker processes, exactly
+like localstack in the docker-compose path.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+import pytest
+
+boto3 = pytest.importorskip("boto3")
+pytest.importorskip("moto")
+
+
+@pytest.fixture(scope="module")
+def moto_endpoint():
+    """AWS endpoint for the suite: a localstack URL via AWS_ENDPOINT_URL
+    (the docker-compose path), else an in-process moto server — the same
+    tests run against either, no code change."""
+    import os
+
+    external = os.environ.get("AWS_ENDPOINT_URL")
+    if external:
+        yield external
+        return
+    from moto.server import ThreadedMotoServer
+
+    srv = ThreadedMotoServer(port=0)
+    srv.start()
+    port = srv._server.socket.getsockname()[1]
+    yield f"http://127.0.0.1:{port}"
+    srv.stop()
+
+
+_CREDS = {
+    "region": "us-east-1",
+    "endpoint_url": "",  # filled per-test
+    "access_key": "testing",
+    "secret_key": "testing",
+}
+
+
+def _client(service, endpoint):
+    return boto3.client(
+        service,
+        region_name="us-east-1",
+        endpoint_url=endpoint,
+        aws_access_key_id="testing",
+        aws_secret_access_key="testing",
+    )
+
+
+def _queue_depth(cli, queue_url) -> int:
+    attrs = cli.get_queue_attributes(
+        QueueUrl=queue_url,
+        AttributeNames=["ApproximateNumberOfMessages", "ApproximateNumberOfMessagesNotVisible"],
+    )["Attributes"]
+    return int(attrs["ApproximateNumberOfMessages"]) + int(
+        attrs["ApproximateNumberOfMessagesNotVisible"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQS poll transport: receive keeps in-flight, ack deletes
+# ---------------------------------------------------------------------------
+def test_sqs_transport_deletes_only_on_ack(moto_endpoint):
+    from motorway_spark.sources.aws import SqsPollTransport
+
+    cli = _client("sqs", moto_endpoint)
+    q = cli.create_queue(QueueName=f"t{uuid.uuid4().hex[:8]}")["QueueUrl"]
+    for i in range(7):
+        cli.send_message(QueueUrl=q, MessageBody=json.dumps({"Id": f"m-{i}", "v": i}))
+
+    t = SqsPollTransport(
+        q,
+        region="us-east-1",
+        endpoint_url=moto_endpoint,
+        access_key="testing",
+        secret_key="testing",
+    )
+    events = t.connect()
+    assert sorted(e["Id"] for e in events) == [f"m-{i}" for i in range(7)]
+    # received but NOT deleted: messages are in-flight awaiting commit
+    assert _queue_depth(cli, q) == 7
+
+    t.ack([e["Id"] for e in events[:4]])
+    assert _queue_depth(cli, q) == 3
+    t.ack([e["Id"] for e in events[4:]])
+    assert _queue_depth(cli, q) == 0
+    # re-acking (replayed commit) is a no-op, not an error
+    t.ack([e["Id"] for e in events])
+
+
+def test_sqs_transport_isolates_bad_message_bodies(moto_endpoint):
+    from motorway_spark.sources.aws import SqsPollTransport
+
+    cli = _client("sqs", moto_endpoint)
+    q = cli.create_queue(QueueName=f"t{uuid.uuid4().hex[:8]}")["QueueUrl"]
+    cli.send_message(QueueUrl=q, MessageBody="this is not json {")
+    cli.send_message(QueueUrl=q, MessageBody=json.dumps({"Id": "good", "v": 1}))
+
+    t = SqsPollTransport(
+        q, region="us-east-1", endpoint_url=moto_endpoint,
+        access_key="testing", secret_key="testing",
+    )
+    events = t.connect()
+    assert len(events) == 2  # bad body wrapped, not dropped, not fatal
+    ids = {e["Id"] for e in events}
+    assert "good" in ids
+    wrapped = next(e for e in events if e["Id"] != "good")
+    assert wrapped["body"] == "this is not json {"
+
+
+# ---------------------------------------------------------------------------
+# SQS as a Spark stream: LongPollSource + transport="sqs" end to end
+# ---------------------------------------------------------------------------
+def test_sqs_stream_end_to_end_delete_on_commit(spark, tmp_path, moto_endpoint):
+    from motorway_spark.sources import register_sources
+    from motorway_spark.streaming.runner import start_and_drain
+
+    register_sources(spark)
+    cli = _client("sqs", moto_endpoint)
+    q = cli.create_queue(QueueName=f"t{uuid.uuid4().hex[:8]}")["QueueUrl"]
+    for i in range(12):
+        cli.send_message(QueueUrl=q, MessageBody=json.dumps({"Id": f"m-{i:02d}", "v": i}))
+
+    stream = (
+        spark.readStream.format("longpoll")
+        .option("transport", "sqs")
+        .option("queueUrl", q)
+        .option("region", "us-east-1")
+        .option("endpointUrl", moto_endpoint)
+        .option("accessKey", "testing")
+        .option("secretKey", "testing")
+        .option("walDir", str(tmp_path / "wal"))
+        .load()
+    )
+    name = f"sqs_{uuid.uuid4().hex[:8]}"
+    query = start_and_drain(
+        lambda: stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        rows = spark.table(name).collect()
+        got = sorted(r.event_id for r in rows)
+        assert got == [f"m-{i:02d}" for i in range(12)]
+        payloads = {r.event_id: json.loads(r.payload) for r in rows}
+        assert payloads["m-03"]["v"] == 3
+
+        # the engine commits batch N as batch N+1 starts (only once N is
+        # durably delivered — exactly SQS delete-after-success); drive
+        # one more message through to trigger the commit of the first
+        # batches, then check the delivered 12 are DELETED from the
+        # queue while the late one stays in-flight/uncommitted
+        cli.send_message(QueueUrl=q, MessageBody=json.dumps({"Id": "late", "v": 99}))
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    assert spark.table(name).count() == 13
+    assert _queue_depth(cli, q) == 1  # only the late, not-yet-committed one
+
+
+# ---------------------------------------------------------------------------
+# Kinesis sink over boto3: same selective-retry sink, real wire
+# ---------------------------------------------------------------------------
+def test_kinesis_sink_boto3_roundtrip(spark, tmp_path, moto_endpoint):
+    from motorway_spark.sinks.kinesis import KinesisPutRecordsSink
+    from motorway_spark.sources.aws import KinesisClientFactory, read_stream_records
+
+    cli = _client("kinesis", moto_endpoint)
+    stream_name = f"s{uuid.uuid4().hex[:8]}"
+    cli.create_stream(StreamName=stream_name, ShardCount=2)
+
+    sink = KinesisPutRecordsSink(
+        KinesisClientFactory(
+            region="us-east-1",
+            endpoint_url=moto_endpoint,
+            access_key="testing",
+            secret_key="testing",
+        ),
+        stream_name,
+        dead_letter_dir=str(tmp_path / "dlq"),
+        key_col="k",
+        body_cols=["k", "v"],
+    )
+    df = spark.createDataFrame(
+        [(f"key-{i}", i) for i in range(25)], "k string, v int"
+    ).repartition(4)
+    sink.put_batch(df, batch_id=0)
+
+    landed = read_stream_records(cli, stream_name)
+    assert len(landed) == 25  # every record landed exactly once
+    by_key = {r["PartitionKey"]: json.loads(r["Data"]) for r in landed}
+    assert by_key["key-7"] == {"k": "key-7", "v": 7}
+    import os
+
+    assert os.listdir(str(tmp_path / "dlq")) == []
+
+
+def test_sqs_send_batch_sink_lands_and_guards_size(spark, tmp_path, moto_endpoint):
+    import os
+
+    from motorway_spark.sources.aws import SqsSendBatchSink
+
+    cli = _client("sqs", moto_endpoint)
+    q = cli.create_queue(QueueName=f"t{uuid.uuid4().hex[:8]}")["QueueUrl"]
+
+    sink = SqsSendBatchSink(
+        q,
+        dead_letter_dir=str(tmp_path / "dlq"),
+        id_col="message_id",
+        region="us-east-1",
+        endpoint_url=moto_endpoint,
+        access_key="testing",
+        secret_key="testing",
+    )
+    rows = [(f"id-{i}", "x" * 10) for i in range(15)]
+    rows.append(("id-big", "x" * (300 * 1024)))  # > 256 KiB -> dead letter
+    df = spark.createDataFrame(rows, "message_id string, payload string").repartition(3)
+    sink.put_batch(df, batch_id=0)
+
+    # 15 small messages on the queue, the oversize one dead-lettered
+    assert _queue_depth(cli, q) == 15
+    dlq = os.listdir(str(tmp_path / "dlq"))
+    assert len(dlq) == 1
+    with open(os.path.join(str(tmp_path / "dlq"), dlq[0])) as fh:
+        assert json.load(fh)["ErrorCode"] == "MessageTooLong"
