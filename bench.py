@@ -80,7 +80,15 @@ BENCH_QUERIES = [
     "sample_importance_weighted",
     "graph_pagerank_bipartite",
     "events_changepoint_cusum",
+    # round-6 addition: the production monitor composition (zero-filled
+    # wall-clock spine -> CUSUM)
+    "events_changepoint_cusum_filled",
 ]
+
+# Sub-second timings at sf0.1 sit inside machine-noise width; best-of-2
+# left one ambiguous regression (q21, r5 verdict). Queries still under
+# this bound after two runs get a third.
+EXTRA_RUN_UNDER_SEC = 1.5
 
 
 def main() -> None:
@@ -115,11 +123,15 @@ def main() -> None:
             # inside the try: an unknown name (subset typo) must land in
             # "errors", not crash before the JSON line is emitted
             fn = QUERIES[name]
-            for _attempt in range(2):  # best-of-2: de-noise machine variance
+            attempt = 0
+            # best-of-2, widened to best-of-3 when the result is small
+            # enough for scheduler jitter to dominate the delta
+            while attempt < 2 or (attempt < 3 and best < EXTRA_RUN_UNDER_SEC):
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
+                attempt += 1
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:300]}"
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
@@ -146,7 +158,8 @@ def main() -> None:
     result = {
         "metric": (
             f"total wall-clock of {len(timings)}/{len(bench_queries)} headline"
-            " queries (noop sink, best of 2 runs each)"
+            " queries (noop sink, best of 2 runs; best of 3 under"
+            f" {EXTRA_RUN_UNDER_SEC}s)"
         ),
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
