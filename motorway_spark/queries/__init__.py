@@ -112,6 +112,19 @@ _SWEEP_PRIORITY = [
     "udtf_char_histogram",
 ]
 
+# Round-6 batch-2 operators: new surface added AFTER the stale-cohort
+# head above was frozen at exactly the ~50 budget. Deliberately queued
+# BELOW it — retiring the r01/r02 cohort is this round's driver goal;
+# these five have full local-sweep + pytest oracle evidence now and
+# take driver rows next round (promote to the head in round 7).
+_SWEEP_PRIORITY_R6B = [
+    "dedup_bloom_incremental",
+    "agg_median_mad",
+    "sim_range_search",
+    "graph_degree_distribution",
+    "dq_functional_dependency",
+]
+
 # Round-5 ordering kept for the tier below: everything here has an
 # r3/r4/r5 driver row already.
 _SWEEP_PRIORITY_R5 = [
@@ -328,7 +341,12 @@ def _reorder_for_sweep() -> None:
     # the first occurrence fixes a dict key's position.
     ordered = {
         n: QUERIES[n]
-        for n in (*_SWEEP_PRIORITY, *_SWEEP_PRIORITY_R5, *_SWEEP_PRIORITY_R4)
+        for n in (
+            *_SWEEP_PRIORITY,
+            *_SWEEP_PRIORITY_R6B,
+            *_SWEEP_PRIORITY_R5,
+            *_SWEEP_PRIORITY_R4,
+        )
         if n in QUERIES
     }
     for name, fn in QUERIES.items():

@@ -542,3 +542,74 @@ def embedding_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("norm2").alias("min_norm2"),
         F.max("norm2").alias("max_norm2"),
     )
+
+
+# candidate functional dependencies audited by dq_functional_dependency:
+# (name, table, determinant, dependent). Mix of FDs that HOLD in TPC-H
+# by construction and ones that genuinely don't — the audit must report
+# both states, not assume.
+FD_CANDIDATES = [
+    ("part.p_partkey->p_brand", "part", "p_partkey", "p_brand"),
+    ("part.p_brand->p_type", "part", "p_brand", "p_type"),
+    ("part.p_type->p_size", "part", "p_type", "p_size"),
+    ("nation.n_nationkey->n_regionkey", "nation", "n_nationkey", "n_regionkey"),
+    ("documents.lang->source", "documents", "lang", "source"),
+]
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for name, table, det, dep in FD_CANDIDATES:
+        parts.append(f"""
+    SELECT '{name}' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_keys,
+           ROUND(CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS violation_rate
+    FROM (SELECT {det}, COUNT(DISTINCT {dep}) AS n_dep
+          FROM {table} GROUP BY {det})""")
+    return " UNION ALL ".join(parts)
+
+
+@query("dq_functional_dependency", oracle=_fd_oracle())
+def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for each candidate FD A->B, how many
+    A-values map to more than one distinct B — the schema-inference /
+    data-contract check profilers run to discover which columns are
+    really determined by which (and the regression alarm when an
+    upstream feed breaks a dependency that used to hold). Complements
+    dq_checks (row-level predicates) and profile_columns (per-column
+    stats) with CROSS-column structure.
+
+    The candidate list mixes FDs the fixtures satisfy by construction
+    (key -> attribute, nationkey -> regionkey) with ones they don't
+    (brand -> type, lang -> source) so both outcomes are exercised. Scale shape: each FD is one
+    two-level aggregation — (A, B) distinct pairs, then per-A distinct-B
+    counts — map-side combinable, shuffles bounded by key cardinality,
+    one scan per table (Catalyst shares the scan across same-table FDs
+    via the union). Integer counts + one final division, exact
+    cross-engine."""
+    cat = Catalog(spark, sf_dir)
+    outs = []
+    for name, table, det, dep in FD_CANDIDATES:
+        per_key = (
+            getattr(cat, table)
+            .groupBy(det)
+            .agg(F.countDistinct(dep).alias("n_dep"))
+        )
+        viol = F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0)).cast("long")
+        outs.append(
+            per_key.agg(
+                F.lit(name).alias("fd"),
+                F.count(F.lit(1)).alias("n_keys"),
+                viol.alias("n_violating_keys"),
+                F.round(
+                    viol.cast("double") / F.count(F.lit(1)).cast("double"), 6
+                ).alias("violation_rate"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

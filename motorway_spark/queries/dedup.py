@@ -1356,3 +1356,77 @@ def dedup_chunk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_chunks_kept", F.lit(0)).alias("n_chunks_kept"),
         F.coalesce("kept_text", F.lit("")).alias("kept_text"),
     )
+
+
+# dedup_bloom_incremental: Bloom geometry. 2^16 bits / 5 probes sized
+# for the fixture corpus; production sizes m,k from the standard
+# m = -n ln(p)/(ln 2)^2 formula per ingest batch.
+BLOOM_BITS = 1 << 16
+BLOOM_K = 5
+INCOMING_MOD = 10  # doc_id % 10 < 3 plays the "new batch"; rest is corpus
+INCOMING_LT = 3
+
+
+@query(
+    "dedup_bloom_incremental",
+    oracle=f"""
+    SELECT d.doc_id, md5(d.text) AS fp
+    FROM documents d
+    WHERE d.doc_id % {INCOMING_MOD} < {INCOMING_LT}
+      AND EXISTS (SELECT 1 FROM documents c
+                  WHERE c.doc_id % {INCOMING_MOD} >= {INCOMING_LT}
+                    AND md5(c.text) = md5(d.text))
+    """,
+)
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup with a Bloom prefilter: which documents
+    of an incoming batch already exist (by exact md5 fingerprint) in the
+    standing corpus? The fixture's doc_id % 10 < 3 slice plays the
+    incoming batch. This is THE daily operation of a growing training
+    corpus — and at 100 TB the naive form (shuffle-join every incoming
+    fingerprint against billions of corpus fingerprints) wastes the
+    whole join on the ~99% of documents that are genuinely new.
+
+    Bloom-prefilter shape, built from public primitives (Spark's
+    bloom_filter_agg/might_contain are internal-only): the corpus folds
+    into a BOUNDED bit-position set (k=5 xxhash64 probes into 2^16
+    slots — at most 65,536 distinct ints regardless of corpus size,
+    the broadcastable summary a real BloomFilter packs into a bitmap);
+    an incoming doc is a CANDIDATE only if all k of its probe positions
+    are present (no false negatives: an fp present in the corpus set
+    all of its own positions). Definitely-new docs exit at the
+    broadcast-join stage without ever shuffling; only candidates (true
+    dupes + the filter's false-positive fraction) reach the exact
+    fingerprint semi-join that removes false positives. The oracle is
+    therefore the plain EXACT semi-join — the Bloom layer must be
+    output-invisible, which is precisely the approximate-prefilter +
+    exact-verify contract (same pattern as minhash-candidates +
+    exact-verify)."""
+    docs = Catalog(spark, sf_dir).documents
+    fp = F.md5(F.col("text"))
+    is_incoming = F.col("doc_id") % INCOMING_MOD < INCOMING_LT
+    corpus_fp = docs.filter(~is_incoming).select(fp.alias("fp"))
+    incoming = docs.filter(is_incoming).select("doc_id", fp.alias("fp"))
+
+    def probes(col):
+        return F.array(
+            *[
+                F.pmod(
+                    F.xxhash64(F.concat(col, F.lit(f"#{i}"))), F.lit(BLOOM_BITS)
+                )
+                for i in range(BLOOM_K)
+            ]
+        )
+
+    bloom = (
+        corpus_fp.select(F.explode(probes(F.col("fp"))).alias("pos")).distinct()
+    )
+    cand = (
+        incoming.select("doc_id", "fp", F.explode(probes(F.col("fp"))).alias("pos"))
+        .join(F.broadcast(bloom), "pos")
+        .groupBy("doc_id", "fp")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == BLOOM_K)
+        .select("doc_id", "fp")
+    )
+    return cand.join(corpus_fp, "fp", "semi").select("doc_id", "fp")

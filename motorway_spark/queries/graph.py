@@ -139,3 +139,58 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("node div 2").alias("key"),
         F.col("cnt").alias("score"),
     )
+
+
+@query(
+    "graph_degree_distribution",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS c_node, l_suppkey * 2 + 1 AS s_node
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS (
+      SELECT c_node AS src, s_node AS dst FROM pairs
+      UNION ALL
+      SELECT s_node AS src, c_node AS dst FROM pairs),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM edges GROUP BY src)
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           deg,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY 1, 2
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the customer<->supplier trade graph (same
+    edge construction as graph_pagerank_bipartite): how many customers
+    trade with exactly k suppliers and vice versa — the first diagnostic
+    run on any graph (hub detection, skew sizing for the iterative
+    algorithms, the power-law check that says whether pagerank-style
+    propagation will have hot keys).
+
+    Scale shape: distinct-pair aggregation -> per-node count -> a
+    histogram over at most max-degree rows; every shuffle carries narrow
+    int keys and both aggregations are map-side combinable. Integer
+    counts end to end — exact cross-engine by construction."""
+    cat = Catalog(spark, sf_dir)
+    pairs = (
+        cat.orders.join(cat.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c_node").alias("src")).unionAll(
+        pairs.select(F.col("s_node").alias("src"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        deg.groupBy(
+            F.when(F.col("src") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            "deg",
+        )
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )

@@ -712,3 +712,58 @@ def nation_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("rev").cast("double") / prev.cast("double") - 1.0)
         .alias("yoy_growth"),
     )
+
+
+@query(
+    "agg_median_mad",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS priority,
+             CAST(o_totalprice AS DOUBLE) AS v
+      FROM orders),
+    med AS (
+      SELECT priority, CAST(COUNT(*) AS BIGINT) AS n, median(v) AS med
+      FROM base GROUP BY priority)
+    SELECT m.priority, m.n, ROUND(m.med, 6) AS median_price,
+           ROUND(median(ABS(b.v - m.med)), 6) AS mad_price
+    FROM base b JOIN med m ON b.priority = m.priority
+    GROUP BY m.priority, m.n, m.med
+    """,
+)
+def agg_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location/spread per order priority: exact median order
+    value and the median absolute deviation around it — the outlier-
+    immune (50% breakdown point) twin of mean/stddev that monitoring
+    and data-quality gates prefer on heavy-tailed value columns.
+
+    Two-pass shape: medians are EXACT order statistics (both engines
+    interpolate even-count medians as the mean of the two middle
+    values — identical IEEE (a+b)/2 over doubles cast from exact
+    decimals), so pass 1 computes each group's median, pass 2 joins it
+    back (broadcast — one row per group) and takes the median of
+    absolute deviations. Scale shape: exact medians need a per-group
+    sort — two shuffles of (group, value) pairs, never wider; at
+    100 TB the drop-in approximation is percentile_approx (see
+    agg_percentile_approx + ROWS_ONLY.md for why the exact form is the
+    oracle-able one)."""
+    base = (
+        Catalog(spark, sf_dir)
+        .orders.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_totalprice").cast("double").alias("v"),
+        )
+    )
+    med = base.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n"), F.expr("median(v)").alias("med")
+    )
+    return (
+        base.join(F.broadcast(med), "priority")
+        .groupBy("priority", "n", "med")
+        .agg(F.round(F.expr("median(ABS(v - med))"), 6).alias("mad_price"))
+        .select(
+            "priority",
+            "n",
+            F.round("med", 6).alias("median_price"),
+            "mad_price",
+        )
+    )

@@ -1081,3 +1081,66 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = Catalog(spark, sf_dir).embeddings
     return semdedup_flags(spark, emb, emb)
+
+
+RANGE_TAU = 0.3  # cosine radius for the range query
+
+
+@query(
+    "sim_range_search",
+    oracle=f"""
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND({_SQL_DOT.format(a='q.embedding', b='c.embedding')}
+                 / ({_SQL_NORM.format(a='q.embedding')}
+                    * {_SQL_NORM.format(a='c.embedding')}), 6) AS cosine
+    FROM (SELECT * FROM embeddings WHERE {_VALID_VEC_SQL}) q
+    JOIN (SELECT * FROM embeddings WHERE {_VALID_VEC_SQL}) c
+      ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+      AND {_SQL_DOT.format(a='q.embedding', b='c.embedding')}
+          / ({_SQL_NORM.format(a='q.embedding')}
+             * {_SQL_NORM.format(a='c.embedding')}) >= {RANGE_TAU}
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) similarity search: EVERY corpus vector within
+    cosine >= RANGE_TAU of each query vector — the third query shape a
+    vector store serves besides top-k (sim_knn_cosine) and all-pairs
+    threshold (sim_pairs_threshold): "give me everything semantically
+    close to this", where the caller wants completeness, not a fixed k
+    (dedup candidate pull, recall-first retrieval, near-dup audit of a
+    specific document).
+
+    Same plan skeleton as sim_knn_cosine minus the window: broadcast
+    query side, corpus streams once with per-side precomputed norms, the
+    radius predicate filters in-stage — no shuffle at all after the
+    fan-out repartition (top-k needed one for its window). The unrolled
+    codegen'd dot and the raw-value predicate (round only in the
+    projection) keep doubles bit-identical cross-engine. At 100 TB the
+    LSH/IVF bucketing (sim_ann_*) generates candidates and this exact
+    form reranks them."""
+    emb = Catalog(spark, sf_dir).embeddings
+    q = F.broadcast(
+        _valid_vectors(emb)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            _norm("embedding").alias("q_norm"),
+        )
+    )
+    par = spark.sparkContext.defaultParallelism
+    c = _valid_vectors(emb).repartition(par).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm("embedding").alias("c_norm"),
+    )
+    cosine_raw = _dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))
+    return (
+        c.join(q, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_raw", cosine_raw)
+        .filter(F.col("cosine_raw") >= RANGE_TAU)
+        .select(
+            "query_id", "neighbor_id", F.round("cosine_raw", 6).alias("cosine")
+        )
+    )
