@@ -83,6 +83,13 @@ BENCH_QUERIES = [
     # round-6 addition: the production monitor composition (zero-filled
     # wall-clock spine -> CUSUM)
     "events_changepoint_cusum_filled",
+    # round-6 batch 2: bloom incremental dedup, robust stats, radius
+    # search, degree histogram, FD audit
+    "dedup_bloom_incremental",
+    "agg_median_mad",
+    "sim_range_search",
+    "graph_degree_distribution",
+    "dq_functional_dependency",
 ]
 
 # Sub-second timings at sf0.1 sit inside machine-noise width; best-of-2

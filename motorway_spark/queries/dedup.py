@@ -1402,11 +1402,19 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     output-invisible, which is precisely the approximate-prefilter +
     exact-verify contract (same pattern as minhash-candidates +
     exact-verify)."""
+    from motorway_spark.maintenance import CACHES
+
     docs = Catalog(spark, sf_dir).documents
-    fp = F.md5(F.col("text"))
+    # one text scan + md5 pass feeds all three branches (bloom build,
+    # exact verify, incoming probe) — in production the corpus side is a
+    # precomputed fingerprint column/index, which this cache stands for
+    fps = CACHES.persist_swap(
+        "bloom.fps",
+        docs.select("doc_id", F.md5(F.col("text")).alias("fp")),
+    )
     is_incoming = F.col("doc_id") % INCOMING_MOD < INCOMING_LT
-    corpus_fp = docs.filter(~is_incoming).select(fp.alias("fp"))
-    incoming = docs.filter(is_incoming).select("doc_id", fp.alias("fp"))
+    corpus_fp = fps.filter(~is_incoming).select("fp")
+    incoming = fps.filter(is_incoming).select("doc_id", "fp")
 
     def probes(col):
         return F.array(
