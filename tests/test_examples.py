@@ -48,3 +48,38 @@ def test_training_data_prep_example_queries_run(spark):
         "sample_importance_weighted",
     ):
         assert QUERIES[name](spark, SF_SMOKE).count() >= 0
+
+
+def test_sqs_pipeline_example(spark):
+    """Queue -> stream -> upsert-table round trip over real boto3
+    against an in-process moto server (the AWS example twin of the
+    kafka round trip)."""
+    import pytest
+
+    pytest.importorskip("boto3")
+    pytest.importorskip("moto")
+    import tempfile
+    import uuid
+
+    from examples.sqs_pipeline import _client, _endpoint, consume_to_table, produce
+
+    endpoint, stop = _endpoint()
+    try:
+        cli = _client(endpoint)
+        q = cli.create_queue(QueueName=f"ex{uuid.uuid4().hex[:8]}")["QueueUrl"]
+        produce(
+            endpoint,
+            q,
+            [{"Id": f"m-{i}", "sensor": f"s{i % 3}", "v": float(i)} for i in range(30)],
+        )
+        table = consume_to_table(
+            spark, endpoint, q, tempfile.mkdtemp(prefix="sqs_table_")
+        )
+        got = {r["sensor"]: (r["n"], r["total"]) for r in table.collect()}
+        assert got == {
+            "s0": (10, sum(float(i) for i in range(0, 30, 3))),
+            "s1": (10, sum(float(i) for i in range(1, 30, 3))),
+            "s2": (10, sum(float(i) for i in range(2, 30, 3))),
+        }
+    finally:
+        stop()
