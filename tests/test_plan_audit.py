@@ -514,3 +514,26 @@ def test_corpus_curation_scan_pruning(spark):
     reads = [line for line in plan.splitlines() if "ReadSchema" in line]
     assert reads
     assert all("n_chars" not in r and "label" not in r for r in reads)
+
+
+def test_bloom_incremental_is_broadcast_only(spark):
+    """dedup_bloom_incremental's whole point is that nothing wide
+    shuffles: the bounded position set and the candidate set ride
+    broadcast joins; a SortMergeJoin or cartesian here would mean the
+    prefilter bought nothing."""
+    plan = _plan(spark, "dedup_bloom_incremental")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_search_has_no_post_fanout_exchange(spark):
+    """sim_range_search = knn minus the top-k window: after the corpus
+    fan-out repartition there must be NO further exchange (the radius
+    predicate filters in-stage; queries ride a broadcast)."""
+    plan = _plan(spark, "sim_range_search")
+    # the only exchanges are the deliberate round-robin fan-out and the
+    # query-side broadcast: no key-hash shuffle exists anywhere (top-k's
+    # window would have needed one — the radius form doesn't)
+    assert "hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
