@@ -96,7 +96,13 @@ class SqsPollTransport:
         secret_key: str = "",
         id_field: str = "Id",
         wait_time_sec: int = 0,
-        visibility_timeout_sec: int = 300,
+        # reference default: 10-minute visibility window
+        # (amazon_sqs/ramps.py:19-20; receive batches are already capped
+        # at the AWS 10/call inside connect()). wait_time_sec defaults 0
+        # because the Spark reader polls on its own trigger cadence — a
+        # server-side long poll would block latestOffset; set 5 to
+        # mirror the reference's 5 s long poll against real AWS.
+        visibility_timeout_sec: int = 600,
         max_messages_per_poll: int = 1000,
     ):
         self.queue_url = queue_url
@@ -179,7 +185,7 @@ def make_sqs_poll_transport(options) -> SqsPollTransport:
         secret_key=options.get("secretKey", ""),
         id_field=options.get("idField", "Id"),
         wait_time_sec=int(options.get("waitTimeSec", 0)),
-        visibility_timeout_sec=int(options.get("visibilityTimeoutSec", 300)),
+        visibility_timeout_sec=int(options.get("visibilityTimeoutSec", 600)),
         max_messages_per_poll=int(options.get("maxMessagesPerPoll", 1000)),
     )
 
