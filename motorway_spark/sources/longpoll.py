@@ -208,10 +208,16 @@ class LongPollStreamReader(DataSourceStreamReader):
         # transports with server-side acknowledgement (SQS delete-on-
         # commit) get told which events Spark has durably delivered;
         # the ack runs AFTER the local watermark is durable, so a crash
-        # between the two re-delivers (at-least-once) instead of losing
+        # between the two re-delivers (at-least-once) instead of losing.
+        # Best-effort: a transient delete failure must not kill the
+        # stream — the un-deleted messages re-deliver after the
+        # visibility timeout and the id-keyed downstream absorbs them.
         ack = getattr(self.channel, "ack", None)
         if ack is not None and delivered:
-            ack(delivered)
+            try:
+                ack(delivered)
+            except Exception:  # noqa: BLE001
+                pass
         # compact the WAL to the live suffix (bounded by in-flight data)
         wal_tmp = self._wal_file() + ".tmp"
         with open(wal_tmp, "w") as fh:
