@@ -1402,9 +1402,24 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     output-invisible, which is precisely the approximate-prefilter +
     exact-verify contract (same pattern as minhash-candidates +
     exact-verify)."""
+    return bloom_incremental_dupes(Catalog(spark, sf_dir).documents)
+
+
+def bloom_incremental_dupes(
+    docs: DataFrame, bits: int = BLOOM_BITS, k: int = BLOOM_K
+) -> DataFrame:
+    """The bloom-prefilter operator over any (doc_id, text) frame,
+    geometry-parameterized — shared by the registered query (fixed
+    BLOOM_BITS/BLOOM_K so the driver gate is stable) and the scale
+    tests. Geometry affects ONLY the candidate count (performance), not
+    output: false positives die in the exact verify, so any (bits, k)
+    yields the identical result. Production sizing: bits ≈
+    -n·ln(p)/(ln 2)² for target fp-rate p — an UNDERSIZED filter
+    saturates (every probe position set) and silently degenerates into
+    the full exact join it was supposed to avoid (measured, SCALE.md
+    round 6)."""
     from motorway_spark.maintenance import CACHES
 
-    docs = Catalog(spark, sf_dir).documents
     # one text scan + md5 pass feeds all three branches (bloom build,
     # exact verify, incoming probe) — in production the corpus side is a
     # precomputed fingerprint column/index, which this cache stands for
@@ -1419,10 +1434,8 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     def probes(col):
         return F.array(
             *[
-                F.pmod(
-                    F.xxhash64(F.concat(col, F.lit(f"#{i}"))), F.lit(BLOOM_BITS)
-                )
-                for i in range(BLOOM_K)
+                F.pmod(F.xxhash64(F.concat(col, F.lit(f"#{i}"))), F.lit(bits))
+                for i in range(k)
             ]
         )
 
@@ -1434,7 +1447,7 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(bloom), "pos")
         .groupBy("doc_id", "fp")
         .agg(F.count(F.lit(1)).alias("n_hit"))
-        .filter(F.col("n_hit") == BLOOM_K)
+        .filter(F.col("n_hit") == k)
         .select("doc_id", "fp")
     )
     return cand.join(corpus_fp, "fp", "semi").select("doc_id", "fp")

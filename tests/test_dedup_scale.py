@@ -266,3 +266,38 @@ def test_chunk_dedup_keep_first_semantics(spark, tmp_path):
     assert out[2]["kept_text"] == tail
     assert (out[3]["n_chunks_total"], out[3]["n_chunks_kept"]) == (1, 0)
     assert out[3]["kept_text"] == ""
+
+
+def test_bloom_geometry_is_output_invisible(spark, sf_dir):
+    """Bloom geometry may only change the CANDIDATE count, never the
+    answer: a deliberately saturated 64-bit filter (every position set,
+    prefilter useless) and the default 2^16 one must produce identical
+    dupe sets — false positives all die in the exact verify."""
+    from pyspark.sql import functions as F
+
+    from motorway_spark.queries.dedup import bloom_incremental_dupes
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(100)
+        .select("doc_id", "text")
+    )
+    # craft guaranteed cross-slice dupes: id*10 lands in the incoming
+    # slice (%10 = 0 < 3), id*10+5 carries the SAME text in the corpus
+    # slice — so exactly the even-half texts we duplicate must be flagged
+    incoming = base.select((F.col("doc_id") * 10).alias("doc_id"), "text")
+    corpus = base.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") * 10 + 5).alias("doc_id"), "text"
+    )
+    docs = incoming.unionAll(corpus)
+    default = {
+        (r["doc_id"], r["fp"]) for r in bloom_incremental_dupes(docs).collect()
+    }
+    saturated = {
+        (r["doc_id"], r["fp"])
+        for r in bloom_incremental_dupes(docs, bits=64).collect()
+    }
+    assert default == saturated
+    want_ids = {r["doc_id"] * 10 for r in base.filter("doc_id % 2 = 0").collect()}
+    assert {d for d, _fp in default} >= want_ids
+    assert default  # dupes really exist
