@@ -61,6 +61,10 @@ class _Standalone:
             stderr=subprocess.STDOUT,
             env=env,
             cwd=self.tmpdir,
+            # own process group: killing a worker must take its executor
+            # children with it (the worker-loss chaos test kills the
+            # whole group — a clean stand-in for losing the host)
+            start_new_session=True,
         )
         return proc
 
@@ -92,32 +96,36 @@ class _Standalone:
         self.webui_port = web
 
         for i in (1, 2):
-            self.procs.append(
-                self._spawn(
-                    "org.apache.spark.deploy.worker.Worker",
-                    self.master_url,
-                    "--host", "127.0.0.1", "--port", "0", "--webui-port", "0",
-                    "--cores", "4", "--memory", "2g",
-                    env_extra={"SPARK_WORKER_DIR": os.path.join(self.tmpdir, f"w{i}")},
-                    log=os.path.join(self.tmpdir, f"worker{i}.log"),
-                )
-            )
-        # wait until the master reports 2 ALIVE workers (its /json API)
+            self.procs.append(self.spawn_worker(i))
+        self.wait_alive_workers(2)
+
+    def spawn_worker(self, i: int) -> subprocess.Popen:
+        return self._spawn(
+            "org.apache.spark.deploy.worker.Worker",
+            self.master_url,
+            "--host", "127.0.0.1", "--port", "0", "--webui-port", "0",
+            "--cores", "4", "--memory", "2g",
+            env_extra={"SPARK_WORKER_DIR": os.path.join(self.tmpdir, f"w{i}")},
+            log=os.path.join(self.tmpdir, f"worker{i}.log"),
+        )
+
+    def wait_alive_workers(self, n: int) -> None:
+        """Wait until the master /json API reports >= n ALIVE workers."""
         for _ in range(120):
             time.sleep(0.5)
             try:
                 with urllib.request.urlopen(
-                    f"http://127.0.0.1:{web}/json/", timeout=5
+                    f"http://127.0.0.1:{self.webui_port}/json/", timeout=5
                 ) as resp:
                     state = __import__("json").loads(resp.read().decode())
                 alive = [
                     w for w in state.get("workers", []) if w.get("state") == "ALIVE"
                 ]
-                if len(alive) >= 2:
+                if len(alive) >= n:
                     return
             except OSError:
                 continue
-        raise RuntimeError("2 workers never registered ALIVE")
+        raise RuntimeError(f"{n} workers never registered ALIVE")
 
     def stop(self) -> None:
         for proc in reversed(self.procs):
@@ -313,3 +321,84 @@ def test_standalone_task_retry_and_oracle_exact(standalone, tmp_path):
 def test_standalone_forced_spill_oracle_exact(standalone):
     out = _run(_SPILL_SCRIPT, standalone.master_url)
     assert out.count("SA_SPILL_OK") == 3
+
+
+_WORKER_LOSS_SCRIPT = _PRELUDE + r"""
+import threading
+import time as _t
+
+spark = cluster_session(
+    "sa-worker-loss",
+    extra=[
+        ("spark.task.maxFailures", "6"),
+        ("spark.stage.maxConsecutiveAttempts", "8"),
+    ],
+)
+
+def slow(batches):
+    import time
+    for pdf in batches:
+        time.sleep(0.4)
+        yield pdf
+
+df = spark.range(320000).repartition(32).selectExpr("id AS v")
+total = df.mapInPandas(slow, "v long").selectExpr("sum(v) AS s")
+
+result = {}
+def run():
+    result["s"] = total.collect()[0]["s"]
+
+t = threading.Thread(target=run)
+t.start()
+_t.sleep(4)  # tasks now spread across BOTH executors
+print("KILL_NOW", flush=True)  # parent SIGKILLs worker 2's process group
+t.join(300)
+assert not t.is_alive(), "job never finished after worker loss"
+expected = 320000 * (320000 - 1) // 2
+assert result.get("s") == expected, result
+print("SA_WORKER_LOSS_OK", result["s"], flush=True)
+"""
+
+
+def test_standalone_worker_loss_mid_job(standalone):
+    """Chaos rung above task retry: SIGKILL an entire WORKER DAEMON (and
+    its executor children — one process group) while a 32-task job is
+    mid-flight across both executors. The driver must absorb the
+    ExecutorLost / shuffle-fetch failures, reschedule the dead
+    executor's tasks (and recompute its lost map outputs) on the
+    surviving worker, and land the EXACT answer — host loss on a real
+    cluster, reproduced daemon-for-daemon. The reference's equivalent
+    is supervised process restart + ramp replay (pipeline.py:127-142);
+    Spark's lineage recompute does it without re-ingesting."""
+    import signal
+
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _WORKER_LOSS_SCRIPT, standalone.master_url],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        cwd=_REPO,
+    )
+    killed = False
+    out_lines: list[str] = []
+    try:
+        for line in proc.stdout:
+            out_lines.append(line)
+            if line.startswith("KILL_NOW") and not killed:
+                worker2 = standalone.procs[2]
+                os.killpg(os.getpgid(worker2.pid), signal.SIGKILL)
+                killed = True
+            if line.startswith("SA_WORKER_LOSS_OK"):
+                break
+        proc.wait(timeout=420)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        # restore the 2-worker cluster for any later scenario
+        if killed:
+            standalone.procs[2] = standalone.spawn_worker(2)
+            standalone.wait_alive_workers(2)
+    assert killed, "KILL_NOW marker never seen:\n" + "".join(out_lines)
+    assert any(l.startswith("SA_WORKER_LOSS_OK") for l in out_lines), (
+        "".join(out_lines) + proc.stderr.read()[-3000:]
+    )
