@@ -166,6 +166,14 @@ def cluster_session(app, extra=()):
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.host", "127.0.0.1")
+        # executors are launched by the WORKER daemons (cwd = the
+        # cluster tmpdir), so the repo package must be shipped
+        # explicitly — the standalone equivalent of installing the
+        # wheel on every host / --py-files. Without it, any task that
+        # unpickles a motorway_spark class BY REFERENCE (the Python
+        # Data Source readers) dies with ModuleNotFoundError on the
+        # executor's Python workers.
+        .config("spark.executorEnv.PYTHONPATH", os.getcwd())
     )
     for k, v in extra:
         b = b.config(k, v)
@@ -358,6 +366,99 @@ expected = 320000 * (320000 - 1) // 2
 assert result.get("s") == expected, result
 print("SA_WORKER_LOSS_OK", result["s"], flush=True)
 """
+
+
+_STREAM_LOSS_SCRIPT = _PRELUDE + r"""
+import json as _json
+import tempfile
+import time as _t
+
+from pyspark.sql import functions as F
+
+spark = cluster_session(
+    "sa-stream-loss",
+    extra=[
+        ("spark.task.maxFailures", "6"),
+        ("spark.stage.maxConsecutiveAttempts", "8"),
+        ("spark.sql.shuffle.partitions", "8"),
+    ],
+)
+from motorway_spark.sources import register_sources
+
+register_sources(spark)
+spool = tempfile.mkdtemp(prefix="sa_spool_")
+N = 400
+for i in range(N):
+    with open(f"{spool}/m{i:04d}.json", "w") as fh:
+        _json.dump({"id": f"m{i}", "body": {"group": f"g{i % 7}", "v": i}}, fh)
+
+stream = (
+    spark.readStream.format("spooldir")
+    .option("path", spool)
+    .option("deleteOnCommit", "false")
+    .option("maxFilesPerTrigger", "20")  # ~20 micro-batches
+    .load()
+)
+counts = stream.groupBy("grouping_value").agg(F.count("*").alias("n"))
+name = "sa_stream_loss"
+q = (
+    counts.writeStream.format("memory")
+    .queryName(name)
+    .outputMode("complete")
+    .start()
+)
+print("KILL_NOW", flush=True)  # parent kills worker 2 two seconds later
+q.processAllAvailable()
+got = {r["grouping_value"]: r["n"] for r in spark.table(name).collect()}
+want = {f"g{g}": len([i for i in range(N) if i % 7 == g]) for g in range(7)}
+assert got == want, (got, want)
+q.stop()
+print("SA_STREAM_LOSS_OK", sum(got.values()), flush=True)
+"""
+
+
+def test_standalone_worker_loss_mid_stream(standalone):
+    """Streaming twin of the batch chaos test: a STATEFUL streaming
+    aggregation (state store instances live on executors) is draining a
+    20-micro-batch source when worker 2's process group is SIGKILLed.
+    The query must reload state from the checkpoint onto the surviving
+    executor, retry the in-flight batch's tasks, and finish with
+    bit-exact per-key counts — executor/host loss during a streaming
+    job, the weekly reality of a long-lived 1000-executor stream."""
+    import signal
+
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _STREAM_LOSS_SCRIPT, standalone.master_url],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        cwd=_REPO,
+    )
+    killed = False
+    out_lines: list[str] = []
+    try:
+        for line in proc.stdout:
+            out_lines.append(line)
+            if line.startswith("KILL_NOW") and not killed:
+                import time as _t
+
+                _t.sleep(2)  # let a few micro-batches land first
+                worker2 = standalone.procs[2]
+                os.killpg(os.getpgid(worker2.pid), signal.SIGKILL)
+                killed = True
+            if line.startswith("SA_STREAM_LOSS_OK"):
+                break
+        proc.wait(timeout=420)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        if killed:
+            standalone.procs[2] = standalone.spawn_worker(2)
+            standalone.wait_alive_workers(2)
+    assert killed, "KILL_NOW marker never seen:\n" + "".join(out_lines)
+    assert any(l.startswith("SA_STREAM_LOSS_OK") for l in out_lines), (
+        "".join(out_lines) + proc.stderr.read()[-3000:]
+    )
 
 
 def test_standalone_worker_loss_mid_job(standalone):
