@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "sim_range_search",
     "graph_degree_distribution",
     "dq_functional_dependency",
+    "orders_pareto_concentration",
 ]
 
 # Sub-second timings at sf0.1 sit inside machine-noise width; best-of-2

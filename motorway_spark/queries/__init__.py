@@ -123,6 +123,7 @@ _SWEEP_PRIORITY_R6B = [
     "sim_range_search",
     "graph_degree_distribution",
     "dq_functional_dependency",
+    "orders_pareto_concentration",
 ]
 
 # Round-5 ordering kept for the tier below: everything here has an

@@ -507,3 +507,4 @@ def fn_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("first_a_words"),
         F.size(F.expr("regexp_extract_all(text, '[0-9]+', 0)")).alias("n_numbers"),
     )
+

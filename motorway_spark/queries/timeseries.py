@@ -1098,3 +1098,90 @@ def events_changepoint_cusum_filled(spark: SparkSession, sf_dir: str) -> DataFra
         F.coalesce(F.col("x"), F.lit(0).cast("long")).alias("x"),
     )
     return _cusum_over(dense)
+
+
+@query(
+    "orders_pareto_concentration",
+    oracle="""
+    WITH cust_rev AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS rev
+      FROM orders GROUP BY o_custkey),
+    tot AS (
+      SELECT CAST(SUM(rev) AS DECIMAL(38,2)) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM cust_rev),
+    ranked AS (
+      SELECT o_custkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rnk
+      FROM cust_rev)
+    SELECT t.n AS n_customers,
+           CAST(MIN(CASE WHEN r.cum * 10 >= t.total * 8 THEN r.rnk END)
+                AS BIGINT) AS n_for_80pct,
+           ROUND(CAST(SUM(CASE WHEN r.rnk * 10 <= t.n THEN r.rev
+                               ELSE CAST(0 AS DECIMAL(38,2)) END) AS DOUBLE)
+                 / CAST(t.total AS DOUBLE), 6) AS top_decile_share
+    FROM ranked r, tot t
+    GROUP BY t.n, t.total
+    """,
+)
+def orders_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto/80-20 summary): how many customers
+    it takes to reach 80% of revenue, and what share the top decile
+    holds — the whale-curve KPI behind account prioritization, and the
+    skew diagnostic that tells an engineer whether the customer key
+    needs salting (complements agg_gini's single-number inequality with
+    the actionable crossing points).
+
+    Determinism: per-customer revenues are exact decimal sums; the
+    80% crossing test is decimal-integer arithmetic (cum*10 >= total*8
+    — no float in any predicate); the top-decile membership is an
+    integer comparison (rnk*10 <= n); only the final reported share is
+    one double division, ROUND 6.
+
+    Scale shape: the heavy reduction is the per-customer aggregate
+    (map-side combinable); the ranked pass runs over the CUSTOMER
+    rollup, not raw orders — but it is a GLOBAL ordered prefix-sum, a
+    single-task window at billions of customers. The 100 TB path
+    replaces it with the standard two-level scheme: repartitionByRange
+    on rev desc, per-partition prefix sums, then a driver-side (or
+    broadcast) partition-offset pass — same numbers, no global sort on
+    one task. At this SF the rollup is thousands of rows and the single
+    window is the honest cheapest plan."""
+    from pyspark.sql import Window as W
+
+    orders = Catalog(spark, sf_dir).orders
+    cust_rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,2)")).alias("rev")
+    )
+    w = W.orderBy(F.desc("rev"), "o_custkey")
+    ranked = cust_rev.select(
+        "rev",
+        F.sum("rev").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+        F.row_number().over(w).alias("rnk"),
+    )
+    tot = cust_rev.agg(
+        F.sum("rev").cast("decimal(38,2)").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    joined = ranked.crossJoin(F.broadcast(tot))
+    zero = F.lit(0).cast("decimal(38,2)")
+    return (
+        joined.groupBy("n", "total")
+        .agg(
+            F.min(
+                F.when(F.col("cum") * 10 >= F.col("total") * 8, F.col("rnk"))
+            ).cast("long").alias("n_for_80pct"),
+            F.round(
+                F.sum(
+                    F.when(F.col("rnk") * 10 <= F.col("n"), F.col("rev")).otherwise(zero)
+                ).cast("double")
+                / F.col("total").cast("double"),
+                6,
+            ).alias("top_decile_share"),
+        )
+        .select(
+            F.col("n").alias("n_customers"), "n_for_80pct", "top_decile_share"
+        )
+    )
