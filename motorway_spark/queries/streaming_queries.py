@@ -855,3 +855,114 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"ROUND({_Z_EXPR}, 6)").alias("zscore"),
         )
     )
+
+
+def _stream_minhash_oracle() -> str:
+    from motorway_spark.queries.dedup import (
+        N_BANDS,
+        _SQL_CHAR_SHINGLES,
+        _SQL_MINHASH,
+    )
+
+    return f"""
+    WITH sig AS MATERIALIZED (
+      SELECT doc_id, {_SQL_MINHASH} AS mh
+      FROM (SELECT doc_id, {_SQL_CHAR_SHINGLES} AS sh FROM documents)
+      WHERE len(sh) > 0),
+    bands AS MATERIALIZED (
+      SELECT doc_id, band,
+             md5(array_to_string(mh[band*4+1 : band*4+4], ',')) AS bucket
+      FROM sig, UNNEST(range(0, {N_BANDS})) AS t(band)),
+    flag AS (
+      SELECT doc_id,
+             CASE WHEN doc_id > MIN(doc_id) OVER (PARTITION BY band, bucket)
+                  THEN 1 ELSE 0 END AS dup_band
+      FROM bands)
+    SELECT doc_id,
+           CAST(SUM(dup_band) AS BIGINT) AS n_dup_bands,
+           SUM(dup_band) > 0 AS is_near_dup
+    FROM flag GROUP BY doc_id
+    """
+
+
+@query("stream_dedup_minhash", oracle=_stream_minhash_oracle())
+def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-duplicate detection — MinHash LSH band buckets in
+    the keyed state store. Each arriving document is flagged against
+    every document already seen: its 16-slot minhash signature is
+    banded into N_BANDS(=4) bucket keys (same seed-inlined family as
+    the batch dedup_minhash, dedup.py:37-45), and per (band, bucket)
+    the state store keeps the minimum doc_id ever seen — an arriving
+    doc collides on a band iff a lower-id doc occupies its bucket. This
+    is the streaming twin of batch LSH dedup: the ingest-time "have I
+    seen something like this" filter of a training-data pipeline, vs
+    the reference's exact-key deduplication via replay ids
+    (motorway/ramp.py should_take_message / kafka seek semantics).
+
+    Streaming-plan discipline: the signature is computed with the
+    PURE-EXPRESSION minhash (nested array lambdas, zero shuffle) rather
+    than the explode+groupBy form batch uses — a streaming aggregate
+    before applyInPandasWithState would be two stateful operators in
+    one plan. Documents are assumed to arrive in doc_id order (ingest
+    logs are id/time-ordered); within a micro-batch arrival order is
+    irrelevant — ids are sorted and flagged against the running min, so
+    batch boundaries never change the answer on an ordered stream.
+
+    State is ONE int64 per occupied (band, bucket) — bounded by corpus
+    distinct-bucket count, not stream length; at 100 TB scale the
+    bucket keyspace is hashed across executors by the state-store
+    shuffle, and RocksDB holds the long tail on disk.
+
+    Serving split: band-level flags land in the sink; the per-document
+    reduce (n_dup_bands, is_near_dup) is the batch pass over the landed
+    table. Docs with no 4-gram shingle (NULL/empty/short text) never
+    enter banding — same WHERE on both engines.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from motorway_spark.queries.dedup import (
+        _char_shingles,
+        _minhash_signature,
+        minhash_bands,
+    )
+    from motorway_spark.streaming.runner import stream_documents
+
+    docs = stream_documents(spark, sf_dir)
+    sig = (
+        docs.select(
+            "doc_id",
+            F.col("text"),
+            F.size(_char_shingles(F.col("text"))).alias("n_sh"),
+        )
+        .filter(F.col("n_sh") > 0)
+        .select("doc_id", _minhash_signature(F.col("text")).alias("mh"))
+    )
+    bands = minhash_bands(sig)
+
+    def flag_bucket(key, pdf_iter, state: GroupState):
+        best = state.get[0] if state.exists else None
+        ids = sorted(
+            int(d) for pdf in pdf_iter for d in pdf["doc_id"].to_numpy()
+        )
+        out_id, out_dup = [], []
+        for d in ids:
+            out_id.append(d)
+            out_dup.append(1 if (best is not None and d > best) else 0)
+            if best is None or d < best:
+                best = d
+        state.update((best,))
+        yield pd.DataFrame({"doc_id": out_id, "dup_band": out_dup})
+
+    flagged = bands.groupBy("band", "bucket").applyInPandasWithState(
+        flag_bucket,
+        outputStructType="doc_id long, dup_band integer",
+        stateStructType="min_doc_id long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_stream_to_memory(flagged, output_mode="update")
+    return sink.groupBy("doc_id").agg(
+        F.sum("dup_band").cast("bigint").alias("n_dup_bands"),
+        (F.sum("dup_band") > 0).alias("is_near_dup"),
+    )

@@ -19,19 +19,19 @@ from pyspark.sql import DataFrame, SparkSession
 from motorway_spark.catalog import normalize_events_ts
 
 
-def _staging_dir(sf_dir: str) -> str:
+def _staging_dir(sf_dir: str, table: str = "events") -> str:
     """File-stream sources require a *directory*; the fixtures are bare
-    files. Stage a directory with a symlink to events.parquet (read-only
-    fixtures stay untouched). The stage path hashes the full sf_dir so
-    two fixture dirs with the same basename never share (or inherit a
-    stale) symlink."""
+    files. Stage a directory with a symlink to the table's parquet
+    (read-only fixtures stay untouched). The stage path hashes the full
+    sf_dir so two fixture dirs with the same basename never share (or
+    inherit a stale) symlink."""
     import os
 
     from motorway_spark.catalog import sf_tag
 
-    stage = f"/tmp/motorway_stream/{sf_tag(sf_dir)}/events"
+    stage = f"/tmp/motorway_stream/{sf_tag(sf_dir)}/{table}"
     os.makedirs(stage, exist_ok=True)
-    target = f"{sf_dir}/events.parquet"
+    target = f"{sf_dir}/{table}.parquet"
     if os.path.isdir(target):
         # Spark-written fixture: a DIRECTORY of part files. The file
         # stream source lists the load path non-recursively, so a
@@ -42,7 +42,7 @@ def _staging_dir(sf_dir: str) -> str:
         )
         targets = {f"part{i}.parquet": f"{target}/{p}" for i, p in enumerate(parts)}
     else:
-        targets = {"events.parquet": target}
+        targets = {f"{table}.parquet": target}
     for name, tgt in targets.items():
         link = f"{stage}/{name}"
         if os.path.islink(link) and os.readlink(link) != tgt:
@@ -70,6 +70,19 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(_staging_dir(sf_dir))
     )
     return normalize_events_ts(raw)
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents fixture as a streaming DataFrame — the ingest shape of
+    a streaming corpus pipeline (each file drop = one micro-batch of new
+    documents). Schema is taken from a batch read so it tracks the
+    fixture flavor, exactly like :func:`stream_events`."""
+    schema = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(_staging_dir(sf_dir, table="documents"))
+    )
 
 
 def start_and_drain(start_query, attempts: int = 2):
