@@ -91,6 +91,11 @@ BENCH_QUERIES = [
     "graph_degree_distribution",
     "dq_functional_dependency",
     "orders_pareto_concentration",
+    # round-6 batch 3: bigram-LM surprisal scoring, ExactSubstr span
+    # dedup, streaming LSH near-dup filter
+    "text_surprisal_lm",
+    "dedup_exact_substring_spans",
+    "stream_dedup_minhash",
 ]
 
 # Sub-second timings at sf0.1 sit inside machine-noise width; best-of-2

@@ -124,6 +124,11 @@ _SWEEP_PRIORITY_R6B = [
     "graph_degree_distribution",
     "dq_functional_dependency",
     "orders_pareto_concentration",
+    # -- round-6 batch 3 (same deal: local sweeps + pytest are the r6
+    #    evidence; driver rows next round) --
+    "text_surprisal_lm",
+    "dedup_exact_substring_spans",
+    "stream_dedup_minhash",
 ]
 
 # Round-5 ordering kept for the tier below: everything here has an

@@ -885,84 +885,157 @@ def _stream_minhash_oracle() -> str:
     """
 
 
-@query("stream_dedup_minhash", oracle=_stream_minhash_oracle())
-def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming NEAR-duplicate detection — MinHash LSH band buckets in
-    the keyed state store. Each arriving document is flagged against
-    every document already seen: its 16-slot minhash signature is
-    banded into N_BANDS(=4) bucket keys (same seed-inlined family as
-    the batch dedup_minhash, dedup.py:37-45), and per (band, bucket)
-    the state store keeps the minimum doc_id ever seen — an arriving
-    doc collides on a band iff a lower-id doc occupies its bucket. This
-    is the streaming twin of batch LSH dedup: the ingest-time "have I
-    seen something like this" filter of a training-data pipeline, vs
-    the reference's exact-key deduplication via replay ids
-    (motorway/ramp.py should_take_message / kafka seek semantics).
+_LAST_MHDEDUP_DIR: str | None = None
 
-    Streaming-plan discipline: the signature is computed with the
-    PURE-EXPRESSION minhash (nested array lambdas, zero shuffle) rather
-    than the explode+groupBy form batch uses — a streaming aggregate
-    before applyInPandasWithState would be two stateful operators in
-    one plan. Documents are assumed to arrive in doc_id order (ingest
-    logs are id/time-ordered); within a micro-batch arrival order is
-    irrelevant — ids are sorted and flagged against the running min, so
-    batch boundaries never change the answer on an ordered stream.
 
-    State is ONE int64 per occupied (band, bucket) — bounded by corpus
-    distinct-bucket count, not stream length; at 100 TB scale the
-    bucket keyspace is hashed across executors by the state-store
-    shuffle, and RocksDB holds the long tail on disk.
-
-    Serving split: band-level flags land in the sink; the per-document
-    reduce (n_dup_bands, is_near_dup) is the batch pass over the landed
-    table. Docs with no 4-gram shingle (NULL/empty/short text) never
-    enter banding — same WHERE on both engines.
-    """
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+def _minhash_process_batch(bdf: DataFrame, batch_id: int, flags_sink, reg_sink) -> None:
+    """One micro-batch of the streaming LSH near-dup filter: band the
+    batch (codegen explode+agg signature), flag each doc against the
+    pre-batch (band, bucket) registry + the in-batch window min, MERGE
+    flags then the updated registry (see stream_dedup_minhash)."""
+    from pyspark.sql import Window
 
     from motorway_spark.queries.dedup import (
         _char_shingles,
-        _minhash_signature,
         minhash_bands,
+        minhash_signatures,
     )
+
+    docs = bdf.filter(F.size(_char_shingles(F.col("text"))) > 0)
+    # persist the band rows: the signature (the expensive explode +
+    # 16-way min agg) feeds THREE consumers below (in-batch window
+    # min, the flag aggregate, the registry update) — uncached it
+    # recomputes per consumer (measured 3x the batch wall-clock)
+    bands = (
+        minhash_bands(minhash_signatures(docs))
+        .withColumnRenamed("bucket", "bkt")
+        .persist()
+    )
+    try:
+        w = Window.partitionBy("band", "bkt")
+        scored = bands.withColumn("batch_min", F.min("doc_id").over(w))
+        reg = reg_sink.read()
+        if reg is not None:
+            scored = scored.join(reg, ["band", "bkt"], "left").withColumn(
+                "prior_min", -F.col("neg_min_doc_id")
+            )
+        else:
+            scored = scored.withColumn("prior_min", F.lit(None).cast("bigint"))
+        dup = (F.col("doc_id") > F.col("batch_min")) | (
+            F.col("prior_min") < F.col("doc_id")
+        )
+        flags = (
+            scored.withColumn(
+                "dup_band", F.when(F.coalesce(dup, F.lit(False)), 1).otherwise(0)
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.sum("dup_band").cast("bigint").alias("n_dup_bands"),
+                (F.sum("dup_band") > 0).alias("is_near_dup"),
+            )
+        )
+        # flags first, registry second: flags must see the PRE-batch
+        # registry; both sinks are replay-idempotent via their WALs
+        flags_sink.upsert_batch(flags, batch_id)
+        new_reg = bands.groupBy("band", "bkt").agg(
+            (-F.min("doc_id")).alias("neg_min_doc_id")
+        )
+        reg_sink.upsert_batch(new_reg, batch_id)
+    finally:
+        bands.unpersist()
+
+
+@query("stream_dedup_minhash", oracle=_stream_minhash_oracle())
+def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-duplicate detection — MinHash LSH band buckets
+    kept as a real keyed TABLE updated per micro-batch. Each arriving
+    document is flagged against every document already seen: its
+    16-slot minhash signature is banded into N_BANDS(=4) bucket keys
+    (same seed-inlined family as the batch dedup_minhash,
+    dedup.py:37-45); a (band, bucket) registry holds the minimum doc_id
+    ever seen per occupied bucket, and an arriving doc collides on a
+    band iff a lower-id doc occupies its bucket (prior batches via the
+    registry, the same batch via an in-batch window min). This is the
+    ingest-time "have I seen something like this" filter of a streaming
+    training-data pipeline, vs the reference's exact-key dedup via
+    replay ids (motorway/ramp.py should_take_message).
+
+    Architecture — foreachBatch, everything JVM-side: a first cut kept
+    the bucket minimum in the applyInPandasWithState state store, which
+    forced the signature onto the stateless nested-lambda minhash (a
+    streaming aggregate can't precede a stateful Python op) — Catalyst
+    interprets higher-order lambdas, and 50k docs took 44 s at sf0.1.
+    Inside ``foreachBatch`` the micro-batch is a plain DataFrame, so
+    the batch engine's explode+groupBy signature (whole-stage codegen,
+    map-side partial min) applies, and the registry becomes a
+    hash-bucketed ``UpsertParquetSink`` table MERGEd per batch — the
+    same production stream-to-serving split as stream_anomaly_zscore,
+    with exactly-once batch WALs on both tables. Measured 44 s → ~3 s.
+
+    Cross-batch-ordering: docs are assumed to arrive in doc_id order
+    (ingest logs are id/time-ordered); within a micro-batch order is
+    irrelevant (window min), so batch boundaries never change the
+    answer on an ordered stream. Registry state is ONE int64 row per
+    occupied (band, bucket) — bounded by corpus distinct-bucket count,
+    not stream length; the MERGE rewrites only touched hash buckets.
+    The sink keeps the HIGHEST-sorting value per key, so the registry
+    stores the NEGATED min doc_id (max(-id) = min id across batches).
+    Docs with no 4-gram shingle (NULL/empty/short text) never enter
+    banding — same WHERE on both engines.
+    """
+    import shutil
+    import tempfile
+
+    from motorway_spark.sinks.upsert import UpsertParquetSink
     from motorway_spark.streaming.runner import stream_documents
 
-    docs = stream_documents(spark, sf_dir)
-    sig = (
-        docs.select(
-            "doc_id",
-            F.col("text"),
-            F.size(_char_shingles(F.col("text"))).alias("n_sh"),
-        )
-        .filter(F.col("n_sh") > 0)
-        .select("doc_id", _minhash_signature(F.col("text")).alias("mh"))
-    )
-    bands = minhash_bands(sig)
+    global _LAST_MHDEDUP_DIR
+    if _LAST_MHDEDUP_DIR is not None:
+        shutil.rmtree(_LAST_MHDEDUP_DIR, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="stream_mh_dedup_")
+    _LAST_MHDEDUP_DIR = root
+    flags_sink = UpsertParquetSink(spark, f"{root}/flags", key_cols=["doc_id"])
+    # "bucket" is the sink's reserved hash-bucket column — LSH key is bkt
+    reg_sink = UpsertParquetSink(spark, f"{root}/registry", key_cols=["band", "bkt"])
 
-    def flag_bucket(key, pdf_iter, state: GroupState):
-        best = state.get[0] if state.exists else None
-        ids = sorted(
-            int(d) for pdf in pdf_iter for d in pdf["doc_id"].to_numpy()
-        )
-        out_id, out_dup = [], []
-        for d in ids:
-            out_id.append(d)
-            out_dup.append(1 if (best is not None and d > best) else 0)
-            if best is None or d < best:
-                best = d
-        state.update((best,))
-        yield pd.DataFrame({"doc_id": out_id, "dup_band": out_dup})
+    def process_batch(bdf: DataFrame, batch_id: int) -> None:
+        _minhash_process_batch(bdf, batch_id, flags_sink, reg_sink)
 
-    flagged = bands.groupBy("band", "bucket").applyInPandasWithState(
-        flag_bucket,
-        outputStructType="doc_id long, dup_band integer",
-        stateStructType="min_doc_id long",
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-    sink = run_stream_to_memory(flagged, output_mode="update")
-    return sink.groupBy("doc_id").agg(
-        F.sum("dup_band").cast("bigint").alias("n_dup_bands"),
-        (F.sum("dup_band") > 0).alias("is_near_dup"),
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        # same Python-worker connect-flake retry as run_stream_to_upsert;
+        # a restarted query renumbers batches from 0, so both tables
+        # (data + WAL) are wiped before the second attempt.
+        for attempt in (1, 2):
+            if attempt > 1:
+                shutil.rmtree(f"{root}/flags", ignore_errors=True)
+                shutil.rmtree(f"{root}/registry", ignore_errors=True)
+            q = (
+                stream_documents(spark, sf_dir)
+                .writeStream.outputMode("append")
+                .trigger(availableNow=True)
+                .foreachBatch(process_batch)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(120):
+                    raise TimeoutError("stream did not drain within 120s")
+                break
+            except Exception as exc:  # noqa: BLE001
+                if attempt == 1 and "Python worker" in str(exc):
+                    continue
+                raise
+            finally:
+                if q.isActive:
+                    q.stop()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+    out = flags_sink.read()
+    if out is None:
+        raise RuntimeError(f"stream produced no batches into {root}/flags")
+    # survives the next invocation's rmtree of this run's table dir
+    return out.localCheckpoint(eager=True)

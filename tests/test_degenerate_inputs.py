@@ -121,6 +121,12 @@ NULL_PARITY = [
     # grouping/COUNT-DISTINCT semantics
     "sim_range_search",
     "dq_functional_dependency",
+    # round-6 batch-3 operators: NULL/empty text must drop out of the
+    # bigram LM, the span shingler, and the streaming band state with
+    # the SAME WHERE on both engines (parity-verified at introduction)
+    "text_surprisal_lm",
+    "dedup_exact_substring_spans",
+    "stream_dedup_minhash",
 ]
 
 

@@ -335,3 +335,74 @@ def test_observe_metrics(spark):
     )
     assert df.count() == 100
     assert obs.get == {"n_rows": 100, "id_sum": 4950}
+
+
+def test_stream_dedup_minhash_cross_batch_registry(spark, tmp_path):
+    """The (band, bucket) registry must carry across micro-batches: a
+    near-identical doc arriving in a LATER batch is flagged against the
+    earlier batch's occupant. Two parquet files + maxFilesPerTrigger=1
+    forces two real batches through the foreachBatch MERGE path."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from motorway_spark.queries import streaming_queries as sq
+    from motorway_spark.queries.dedup import (
+        _char_shingles,
+        minhash_bands,
+        minhash_signatures,
+    )
+    from motorway_spark.sinks.upsert import UpsertParquetSink
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    batch1 = [(0, base), (1, "completely unrelated text about spark engines " * 6)]
+    batch2 = [(2, base + "tail"), (3, "another fully distinct document body " * 6)]
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    for i, rows in enumerate((batch1, batch2)):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(tmp_path / f"b{i}"))
+        part = next((tmp_path / f"b{i}").glob("part-*.parquet"))
+        shutil.copy(part, src / f"{i:02d}.parquet")
+
+    # doc 2 must share >=1 band with doc 0 for the test to be meaningful
+    docs = spark.createDataFrame(batch1 + batch2, "doc_id long, text string")
+    b = minhash_bands(minhash_signatures(docs))
+    shared = (
+        b.alias("a")
+        .join(b.alias("x"), ["band", "bucket"])
+        .filter("a.doc_id = 0 AND x.doc_id = 2")
+        .count()
+    )
+    assert shared >= 1, "fixture docs no longer collide; adjust texts"
+
+    root = tmp_path / "mh"
+    root.mkdir()
+    flags_sink = UpsertParquetSink(spark, str(root / "flags"), key_cols=["doc_id"])
+    reg_sink = UpsertParquetSink(
+        spark, str(root / "registry"), key_cols=["band", "bkt"]
+    )
+    schema = "doc_id long, text string"
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(src))
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .foreachBatch(lambda bdf, b_id: sq._minhash_process_batch(
+            bdf, b_id, flags_sink, reg_sink))
+        .start()
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+
+    out = {r["doc_id"]: r for r in flags_sink.read().collect()}
+    assert len(out) == 4
+    assert not out[0]["is_near_dup"]          # first occupant
+    assert out[2]["is_near_dup"]              # later batch, same buckets
+    assert not out[1]["is_near_dup"] and not out[3]["is_near_dup"]
+    # registry kept the MIN doc_id per bucket (negated storage)
+    reg = reg_sink.read()
+    assert reg.filter(F.col("neg_min_doc_id") > 0).count() == 0
