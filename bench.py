@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "text_surprisal_lm",
     "dedup_exact_substring_spans",
     "stream_dedup_minhash",
+    "pipeline_dedup_funnel",
+    "text_boilerplate_chunks",
 ]
 
 # Sub-second timings at sf0.1 sit inside machine-noise width; best-of-2

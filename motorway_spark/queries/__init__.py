@@ -129,6 +129,8 @@ _SWEEP_PRIORITY_R6B = [
     "text_surprisal_lm",
     "dedup_exact_substring_spans",
     "stream_dedup_minhash",
+    "pipeline_dedup_funnel",
+    "text_boilerplate_chunks",
 ]
 
 # Round-5 ordering kept for the tier below: everything here has an

@@ -1315,7 +1315,12 @@ def dedup_chunk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Catalog(spark, sf_dir).documents
     # Map-side chunking via higher-order functions: no explode shuffle.
-    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("tokens"))
+    # NULL text must drop (DuckDB's unnest(NULL) emits no row; here
+    # size(NULL) = -1 makes sequence(0, -1) step-infer to [0, -1] —
+    # two phantom NULL chunks per NULL doc).
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.split(F.col("text"), " ").alias("tokens")
+    )
     n_chunks = F.ceil(F.size("tokens") / F.lit(CHUNK_TOKENS)).cast("int")
     chunk_arr = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
@@ -1573,3 +1578,48 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("e") - F.min("s") + 1).cast("bigint").alias("span_tokens"),
         F.count(F.lit(1)).alias("n_shingles"),
     ).drop("island")
+
+
+def minhash_cluster_oracle_ctes() -> str:
+    """The capped-minhash -> candidate-verify -> connected-components
+    CTE chain as oracle SQL (names: sig, bands, hot, keep, cand, pairs,
+    edges, verts, reach, comp — comp maps doc_id -> cluster_id = min
+    member). Shared by composite-pipeline oracles so the cluster
+    semantics cannot drift from dedup_cluster_canonical's."""
+    return f"""sig AS MATERIALIZED (
+      SELECT doc_id, {_SQL_MINHASH} AS mh
+      FROM (SELECT doc_id, {_SQL_CHAR_SHINGLES} AS sh FROM documents)
+      WHERE len(sh) > 0),
+    bands AS MATERIALIZED (
+      SELECT doc_id, band,
+             md5(array_to_string(mh[band*4+1 : band*4+4], ',')) AS bucket
+      FROM sig, UNNEST(range(0, {N_BANDS})) AS t(band)),
+    hot AS (
+      SELECT band, bucket FROM bands
+      GROUP BY band, bucket HAVING COUNT(*) > {MH_BUCKET_CAP}),
+    keep AS MATERIALIZED (
+      SELECT * FROM bands b
+      WHERE NOT EXISTS (SELECT 1 FROM hot h
+                        WHERE h.band = b.band AND h.bucket = b.bucket)),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM keep a JOIN keep b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id),
+    pairs AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM cand
+      JOIN sig sa ON doc_a = sa.doc_id
+      JOIN sig sb ON doc_b = sb.doc_id
+      WHERE CAST(len(list_filter(range(1, {N_MINHASH}+1),
+                 i -> sa.mh[i] = sb.mh[i])) AS DOUBLE) / {N_MINHASH} >= 0.375),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    verts AS MATERIALIZED (SELECT DISTINCT src AS doc FROM edges),
+    reach AS MATERIALIZED (
+      WITH RECURSIVE r(doc, other) AS (
+        SELECT doc, doc FROM verts
+        UNION
+        SELECT r.doc, e.dst FROM r JOIN edges e ON r.other = e.src)
+      SELECT * FROM r),
+    comp AS MATERIALIZED (
+      SELECT doc AS doc_id, MIN(other) AS cluster_id FROM reach GROUP BY doc)"""

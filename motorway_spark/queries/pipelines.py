@@ -542,3 +542,123 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
         )
     )
+
+
+def _funnel_oracle() -> str:
+    from motorway_spark.queries.dedup import minhash_cluster_oracle_ctes
+    from motorway_spark.queries.similarity import SEM_TAU, semdedup_oracle_ctes
+
+    return f"""
+    WITH keepfirst AS MATERIALIZED (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents)
+      WHERE rn = 1),
+    {minhash_cluster_oracle_ctes()},
+    s2 AS MATERIALIZED (
+      SELECT kf.doc_id FROM keepfirst kf
+      LEFT JOIN comp c USING (doc_id)
+      WHERE c.doc_id IS NULL OR c.cluster_id = c.doc_id),
+    {semdedup_oracle_ctes('embeddings')},
+    dupped AS (
+      SELECT DISTINCT vb AS vec_id FROM sem_pairs WHERE cos >= {SEM_TAU!r}),
+    s3 AS MATERIALIZED (
+      SELECT doc_id FROM s2
+      WHERE doc_id NOT IN (SELECT vec_id FROM dupped)),
+    c AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS c0,
+             (SELECT COUNT(*) FROM keepfirst) AS c1,
+             (SELECT COUNT(*) FROM s2) AS c2,
+             (SELECT COUNT(*) FROM s3) AS c3)
+    SELECT 0 AS stage, 'total' AS stage_name,
+           c0 AS docs_in, c0 AS docs_out, 0 AS removed FROM c
+    UNION ALL SELECT 1, 'exact', c0, c1, c0 - c1 FROM c
+    UNION ALL SELECT 2, 'near_dup', c1, c2, c1 - c2 FROM c
+    UNION ALL SELECT 3, 'semantic', c2, c3, c2 - c3 FROM c
+    """
+
+
+@query("pipeline_dedup_funnel", oracle=_funnel_oracle())
+def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-cascade ATTRITION LEDGER — the per-stage accounting
+    report every production corpus-dedup run publishes: how many
+    documents enter and survive each rung of the ladder
+
+        total -> exact (md5 keep-first)
+              -> near-dup (capped-minhash clusters, keep canonical)
+              -> semantic (SemDeDup over the embedding space)
+
+    one row per stage with (docs_in, docs_out, removed). Exactly the
+    stages of dedup_exact_keep_first, dedup_cluster_canonical and
+    dedup_semantic_semdedup — REUSED, not reimplemented (and the oracle
+    reuses their shared CTE factorings, so the funnel cannot drift from
+    the registered stage semantics). Docs without an embedding abstain
+    through the semantic stage, like pipeline_corpus_curation.
+
+    Scale shape: each stage is the already-audited operator plan (hash
+    agg on md5; capped LSH + label propagation; anchor-capped O(n*W)
+    cosine); the ledger itself is four count aggregates combined with
+    1-row cross joins (BroadcastNestedLoopJoin over single rows) and an
+    inline explode — no new shuffle anywhere. All-integer output.
+    """
+    from motorway_spark.queries.dedup import (
+        dedup_cluster_canonical,
+        dedup_exact_keep_first,
+    )
+    from motorway_spark.queries.similarity import dedup_semantic_semdedup
+
+    docs = Catalog(spark, sf_dir).documents
+    s1 = dedup_exact_keep_first(spark, sf_dir).select("doc_id")
+    clusters = dedup_cluster_canonical(spark, sf_dir).select(
+        F.col("doc_id").alias("c_doc_id"), "is_canonical"
+    )
+    s2 = (
+        s1.join(clusters, F.col("doc_id") == F.col("c_doc_id"), "left")
+        .filter(F.col("c_doc_id").isNull() | F.col("is_canonical"))
+        .select("doc_id")
+    )
+    flags = dedup_semantic_semdedup(spark, sf_dir).select(
+        F.col("vec_id").alias("f_doc_id"), "keep"
+    )
+    s3 = (
+        s2.join(flags, F.col("doc_id") == F.col("f_doc_id"), "left")
+        .filter(F.col("keep").isNull() | F.col("keep"))
+        .select("doc_id")
+    )
+    c0 = docs.agg(F.count("*").alias("c0"))
+    c1 = s1.agg(F.count("*").alias("c1"))
+    c2 = s2.agg(F.count("*").alias("c2"))
+    c3 = s3.agg(F.count("*").alias("c3"))
+    row = c0.crossJoin(c1).crossJoin(c2).crossJoin(c3)
+    ledger = F.array(
+        F.struct(
+            F.lit(0).alias("stage"),
+            F.lit("total").alias("stage_name"),
+            F.col("c0").alias("docs_in"),
+            F.col("c0").alias("docs_out"),
+            F.lit(0).cast("bigint").alias("removed"),
+        ),
+        F.struct(
+            F.lit(1).alias("stage"),
+            F.lit("exact").alias("stage_name"),
+            F.col("c0").alias("docs_in"),
+            F.col("c1").alias("docs_out"),
+            (F.col("c0") - F.col("c1")).alias("removed"),
+        ),
+        F.struct(
+            F.lit(2).alias("stage"),
+            F.lit("near_dup").alias("stage_name"),
+            F.col("c1").alias("docs_in"),
+            F.col("c2").alias("docs_out"),
+            (F.col("c1") - F.col("c2")).alias("removed"),
+        ),
+        F.struct(
+            F.lit(3).alias("stage"),
+            F.lit("semantic").alias("stage_name"),
+            F.col("c2").alias("docs_in"),
+            F.col("c3").alias("docs_out"),
+            (F.col("c2") - F.col("c3")).alias("removed"),
+        ),
+    )
+    return row.select(F.inline(ledger))

@@ -478,12 +478,14 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_regex_extract_all",
     oracle="""
     SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '[a-z]*a[a-z]*', 0)) AS INTEGER)
-             AS n_a_words,
+           CAST(len(regexp_extract_all(COALESCE(text, ''), '[a-z]*a[a-z]*', 0))
+             AS INTEGER) AS n_a_words,
            COALESCE(array_to_string(
-               regexp_extract_all(text, '[a-z]*a[a-z]*', 0)[1:3], '|'), '')
+               regexp_extract_all(COALESCE(text, ''), '[a-z]*a[a-z]*', 0)[1:3],
+               '|'), '')
              AS first_a_words,
-           CAST(len(regexp_extract_all(text, '[0-9]+', 0)) AS INTEGER) AS n_numbers
+           CAST(len(regexp_extract_all(COALESCE(text, ''), '[0-9]+', 0))
+             AS INTEGER) AS n_numbers
     FROM documents
     WHERE doc_id % 5 = 0
     """,
@@ -494,17 +496,23 @@ def fn_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     output stays scalar (array columns crash order-insensitive result
     checkers — the agg_percentile_approx lesson, applied at design
     time). Patterns stay in the Java-regex/RE2 common subset (the
-    text_pii_redact rule). Pure codegen'd projection."""
+    text_pii_redact rule). Pure codegen'd projection.
+
+    NULL text counts as zero matches on both engines: Spark's
+    size(NULL) is -1 while DuckDB's len(NULL) is NULL — coalescing the
+    input to '' before matching is the only form with one answer
+    everywhere (null-fixture parity pin)."""
     docs = Catalog(spark, sf_dir).documents
+    txt = "coalesce(text, '')"
     return docs.where("doc_id % 5 = 0").select(
         "doc_id",
-        F.size(F.expr("regexp_extract_all(text, '[a-z]*a[a-z]*', 0)")).alias("n_a_words"),
+        F.size(F.expr(f"regexp_extract_all({txt}, '[a-z]*a[a-z]*', 0)")).alias("n_a_words"),
         # no-match -> '' in BOTH engines: Spark's array_join([]) is ''
         # but DuckDB's array_to_string([]) is NULL, hence the oracle's
         # COALESCE (degenerate-input smoke)
         F.array_join(
-            F.slice(F.expr("regexp_extract_all(text, '[a-z]*a[a-z]*', 0)"), 1, 3), "|"
+            F.slice(F.expr(f"regexp_extract_all({txt}, '[a-z]*a[a-z]*', 0)"), 1, 3), "|"
         ).alias("first_a_words"),
-        F.size(F.expr("regexp_extract_all(text, '[0-9]+', 0)")).alias("n_numbers"),
+        F.size(F.expr(f"regexp_extract_all({txt}, '[0-9]+', 0)")).alias("n_numbers"),
     )
 

@@ -1019,8 +1019,11 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             try:
-                if not q.awaitTermination(120):
-                    raise TimeoutError("stream did not drain within 120s")
+                # 600 s: sf10 (500k docs) drains in ~340 s on local[32];
+                # the default-120 s used by the events-stream queries
+                # timed the first sf10 measurement out
+                if not q.awaitTermination(600):
+                    raise TimeoutError("stream did not drain within 600s")
                 break
             except Exception as exc:  # noqa: BLE001
                 if attempt == 1 and "Python worker" in str(exc):

@@ -582,3 +582,110 @@ def text_surprisal_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_bits"),
         )
     )
+
+
+# boilerplate gate: a chunk in >= this many DISTINCT docs is template text
+BP_MIN_DF = 3
+
+
+@query(
+    "text_boilerplate_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(tokens) AS tok,
+             generate_subscripts(tokens, 1) AS ord
+      FROM toks),
+    chunks AS (
+      SELECT doc_id,
+             CAST(floor((ord - 1) / 10) AS BIGINT) AS idx,
+             string_agg(tok, ' ' ORDER BY ord) AS chunk
+      FROM tok GROUP BY doc_id, CAST(floor((ord - 1) / 10) AS BIGINT)),
+    df AS (
+      SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY chunk),
+    kept AS (
+      SELECT c.doc_id, c.idx, c.chunk
+      FROM chunks c JOIN df USING (chunk) WHERE df < {BP_MIN_DF}),
+    totals AS (
+      SELECT doc_id, COUNT(*) AS n_chunks_total FROM chunks GROUP BY doc_id),
+    rebuilt AS (
+      SELECT doc_id, COUNT(*) AS n_chunks_kept,
+             string_agg(chunk, ' ' ORDER BY idx) AS kept_text
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           t.n_chunks_total,
+           COALESCE(r.n_chunks_kept, 0) AS n_chunks_kept,
+           t.n_chunks_total - COALESCE(r.n_chunks_kept, 0) AS n_boilerplate,
+           COALESCE(r.kept_text, '') AS kept_text
+    FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+    """,
+)
+def text_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate REMOVAL, CCNet-style: drop every chunk whose exact
+    text appears in >= BP_MIN_DF(=3) DISTINCT documents — template
+    headers/footers/navigation repeated across a crawl — and rebuild
+    each document from what remains. The complement of
+    dedup_chunk_global (dedup.py): that keeps the globally FIRST copy
+    of a repeated span (dedup semantics); this removes ALL copies of
+    corpus-frequent spans including the first (hygiene semantics) —
+    both are standard rungs of a crawl-cleaning ladder and they
+    compose (boilerplate first, then keep-first on what's left).
+
+    Scale shape (100 TB): identical to dedup_chunk_global — chunking is
+    a pure map (split + sequence + slice, no explode shuffle); the
+    document-frequency gate aggregates a 16-byte md5 fingerprint
+    (map-side combinable, count-distinct over doc_id); the verdict
+    rejoins by fingerprint (anti join vs the tiny boilerplate set —
+    broadcastable: |{{df >= 3}}| is corpus-template-sized, not
+    corpus-sized); reassembly is one hash aggregate per doc. NULL/empty
+    docs produce zero chunks and drop out on both engines.
+    """
+    from motorway_spark.queries.dedup import CHUNK_TOKENS
+
+    docs = Catalog(spark, sf_dir).documents
+    # NULL text yields no token row in DuckDB (unnest(NULL) = 0 rows)
+    # but size(NULL) = -1 here, and sequence(0, -1) step-infers to
+    # [0, -1] — two phantom NULL chunks. Drop NULL docs explicitly.
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.split(F.col("text"), " ").alias("tokens")
+    )
+    n_chunks = F.ceil(F.size("tokens") / F.lit(CHUNK_TOKENS)).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(F.col("tokens"), i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " "
+        ),
+    )
+    chunks = (
+        toks.select("doc_id", F.posexplode(chunk_arr).alias("idx", "chunk"))
+        .withColumn("idx", F.col("idx").cast("long"))
+        .withColumn("fp", F.md5(F.col("chunk").cast("binary")))
+    )
+    boiler = (
+        chunks.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= BP_MIN_DF)
+        .select("fp")
+    )
+    kept = chunks.join(F.broadcast(boiler), "fp", "left_anti")
+    totals = chunks.groupBy("doc_id").agg(F.count("*").alias("n_chunks_total"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                lambda s: s.chunk,
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks_total",
+        F.coalesce("n_chunks_kept", F.lit(0)).alias("n_chunks_kept"),
+        (
+            F.col("n_chunks_total") - F.coalesce("n_chunks_kept", F.lit(0))
+        ).alias("n_boilerplate"),
+        F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+    )

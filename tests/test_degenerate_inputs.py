@@ -51,7 +51,10 @@ def null_sf(spark, tmp_path_factory):
     ).write.parquet(str(d / "events.parquet"))
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     docs.withColumn(
-        "text", F.when(F.col("doc_id") % 47 == 0, F.lit("")).otherwise(F.col("text"))
+        "text",
+        F.when(F.col("doc_id") % 47 == 0, F.lit(""))
+        .when(F.col("doc_id") % 83 == 1, None)  # NULL text: the chunker trap
+        .otherwise(F.col("text")),
     ).withColumn(
         "lang", F.when(F.col("doc_id") % 59 == 0, None).otherwise(F.col("lang"))
     ).write.parquet(str(d / "documents.parquet"))
@@ -127,6 +130,13 @@ NULL_PARITY = [
     "text_surprisal_lm",
     "dedup_exact_substring_spans",
     "stream_dedup_minhash",
+    # round-6 batch-4: NULL text makes size(tokens) = -1 and
+    # sequence(0,-1) step-infer to [0,-1] — two phantom chunks per NULL
+    # doc that DuckDB's unnest(NULL) never emits; both chunkers filter
+    # NULL text explicitly and must stay oracle-exact on it
+    "dedup_chunk_global",
+    "text_boilerplate_chunks",
+    "pipeline_dedup_funnel",
 ]
 
 
