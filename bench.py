@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "stream_dedup_minhash",
     "pipeline_dedup_funnel",
     "text_boilerplate_chunks",
+    "text_bm25_topk",
+    "graph_triangle_count",
 ]
 
 # Sub-second timings at sf0.1 sit inside machine-noise width; best-of-2

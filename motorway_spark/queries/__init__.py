@@ -131,6 +131,8 @@ _SWEEP_PRIORITY_R6B = [
     "stream_dedup_minhash",
     "pipeline_dedup_funnel",
     "text_boilerplate_chunks",
+    "text_bm25_topk",
+    "graph_triangle_count",
 ]
 
 # Round-5 ordering kept for the tier below: everything here has an

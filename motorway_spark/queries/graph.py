@@ -194,3 +194,148 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_nodes"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-ordered orientation).
+# ---------------------------------------------------------------------------
+# Co-purchase support threshold: two parts are connected iff they
+# co-occur in at least this many distinct orders. This is the standard
+# frequent-pair gate from market-basket mining, and it is also what
+# keeps the graph SPARSE at every scale: candidate pairs grow ~sf while
+# the pair space grows ~sf^2, so the >=2 support edge count stays
+# roughly constant as the corpus scales (measured, SCALE.md) — the
+# graph thins rather than densifies.
+TRI_MIN_SUPPORT = 2
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH li AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    e AS MATERIALIZED (
+      SELECT a.pk AS u, b.pk AS v
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk
+      HAVING COUNT(*) >= {TRI_MIN_SUPPORT}),
+    deg AS MATERIALIZED (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      GROUP BY node),
+    tri AS (
+      SELECT COUNT(*) AS t
+      FROM e e1 JOIN e e2 ON e1.v = e2.u
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+    wed AS (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS w FROM deg)
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM e) AS n_edges,
+           w AS n_wedges,
+           t AS n_triangles,
+           CASE WHEN w = 0 THEN NULL
+                ELSE ROUND(CAST(3 * t AS DOUBLE) / CAST(w AS DOUBLE), 6)
+           END AS global_clustering
+    FROM tri, wed
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the
+    co-purchase graph (parts connected when they appear together in
+    >= TRI_MIN_SUPPORT orders) — the third canonical graph kernel next
+    to PageRank and connected components, and the standard
+    community-structure diagnostic (transitivity) run before any
+    clustering/partitioning decision.
+
+    Spark side uses the DEGREE-ORDERED ORIENTATION algorithm
+    (Suri & Vassilvitskii, WWW'11 / Cohen's MapReduce curriculum):
+    orient every undirected edge from its lower-(degree, id) endpoint
+    to the higher one, producing a DAG whose out-degree is O(sqrt(m));
+    then wedges = o1 join o2 on shared source and a triangle closes
+    when the third side exists as a DAG edge. Each triangle has exactly
+    one 2-out-degree apex in the DAG, so COUNT(*) is exact with no /3
+    or /6 correction. The oracle counts the same triangles on the
+    id-ordered form (u<v<w chain join) — orientation changes the join
+    cost, never the triangle set. The clustering coefficient
+    3T / wedges is one integer division rounded at 6 (wedge counts are
+    exact integers from the undirected degree table).
+
+    Scale shape (100 TB): the per-order self-join is bounded by
+    orders' line counts (<= 7 items -> <= 21 pairs per order, a pure
+    map-side expansion); the support gate is one map-side-combinable
+    hash agg on (u,v); orientation joins the edge list to the
+    node-sized degree table twice (AQE broadcasts it when it fits);
+    the wedge join's fan-out is capped by the sqrt(m) out-degree bound
+    — the whole point of orienting — instead of the unbounded hub
+    degrees of the naive id-ordering. No driver-side state, no
+    iteration.
+    """
+    cat = Catalog(spark, sf_dir)
+    li = (
+        cat.lineitem.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+    )
+    e = (
+        li.alias("a")
+        .join(li.alias("b"), (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= TRI_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    # e feeds degree, orientation, the wedge join AND the closing join —
+    # persist once through the shared registry (sf10 cache lesson).
+    from motorway_spark.maintenance import CACHES
+
+    e = CACHES.persist_swap("triangles.edges", e)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    o1 = o.select(F.col("src").alias("s"), F.col("dst").alias("a"))
+    o2 = o.select(F.col("src").alias("s"), F.col("dst").alias("b"))
+    wedges = o1.join(o2, "s").filter(F.col("a") != F.col("b"))
+    closing = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    tri = wedges.join(closing, ["a", "b"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    wed = deg.agg(
+        F.sum(F.expr("deg * (deg - 1) div 2")).cast("bigint").alias("n_wedges")
+    )
+    return (
+        n_nodes.crossJoin(n_edges)
+        .crossJoin(wed)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") == 0, F.lit(None).cast("double")
+            )
+            .otherwise(
+                F.round(
+                    (F.lit(3) * F.col("n_triangles")).cast("double")
+                    / F.col("n_wedges").cast("double"),
+                    6,
+                )
+            )
+            .alias("global_clustering"),
+        )
+    )

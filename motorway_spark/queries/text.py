@@ -689,3 +689,119 @@ def text_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_boilerplate"),
         F.coalesce("kept_text", F.lit("")).alias("kept_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring.
+# ---------------------------------------------------------------------------
+# Okapi BM25 free parameters (Robertson et al., TREC-3): k1 saturates
+# term frequency, b interpolates document-length normalization.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("vector", "scan", "merge")  # the fixed retrieval query
+BM25_TOPK = 10
+
+# One shared SQL text for the per-(doc,term) contribution, parsed by
+# BOTH engines so the IEEE op tree is identical operation for
+# operation: +,-,*,/ are exactly-rounded, so identical trees over
+# identical inputs give bit-identical doubles, and the DECIMAL(38,6)
+# cast makes the per-doc sum order-free (helpers.py convention). All
+# literals are cast to DOUBLE explicitly because bare 2.2/0.75 parse as
+# DECIMAL literals in both dialects and the engines' decimal-vs-double
+# promotion rules are not worth trusting to agree.
+#   idf      = (N - df + 0.5) / (df + 0.5)   -- odds form, ln OMITTED:
+#              ln is monotone (per-term ranking unchanged) but libm ln
+#              differs in final ulps across engines (the
+#              text_tfidf_topterms precedent, applied to BM25)
+#   tf part  = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+_BM25_CONTRIB = (
+    "CAST((((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+    " / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))"
+    " * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))"
+    " / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)"
+    " * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)"
+    " * (CAST(dl AS DOUBLE) / (CAST(total_dl AS DOUBLE) / CAST(n AS DOUBLE)))))))"
+    " AS DECIMAL(38,6))"
+)
+
+_BM25_IN = "('" + "', '".join(BM25_TERMS) + "')"
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    dl AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(SUM(dl) AS BIGINT) AS total_dl, COUNT(*) AS n FROM dl),
+    qtok AS MATERIALIZED (
+      SELECT doc_id, t FROM tok WHERE t IN {_BM25_IN}),
+    tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM qtok GROUP BY doc_id, t),
+    dfq AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM qtok GROUP BY t),
+    contrib AS (
+      SELECT doc_id, {_BM25_CONTRIB} AS c
+      FROM tf JOIN dfq USING (t) JOIN dl USING (doc_id), stats),
+    scored AS (
+      SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_terms,
+             ROUND(CAST(SUM(c) AS DOUBLE), 6) AS bm25
+      FROM contrib GROUP BY doc_id)
+    SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER)
+             AS rnk,
+           doc_id, n_terms, bm25
+    FROM scored
+    QUALIFY rnk <= {BM25_TOPK}
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval: score every document against a fixed term
+    query and return the top-{BM25_TOPK} — the ranking primitive behind
+    corpus search, RAG candidate retrieval, and contamination triage
+    ("which training docs look like this eval question"). Classic
+    formula (k1=1.2, b=0.75) with the idf kept in odds form instead of
+    ln(odds): ln is strictly monotone so each TERM's document ordering
+    is identical, and dropping it keeps the whole score inside
+    exactly-rounded IEEE arithmetic — bit-reproducible across engines
+    (the text_tfidf_topterms precedent; libm ln is not
+    correctly-rounded and differs across implementations). The exact
+    contribution expression is ONE shared SQL string parsed by both
+    engines, and per-doc summation is decimal-cast so accumulation
+    order cannot matter.
+
+    Scale shape (100 TB): dl and tf are map-side-combinable hash
+    aggregates over the token stream; df and the corpus stats collapse
+    to a |query|-row and 1-row frame (broadcast); the only doc-keyed
+    shuffle joins tf to dl. Top-k is TakeOrderedAndProject (no global
+    sort); the final rank window runs over exactly {BM25_TOPK} rows.
+    NULL text drops on both engines (explode/unnest of NULL emits no
+    row); empty text contributes its [''] token to dl identically on
+    both.
+    """
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).documents
+    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").cast("bigint").alias("total_dl"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    qtok = tok.filter(F.col("t").isin(*BM25_TERMS))
+    tf = qtok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = qtok.groupBy("t").agg(F.count_distinct("doc_id").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfq), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.expr(_BM25_CONTRIB).alias("c"))
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_terms"),
+        F.round(F.sum("c").cast("double"), 6).alias("bm25"),
+    )
+    top = scored.orderBy(F.desc("bm25"), "doc_id").limit(BM25_TOPK)
+    w = Window.orderBy(F.desc("bm25"), "doc_id")
+    return top.withColumn("rnk", F.row_number().over(w).cast("int")).select(
+        "rnk", "doc_id", "n_terms", "bm25"
+    )

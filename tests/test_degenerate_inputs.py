@@ -137,6 +137,10 @@ NULL_PARITY = [
     "dedup_chunk_global",
     "text_boilerplate_chunks",
     "pipeline_dedup_funnel",
+    # round-6 batch-5: BM25's dl/avgdl statistics must see the same
+    # document set on both engines when text is NULL (explode/unnest
+    # drop) or empty ([''] counts one token on both)
+    "text_bm25_topk",
 ]
 
 

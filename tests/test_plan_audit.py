@@ -537,3 +537,25 @@ def test_range_search_has_no_post_fanout_exchange(spark):
     assert "hashpartitioning" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_bm25_topk_bounded_and_broadcast(spark):
+    """text_bm25_topk: the corpus-stat frames (df per query term, the
+    1-row totals) must broadcast — never shuffle the token stream
+    against them — and the top-k must be TakeOrderedAndProject, not a
+    global sort; the rank window then runs over exactly k rows."""
+    plan = _plan(spark, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_count_no_cartesian(spark):
+    """graph_triangle_count: every join is key-equality (order, node,
+    (a,b) pair); the degree-orientation must not smuggle in a cartesian
+    or nested-loop pairing."""
+    plan = _plan(spark, "graph_triangle_count")
+    assert "CartesianProduct" not in plan
+    # the 4 scalar counts combine via 1-row broadcast nested loops —
+    # that's the acceptable kind; key joins must be hash joins
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
