@@ -608,19 +608,31 @@ def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from motorway_spark.queries.similarity import dedup_semantic_semdedup
 
+    from motorway_spark.maintenance import CACHES
+
     docs = Catalog(spark, sf_dir).documents
     s1 = dedup_exact_keep_first(spark, sf_dir).select("doc_id")
     clusters = dedup_cluster_canonical(spark, sf_dir).select(
         F.col("doc_id").alias("c_doc_id"), "is_canonical"
     )
+    flags = dedup_semantic_semdedup(spark, sf_dir).select(
+        F.col("vec_id").alias("f_doc_id"), "keep"
+    )
+    # The four ledger counts are branches of ONE plan: without a cache,
+    # c1/c2/c3 each recompute the keep-first shuffle and c2/c3 the
+    # cluster join (the label-propagation loop itself is localCheckpoint
+    # -truncated inside dedup_cluster_canonical, so it never re-runs).
+    # Persist the survivor-id frames NON-exclusively, and only after the
+    # semdedup call above — its own exclusive persist_swap would release
+    # any funnel scope registered earlier. Both frames are doc_id-only
+    # (narrowest possible cache).
+    s1 = CACHES.persist_swap("funnel.s1", s1, exclusive=False)
     s2 = (
         s1.join(clusters, F.col("doc_id") == F.col("c_doc_id"), "left")
         .filter(F.col("c_doc_id").isNull() | F.col("is_canonical"))
         .select("doc_id")
     )
-    flags = dedup_semantic_semdedup(spark, sf_dir).select(
-        F.col("vec_id").alias("f_doc_id"), "keep"
-    )
+    s2 = CACHES.persist_swap("funnel.s2", s2, exclusive=False)
     s3 = (
         s2.join(flags, F.col("doc_id") == F.col("f_doc_id"), "left")
         .filter(F.col("keep").isNull() | F.col("keep"))
