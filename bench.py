@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "text_boilerplate_chunks",
     "text_bm25_topk",
     "graph_triangle_count",
+    "stream_corpus_ingest",
 ]
 
 # Sub-second timings at sf0.1 sit inside machine-noise width; best-of-2

@@ -133,6 +133,7 @@ _SWEEP_PRIORITY_R6B = [
     "text_boilerplate_chunks",
     "text_bm25_topk",
     "graph_triangle_count",
+    "stream_corpus_ingest",
 ]
 
 # Round-5 ordering kept for the tier below: everything here has an

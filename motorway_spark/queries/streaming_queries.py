@@ -1042,3 +1042,171 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(f"stream produced no batches into {root}/flags")
     # survives the next invocation's rmtree of this run's table dir
     return out.localCheckpoint(eager=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus ingestion: quality gate -> exact-dup registry -> landing.
+# ---------------------------------------------------------------------------
+_LAST_INGEST_DIR: str | None = None
+
+
+def _ingest_oracle() -> str:
+    from motorway_spark.queries.text import QUALITY_GATE_SQL
+
+    return f"""
+    WITH gated AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS fp,
+             {QUALITY_GATE_SQL} AS passed_quality
+      FROM documents),
+    dedup AS (
+      SELECT doc_id, passed_quality,
+             passed_quality AND doc_id >
+               MIN(CASE WHEN passed_quality THEN doc_id END)
+                 OVER (PARTITION BY fp) AS is_exact_dup
+      FROM gated)
+    SELECT doc_id, passed_quality,
+           coalesce(is_exact_dup, FALSE) AS is_exact_dup,
+           passed_quality AND NOT coalesce(is_exact_dup, FALSE) AS kept
+    FROM dedup
+    """
+
+
+def _ingest_process_batch(bdf: DataFrame, batch_id: int, flags_sink, reg_sink) -> None:
+    """One micro-batch of the streaming ingest gate: per-row quality
+    verdict (stateless), exact-dup check against the pre-batch md5
+    registry + the in-batch window min over PASSING docs, MERGE the
+    per-doc verdicts then the updated registry (see
+    stream_corpus_ingest)."""
+    from pyspark.sql import Window
+
+    from motorway_spark.queries.text import quality_gate
+
+    b = bdf.select(
+        "doc_id",
+        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias("fp"),
+        quality_gate(F.col("text")).alias("passed_quality"),
+    ).persist()
+    try:
+        # dedup only among gate-passing docs: failures never claim a
+        # fingerprint (a later clean copy of a rejected doc is FIRST)
+        pass_id = F.when(F.col("passed_quality"), F.col("doc_id"))
+        scored = b.withColumn(
+            "batch_min", F.min(pass_id).over(Window.partitionBy("fp"))
+        )
+        reg = reg_sink.read()
+        if reg is not None:
+            scored = scored.join(reg, ["fp"], "left").withColumn(
+                "prior_min", -F.col("neg_min_doc_id")
+            )
+        else:
+            scored = scored.withColumn("prior_min", F.lit(None).cast("bigint"))
+        min_seen = F.least("batch_min", "prior_min")  # least() skips NULLs
+        dup = F.col("passed_quality") & (F.col("doc_id") > min_seen)
+        flags = scored.select(
+            "doc_id",
+            "passed_quality",
+            F.coalesce(dup, F.lit(False)).alias("is_exact_dup"),
+            (F.col("passed_quality") & ~F.coalesce(dup, F.lit(False))).alias(
+                "kept"
+            ),
+        )
+        # verdicts first against the PRE-batch registry, registry second;
+        # both sinks replay-idempotent via their batch-id WALs
+        flags_sink.upsert_batch(flags, batch_id)
+        new_reg = (
+            b.filter("passed_quality")
+            .groupBy("fp")
+            .agg((-F.min("doc_id")).alias("neg_min_doc_id"))
+        )
+        reg_sink.upsert_batch(new_reg, batch_id)
+    finally:
+        b.unpersist()
+
+
+@query("stream_corpus_ingest", oracle=_ingest_oracle())
+def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus INGESTION — the front door of a training-data
+    pipeline run as a stream: every arriving document gets (1) the
+    registered quality gate (text_quality's passes_filter predicate,
+    reused via text.quality_gate so stream and batch semantics cannot
+    drift) and (2) an exact-duplicate check against an md5-fingerprint
+    REGISTRY of every passing document ever seen; the per-doc verdict
+    row (passed_quality, is_exact_dup, kept) lands in an upsert table.
+    Composes the stream_dedup_minhash architecture (foreachBatch, all
+    JVM-side, hash-bucketed UpsertParquetSink MERGEs, exactly-once via
+    batch-id WALs on both tables) with the text-quality family: gates
+    are per-row and stateless, so they run BEFORE the registry join —
+    the cheap filter cuts the stateful path's input, the same ordering
+    as the batch pipeline_corpus_curation.
+
+    Registry state is ONE int64 per distinct fingerprint of a PASSING
+    doc (rejected docs never claim a fingerprint — a later clean copy
+    of a rejected doc counts as first). The sink keeps the
+    highest-sorting value per key, so the registry stores the NEGATED
+    min doc_id (max(-id) = min id across batches). Same cross-batch
+    ordering contract as stream_dedup_minhash: ingest logs arrive in
+    doc_id order; within a batch order is irrelevant (window min).
+
+    Scale shape (100 TB/day ingest): per batch one narrow
+    (doc_id, fp, bool) projection, one fp-keyed window/agg pair, one
+    broadcast-or-hash join against the touched slice of the registry,
+    and two bucket-pruned MERGEs — state grows with DISTINCT passing
+    fingerprints, not stream length; nothing Python-side, nothing
+    per-row.
+
+    Reference: the exact-key replay-id dedup of motorway/ramp.py
+    (should_take_message) upgraded to content fingerprints + quality
+    verdicts.
+    """
+    import shutil
+    import tempfile
+
+    from motorway_spark.sinks.upsert import UpsertParquetSink
+    from motorway_spark.streaming.runner import stream_documents
+
+    global _LAST_INGEST_DIR
+    if _LAST_INGEST_DIR is not None:
+        shutil.rmtree(_LAST_INGEST_DIR, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="stream_ingest_")
+    _LAST_INGEST_DIR = root
+    flags_sink = UpsertParquetSink(spark, f"{root}/flags", key_cols=["doc_id"])
+    reg_sink = UpsertParquetSink(spark, f"{root}/registry", key_cols=["fp"])
+
+    def process_batch(bdf: DataFrame, batch_id: int) -> None:
+        _ingest_process_batch(bdf, batch_id, flags_sink, reg_sink)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for attempt in (1, 2):
+            if attempt > 1:
+                shutil.rmtree(f"{root}/flags", ignore_errors=True)
+                shutil.rmtree(f"{root}/registry", ignore_errors=True)
+            q = (
+                stream_documents(spark, sf_dir)
+                .writeStream.outputMode("append")
+                .trigger(availableNow=True)
+                .foreachBatch(process_batch)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(600):
+                    raise TimeoutError("stream did not drain within 600s")
+                break
+            except Exception as exc:  # noqa: BLE001
+                if attempt == 1 and "Python worker" in str(exc):
+                    continue
+                raise
+            finally:
+                if q.isActive:
+                    q.stop()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+    out = flags_sink.read()
+    if out is None:
+        raise RuntimeError(f"stream produced no batches into {root}/flags")
+    # survives the next invocation's rmtree of this run's table dir
+    return out.localCheckpoint(eager=True)

@@ -805,3 +805,31 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(w).cast("int")).select(
         "rnk", "doc_id", "n_terms", "bm25"
     )
+
+
+# ---------------------------------------------------------------------------
+# Shared quality-gate predicate (text_quality's passes_filter, NULL-safe).
+# ---------------------------------------------------------------------------
+# Spark Column and DuckDB SQL forms of the SAME predicate so streaming
+# composites (stream_corpus_ingest) can reuse the registered gate
+# semantics without copy drift. NULL text coalesces to '' on both
+# engines first: Spark's size(split(NULL)) is -1 while DuckDB's
+# len(string_split(NULL)) is NULL — coalescing is the only form with
+# one boolean answer everywhere ('' -> [''] -> n=1 -> fails the gate).
+
+
+def quality_gate(textcol: Column) -> Column:
+    """text_quality's passes_filter (n_tokens >= 10 AND uniq > 0.2)."""
+    t = F.coalesce(textcol, F.lit(""))
+    toks = F.split(t, " ")
+    n = F.size(toks)
+    return (n >= 10) & (
+        F.size(F.array_distinct(toks)).cast("double") / n > 0.2
+    )
+
+
+QUALITY_GATE_SQL = (
+    "(len(string_split(coalesce(text, ''), ' ')) >= 10"
+    " AND CAST(len(list_distinct(string_split(coalesce(text, ''), ' ')))"
+    " AS DOUBLE) / len(string_split(coalesce(text, ''), ' ')) > 0.2)"
+)

@@ -141,6 +141,10 @@ NULL_PARITY = [
     # document set on both engines when text is NULL (explode/unnest
     # drop) or empty ([''] counts one token on both)
     "text_bm25_topk",
+    # round-6 batch-6: the streaming ingest gate coalesces NULL text to
+    # '' on both engines (gate fails, fingerprint = md5('')) — NULL and
+    # empty docs must produce identical verdict rows
+    "stream_corpus_ingest",
 ]
 
 

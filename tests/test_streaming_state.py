@@ -406,3 +406,61 @@ def test_stream_dedup_minhash_cross_batch_registry(spark, tmp_path):
     # registry kept the MIN doc_id per bucket (negated storage)
     reg = reg_sink.read()
     assert reg.filter(F.col("neg_min_doc_id") > 0).count() == 0
+
+
+def test_stream_corpus_ingest_cross_batch_registry(spark, tmp_path):
+    """The md5 fingerprint registry must carry across micro-batches
+    (a copy arriving LATER is is_exact_dup), and a REJECTED doc must
+    never claim a fingerprint (a later clean copy counts as first).
+    Two parquet files + maxFilesPerTrigger=1 force two real batches."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from motorway_spark.queries import streaming_queries as sq
+    from motorway_spark.sinks.upsert import UpsertParquetSink
+
+    good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    short = "too short"  # fails the n_tokens >= 10 gate
+    batch1 = [(0, good), (1, short)]
+    # 2: exact copy of doc 0 (must flag); 3: clean copy of the REJECTED
+    # short text, padded to pass the gate -> must NOT be a dup of 1
+    batch2 = [(2, good), (3, short + " one two three four five six seven ei")]
+    src = tmp_path / "ingest_stream"
+    src.mkdir()
+    for i, rows in enumerate((batch1, batch2)):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(tmp_path / f"ib{i}"))
+        part = next((tmp_path / f"ib{i}").glob("part-*.parquet"))
+        shutil.copy(part, src / f"{i:02d}.parquet")
+
+    root = tmp_path / "ingest"
+    root.mkdir()
+    flags_sink = UpsertParquetSink(spark, str(root / "flags"), key_cols=["doc_id"])
+    reg_sink = UpsertParquetSink(spark, str(root / "registry"), key_cols=["fp"])
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(src))
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .foreachBatch(
+            lambda bdf, b_id: sq._ingest_process_batch(bdf, b_id, flags_sink, reg_sink)
+        )
+        .start()
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+
+    out = {r["doc_id"]: r for r in flags_sink.read().collect()}
+    assert len(out) == 4
+    assert out[0]["kept"] and not out[0]["is_exact_dup"]       # first copy
+    assert not out[1]["passed_quality"] and not out[1]["kept"]  # gate reject
+    assert out[2]["is_exact_dup"] and not out[2]["kept"]        # later-batch copy
+    assert out[3]["kept"] and not out[3]["is_exact_dup"]        # reject never claimed fp
+    # registry holds passing fingerprints only (negated min ids)
+    reg = reg_sink.read()
+    assert reg.count() == 2
+    assert reg.filter(F.col("neg_min_doc_id") > 0).count() == 0
