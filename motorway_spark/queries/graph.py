@@ -276,25 +276,49 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Per-order pair expansion as a MAP, not a self-join: one shuffle
+    # groups each order's distinct parts into a sorted basket
+    # (collect_set dedups in-row, so no distinct() pre-shuffle), then
+    # nested higher-order transforms emit the i<j pairs in-row — the
+    # dedup_chunk_global trick applied to pair generation. Warm
+    # wall-clock matches the self-join form at sf0.1 (both bounded by
+    # the (u,v) support shuffle) but this shape shuffles lineitem ONCE
+    # instead of three times (distinct + both join sides) — the term
+    # that matters at 100 TB, where lineitem is the 100-TB table.
+    baskets = li.groupBy("ok").agg(F.sort_array(F.collect_set("pk")).alias("pks"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("pks"),
+            lambda x, i: F.transform(
+                F.slice(F.col("pks"), i + 2, F.size(F.col("pks"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
     e = (
-        li.alias("a")
-        .join(li.alias("b"), (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        baskets.select(F.inline(pair_arr))
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= TRI_MIN_SUPPORT)
         .select("u", "v")
     )
-    # e feeds degree, orientation, the wedge join AND the closing join —
-    # persist once through the shared registry (sf10 cache lesson).
+    # Every downstream frame fans out from e (degree, orientation,
+    # wedge, closing) and from deg / the oriented DAG in turn — persist
+    # all three through the shared registry (exclusive only on the
+    # first: the later two must not release the earlier). All three are
+    # edge-/node-sized, the narrowest frames in the plan; without the
+    # deg and o persists the union-groupBy degree pass and the two
+    # orientation joins re-ran once per output branch (measured 4.7 ->
+    # 2.6 s at sf0.1).
     from motorway_spark.maintenance import CACHES
 
     e = CACHES.persist_swap("triangles.edges", e)
     deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
+        e.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+    deg = CACHES.persist_swap("triangles.deg", deg, exclusive=False)
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
     ed = e.join(du, "u").join(dv, "v")
@@ -305,6 +329,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
     )
+    o = CACHES.persist_swap("triangles.oriented", o, exclusive=False)
     o1 = o.select(F.col("src").alias("s"), F.col("dst").alias("a"))
     o2 = o.select(F.col("src").alias("s"), F.col("dst").alias("b"))
     wedges = o1.join(o2, "s").filter(F.col("a") != F.col("b"))
@@ -312,15 +337,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = wedges.join(closing, ["a", "b"]).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
-    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
-    wed = deg.agg(
-        F.sum(F.expr("deg * (deg - 1) div 2")).cast("bigint").alias("n_wedges")
+    # node count, edge count (sum(deg)/2) and wedge count in ONE pass
+    # over the cached node-sized degree table
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.expr("sum(deg) div 2").cast("bigint").alias("n_edges"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).cast("bigint").alias("n_wedges"),
     )
     return (
-        n_nodes.crossJoin(n_edges)
-        .crossJoin(wed)
-        .crossJoin(tri)
+        stats.crossJoin(tri)
         .select(
             "n_nodes",
             "n_edges",
