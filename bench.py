@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "text_bm25_topk",
     "graph_triangle_count",
     "stream_corpus_ingest",
+    "text_inverted_index",
 ]
 
 # Sub-second timings at sf0.1 sit inside machine-noise width; best-of-2

@@ -134,6 +134,7 @@ _SWEEP_PRIORITY_R6B = [
     "text_bm25_topk",
     "graph_triangle_count",
     "stream_corpus_ingest",
+    "text_inverted_index",
 ]
 
 # Round-5 ordering kept for the tier below: everything here has an

@@ -833,3 +833,62 @@ QUALITY_GATE_SQL = (
     " AND CAST(len(list_distinct(string_split(coalesce(text, ''), ' ')))"
     " AS DOUBLE) / len(string_split(coalesce(text, ''), ' ')) > 0.2)"
 )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build.
+# ---------------------------------------------------------------------------
+@query(
+    "text_inverted_index",
+    oracle="""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS MATERIALIZED (
+      SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY term, doc_id)
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT) AS cf,
+           MIN(doc_id) AS first_doc,
+           md5(string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id))
+             AS postings_md5
+    FROM tf GROUP BY term
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index BUILD — the batch job behind every search/BM25
+    serving system (and the disk layout text_bm25_topk would query at
+    serving time): one row per vocabulary term carrying document
+    frequency, collection frequency, the first posting, and the full
+    doc_id-ordered posting list (doc:tf pairs) reduced to an md5
+    fingerprint. The fingerprint stands in for the list itself in the
+    correctness contract: a scalar column order-insensitive result
+    checkers can hash, while still pinning every posting's identity,
+    order AND term frequency bit-for-bit across engines.
+
+    Scale shape (100 TB): tf is one (term, doc) hash aggregate over the
+    token stream (map-side combinable); the index rows are one further
+    term-keyed aggregate whose posting assembly is in-row
+    (array_sort + transform + array_join — no window, no second
+    shuffle). Output is vocabulary-sized, partitioned by term hash —
+    exactly how the posting files of a sharded index are laid out.
+    Skew note: stopword-grade terms concentrate postings; at corpus
+    scale the assembly stays map-side-combinable into the term shuffle
+    and AQE splits oversized partitions — no driver-side state.
+    NULL text drops on both engines (explode/unnest of NULL).
+    """
+    docs = Catalog(spark, sf_dir).documents
+    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    tf = tok.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    postings = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+            lambda s: F.concat_ws(":", s.doc_id.cast("string"), s.tf.cast("string")),
+        ),
+        ",",
+    )
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").cast("bigint").alias("cf"),
+        F.min("doc_id").alias("first_doc"),
+        F.md5(postings.cast("binary")).alias("postings_md5"),
+    )

@@ -145,6 +145,9 @@ NULL_PARITY = [
     # '' on both engines (gate fails, fingerprint = md5('')) — NULL and
     # empty docs must produce identical verdict rows
     "stream_corpus_ingest",
+    # the posting fingerprints must agree when NULL/empty text shrinks
+    # the token stream (NULL drops, '' contributes one [''] token)
+    "text_inverted_index",
 ]
 
 
