@@ -559,3 +559,13 @@ def test_triangle_count_no_cartesian(spark):
     # the 4 scalar counts combine via 1-row broadcast nested loops —
     # that's the acceptable kind; key joins must be hash joins
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_dedup_funnel_counts_run_from_cache(spark):
+    """pipeline_dedup_funnel: the four ledger counts must read the
+    persisted survivor frames (InMemoryTableScan), not re-run the
+    keep-first shuffle per branch; no cartesian beyond the 1-row
+    ledger combination."""
+    plan = _plan(spark, "pipeline_dedup_funnel")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
