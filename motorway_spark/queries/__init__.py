@@ -135,6 +135,7 @@ _SWEEP_PRIORITY_R6B = [
     "graph_triangle_count",
     "stream_corpus_ingest",
     "text_inverted_index",
+    "dedup_minhash_cap_loss",
 ]
 
 # Round-5 ordering kept for the tier below: everything here has an

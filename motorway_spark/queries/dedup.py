@@ -1623,3 +1623,129 @@ def minhash_cluster_oracle_ctes() -> str:
       SELECT * FROM r),
     comp AS MATERIALIZED (
       SELECT doc AS doc_id, MIN(other) AS cluster_id FROM reach GROUP BY doc)"""
+
+
+def _cap_loss_oracle() -> str:
+    return f"""
+    WITH sig AS MATERIALIZED (
+      SELECT doc_id, {_SQL_MINHASH} AS mh
+      FROM (SELECT doc_id, {_SQL_CHAR_SHINGLES} AS sh FROM documents)
+      WHERE len(sh) > 0),
+    bands AS MATERIALIZED (
+      SELECT doc_id, band,
+             md5(array_to_string(mh[band*4+1 : band*4+4], ',')) AS bucket
+      FROM sig, UNNEST(range(0, {N_BANDS})) AS t(band)),
+    est_all AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               CAST(len(list_filter(range(1, {N_MINHASH}+1),
+                    i -> sa.mh[i] = sb.mh[i])) AS DOUBLE) / {N_MINHASH}
+                 AS est_jaccard
+        FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bucket = b.bucket
+              WHERE a.doc_id < b.doc_id)
+        JOIN sig sa ON doc_a = sa.doc_id
+        JOIN sig sb ON doc_b = sb.doc_id)
+      WHERE est_jaccard >= 0.375),
+    hot AS (
+      SELECT band, bucket FROM bands
+      GROUP BY band, bucket HAVING COUNT(*) > {MH_BUCKET_CAP}),
+    keep AS MATERIALIZED (
+      SELECT * FROM bands b
+      WHERE NOT EXISTS (SELECT 1 FROM hot h
+                        WHERE h.band = b.band AND h.bucket = b.bucket)),
+    est_cap AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               CAST(len(list_filter(range(1, {N_MINHASH}+1),
+                    i -> sa.mh[i] = sb.mh[i])) AS DOUBLE) / {N_MINHASH}
+                 AS est_jaccard
+        FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM keep a JOIN keep b
+                ON a.band = b.band AND a.bucket = b.bucket
+              WHERE a.doc_id < b.doc_id)
+        JOIN sig sa ON doc_a = sa.doc_id
+        JOIN sig sb ON doc_b = sb.doc_id)
+      WHERE est_jaccard >= 0.375),
+    dropped AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM est_all
+      EXCEPT SELECT doc_a, doc_b FROM est_cap),
+    c AS (
+      SELECT (SELECT COUNT(*) FROM est_all) AS n_all,
+             (SELECT COUNT(*) FROM est_cap) AS n_cap,
+             (SELECT COUNT(*) FROM dropped) AS n_drop,
+             (SELECT COUNT(DISTINCT doc)
+              FROM (SELECT doc_a AS doc FROM dropped
+                    UNION ALL SELECT doc_b FROM dropped)) AS n_docs)
+    SELECT n_all AS n_pairs_uncapped,
+           n_cap AS n_pairs_capped,
+           n_drop AS n_pairs_dropped,
+           n_docs AS n_docs_affected,
+           CASE WHEN n_all = 0 THEN NULL
+                ELSE ROUND(CAST(n_cap AS DOUBLE) / CAST(n_all AS DOUBLE), 6)
+           END AS retained_pct
+    FROM c
+    """
+
+
+@query("dedup_minhash_cap_loss", oracle=_cap_loss_oracle())
+def dedup_minhash_cap_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVALUATION of the production LSH path: exactly which verified
+    near-dup pairs does the hot-bucket cap (the 100 TB survival
+    mechanism) sacrifice relative to the uncapped ground truth? One
+    summary row: pair counts for both generators, the dropped-pair
+    count, how many documents those dropped pairs touch, and the
+    retention ratio. SCALE.md argues the trade-off qualitatively
+    (dropped buckets are template families whose members are still
+    deduplicated via other bands or the exact stage); this measures it
+    under the oracle — both generators are the registered
+    dedup_minhash / dedup_minhash_capped chains, and the capped pair
+    set is provably a subset (the cap only removes band rows), so the
+    anti-join IS the sacrifice.
+
+    Deliberately NOT in bench.py: it embeds the uncapped
+    ground-truth twin, which carries the documented quadratic and is
+    excluded from sf10 by design — the evaluation belongs at gate SF
+    (driver sf0.01) and in ad-hoc audits, not on the scale ledger.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    est_all = _minhash_est_pairs(docs).select("doc_a", "doc_b")
+    est_cap = _minhash_est_pairs(docs, max_bucket_width=MH_BUCKET_CAP).select(
+        "doc_a", "doc_b"
+    )
+    from motorway_spark.maintenance import CACHES
+
+    # three consumers each (counts + anti-join) — persist both pair
+    # sets; non-exclusive so the second persist keeps the first
+    est_all = CACHES.persist_swap("caploss.all", est_all)
+    est_cap = CACHES.persist_swap("caploss.cap", est_cap, exclusive=False)
+    dropped = est_all.join(est_cap, ["doc_a", "doc_b"], "left_anti")
+    dropped = CACHES.persist_swap("caploss.dropped", dropped, exclusive=False)
+    n_all = est_all.agg(F.count(F.lit(1)).alias("n_pairs_uncapped"))
+    n_cap = est_cap.agg(F.count(F.lit(1)).alias("n_pairs_capped"))
+    n_drop = dropped.agg(F.count(F.lit(1)).alias("n_pairs_dropped"))
+    n_docs = (
+        dropped.select(F.explode(F.array("doc_a", "doc_b")).alias("doc"))
+        .agg(F.count_distinct("doc").alias("n_docs_affected"))
+    )
+    return (
+        n_all.crossJoin(n_cap)
+        .crossJoin(n_drop)
+        .crossJoin(n_docs)
+        .select(
+            "n_pairs_uncapped",
+            "n_pairs_capped",
+            "n_pairs_dropped",
+            "n_docs_affected",
+            F.when(F.col("n_pairs_uncapped") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    F.col("n_pairs_capped").cast("double")
+                    / F.col("n_pairs_uncapped").cast("double"),
+                    6,
+                )
+            )
+            .alias("retained_pct"),
+        )
+    )
