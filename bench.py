@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "graph_triangle_count",
     "stream_corpus_ingest",
     "text_inverted_index",
+    "orders_market_basket_rules",
 ]
 
 # Sub-second timings at sf0.1 sit inside machine-noise width; best-of-2

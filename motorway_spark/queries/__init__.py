@@ -136,6 +136,7 @@ _SWEEP_PRIORITY_R6B = [
     "stream_corpus_ingest",
     "text_inverted_index",
     "dedup_minhash_cap_loss",
+    "orders_market_basket_rules",
 ]
 
 # Round-5 ordering kept for the tier below: everything here has an

@@ -887,3 +887,110 @@ def sql_api_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules.
+# ---------------------------------------------------------------------------
+# Minimum pair support (distinct co-occurrence orders) — same gate as
+# graph_triangle_count's co-purchase graph.
+MB_MIN_SUPPORT = 2
+
+
+@query(
+    "orders_market_basket_rules",
+    oracle=f"""
+    WITH li AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM li),
+    sup AS MATERIALIZED (
+      SELECT pk, COUNT(*) AS sup FROM li GROUP BY pk),
+    pairs AS MATERIALIZED (
+      SELECT a.pk AS u, b.pk AS v, COUNT(*) AS sup_pair
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk
+      HAVING COUNT(*) >= {MB_MIN_SUPPORT}),
+    rules AS (
+      SELECT u AS antecedent, v AS consequent, sup_pair FROM pairs
+      UNION ALL
+      SELECT v, u, sup_pair FROM pairs)
+    SELECT antecedent, consequent, sup_pair AS support_pair,
+           sa.sup AS support_antecedent,
+           ROUND(CAST(sup_pair AS DOUBLE) / CAST(sa.sup AS DOUBLE), 6)
+             AS confidence,
+           ROUND((CAST(sup_pair AS DOUBLE) * CAST(n_orders AS DOUBLE))
+                 / (CAST(sa.sup AS DOUBLE) * CAST(sc.sup AS DOUBLE)), 6)
+             AS lift
+    FROM rules
+    JOIN sup sa ON antecedent = sa.pk
+    JOIN sup sc ON consequent = sc.pk
+    CROSS JOIN n
+    """,
+)
+def orders_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets (Agrawal/Srikant
+    a-priori semantics at pair depth): for every part pair co-purchased
+    in >= MB_MIN_SUPPORT distinct orders, both directed rules a=>b with
+    support, confidence = P(b|a) and lift = P(a,b)/(P(a)P(b)) — the
+    classic retail/recommender workload, and the probabilistic reading
+    of graph_triangle_count's co-purchase graph (same support gate,
+    same basket machinery).
+
+    Scale shape (100 TB): baskets are one hash aggregate on the order
+    key with IN-ROW pair expansion (sorted collect_set + nested
+    transforms — no self-join; the triangle-count trick), pair support
+    is one map-side-combinable (u,v) aggregate bounded by the support
+    gate, and the per-part support table is vocabulary-sized — both
+    support joins broadcast under AQE. Confidence/lift are single
+    divisions over integer counts, identical op trees both engines.
+    """
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    sup = li.distinct().groupBy("pk").agg(F.count(F.lit(1)).alias("sup"))
+    n = li.agg(F.count_distinct("ok").alias("n_orders"))
+    baskets = li.groupBy("ok").agg(F.sort_array(F.collect_set("pk")).alias("pks"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("pks"),
+            lambda x, i: F.transform(
+                F.slice(F.col("pks"), i + 2, F.size(F.col("pks"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.inline(pair_arr))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("sup_pair"))
+        .filter(F.col("sup_pair") >= MB_MIN_SUPPORT)
+    )
+    rules = pairs.select(
+        F.col("u").alias("antecedent"), F.col("v").alias("consequent"), "sup_pair"
+    ).unionAll(
+        pairs.select(
+            F.col("v").alias("antecedent"), F.col("u").alias("consequent"), "sup_pair"
+        )
+    )
+    sa = sup.select(F.col("pk").alias("antecedent"), F.col("sup").alias("sup_a"))
+    sc = sup.select(F.col("pk").alias("consequent"), F.col("sup").alias("sup_c"))
+    return (
+        rules.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sc), "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("sup_pair").alias("support_pair"),
+            F.col("sup_a").alias("support_antecedent"),
+            F.round(
+                F.col("sup_pair").cast("double") / F.col("sup_a").cast("double"), 6
+            ).alias("confidence"),
+            F.round(
+                (F.col("sup_pair").cast("double") * F.col("n_orders").cast("double"))
+                / (F.col("sup_a").cast("double") * F.col("sup_c").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
