@@ -569,3 +569,13 @@ def test_dedup_funnel_counts_run_from_cache(spark):
     plan = _plan(spark, "pipeline_dedup_funnel")
     assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_market_basket_supports_broadcast(spark):
+    """orders_market_basket_rules: the per-part support tables are
+    vocabulary-sized and must ride broadcast joins; pair generation is
+    in-row (no self-join), so no cartesian may appear beyond the 1-row
+    corpus-total combine."""
+    plan = _plan(spark, "orders_market_basket_rules")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
