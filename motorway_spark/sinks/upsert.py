@@ -140,25 +140,99 @@ class UpsertParquetSink:
                 F.coalesce(F.col("b.bucket"), F.col("t.bucket")).alias("bucket"),
             )
 
-        # write the new bucket versions beside, then swap PER BUCKET —
-        # unaffected buckets are never rewritten or renamed
+        self._write_and_swap(merged, affected, drop_missing=False)
+        self._record_batch(batch_id)
+
+    def _write_and_swap(
+        self, new_df: DataFrame, affected: list[int], *, drop_missing: bool
+    ) -> None:
+        """Write the new versions of ``affected`` buckets beside the
+        table, then swap PER BUCKET — unaffected buckets are never
+        rewritten or renamed. ``drop_missing``: a bucket absent from the
+        write (all its rows removed) is DELETED rather than kept — the
+        delete paths need this; the merge path never shrinks a bucket
+        to zero (merge output ⊇ batch)."""
+        data_dir = self._data_dir()
         tmp = tempfile.mkdtemp(
             prefix="upsert_", dir=os.path.dirname(self.table_dir) or "."
         )
-        merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        new_df.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
         os.makedirs(data_dir, exist_ok=True)
         for k in affected:
             new_part = os.path.join(tmp, f"bucket={k}")
-            if not os.path.isdir(new_part):  # pragma: no cover — safety
-                continue
             old_part = os.path.join(data_dir, f"bucket={k}")
+            if not os.path.isdir(new_part):
+                if drop_missing and os.path.isdir(old_part):
+                    shutil.rmtree(old_part, ignore_errors=True)
+                continue
             bak = f"{old_part}.old"
             if os.path.isdir(old_part):
                 os.rename(old_part, bak)
             os.rename(new_part, old_part)
             shutil.rmtree(bak, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
-        self._record_batch(batch_id)
+
+    # -- maintenance: bucket-pruned deletes ------------------------------
+    def delete_keys(self, keys_df: DataFrame) -> int:
+        """Delete every row whose key appears in ``keys_df`` — the
+        right-to-be-forgotten sweep. Key-hash pruned exactly like the
+        merge: only the buckets the requested keys hash into are read
+        or rewritten; a bucket emptied by the delete is removed.
+        Idempotent (re-running the same request is a no-op). Returns
+        the number of rows deleted.
+
+        At 100 TB this is the same cost class as an upsert batch:
+        O(|touched buckets|), not O(|table|) — the property that makes
+        compliance deletes schedulable instead of a table rewrite."""
+        if not os.path.isdir(self._data_dir()):
+            return 0
+        keys = (
+            keys_df.select(*self.key_cols)
+            .dropDuplicates(self.key_cols)
+            .withColumn("bucket", self._bucket_expr())
+        )
+        affected = sorted(
+            r["bucket"] for r in keys.select("bucket").distinct().collect()
+        )
+        if not affected:
+            return 0
+        target = self.spark.read.parquet(self._data_dir()).filter(
+            F.col("bucket").isin(affected)
+        )
+        t = target.alias("t")
+        k = keys.alias("k")
+        cond = [F.col(f"t.{c}").eqNullSafe(F.col(f"k.{c}")) for c in self.key_cols]
+        remaining = t.join(k, cond, "left_anti")
+        n_before = target.count()
+        n_after = remaining.count()
+        if n_after == n_before:
+            return 0
+        self._write_and_swap(remaining, affected, drop_missing=True)
+        return n_before - n_after
+
+    def delete_where(self, condition) -> int:
+        """Delete every row matching ``condition`` (a Column predicate)
+        — the retention/TTL sweep (e.g. ``col("ts") < watermark``).
+        One pruned pass finds which buckets contain matches (the scan
+        reads every bucket once — a predicate, unlike a key set, can't
+        pre-hash); only those buckets are rewritten, NULL-predicate
+        rows are kept (a row the predicate can't judge is not deleted).
+        Idempotent. Returns the number of rows deleted."""
+        if not os.path.isdir(self._data_dir()):
+            return 0
+        table = self.spark.read.parquet(self._data_dir())
+        hit = F.coalesce(condition, F.lit(False))
+        affected = sorted(
+            r["bucket"]
+            for r in table.filter(hit).select("bucket").distinct().collect()
+        )
+        if not affected:
+            return 0
+        target = table.filter(F.col("bucket").isin(affected))
+        remaining = target.filter(~hit)
+        n_deleted = target.count() - remaining.count()
+        self._write_and_swap(remaining, affected, drop_missing=True)
+        return n_deleted
 
     def foreach_batch(self):
         """The callable to hand to ``writeStream.foreachBatch``."""

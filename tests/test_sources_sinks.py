@@ -12,6 +12,7 @@ import json
 import os
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from motorway_spark.sinks import UpsertParquetSink
 from motorway_spark.sources import register_sources
@@ -244,3 +245,67 @@ def test_run_stream_to_upsert_lands_real_self_joinable_table(spark, tmp_path, sf
     stats = table.groupBy("event_type").agg(F.sum("c").alias("s"))
     joined = table.join(stats, "event_type")
     assert joined.count() == table.count()
+
+
+def test_upsert_sink_delete_keys_bucket_pruned(spark, tmp_path):
+    """Right-to-be-forgotten: delete_keys removes exactly the requested
+    keys, rewrites ONLY the buckets those keys hash into (every other
+    bucket's files stay byte-identical), and is idempotent."""
+    import glob
+
+    table = str(tmp_path / "del_keys")
+    sink = UpsertParquetSink(spark, table, key_cols=["k"], num_buckets=8)
+    sink.upsert_batch(
+        spark.createDataFrame([Row(k=f"key{i}", v=i) for i in range(40)]), batch_id=0
+    )
+    snap = lambda: {
+        os.path.basename(d): sorted(
+            (os.path.basename(f), os.path.getmtime(f))
+            for f in glob.glob(f"{d}/*.parquet")
+        )
+        for d in glob.glob(f"{table}/data/bucket=*")
+    }
+    before = snap()
+
+    doomed = spark.createDataFrame([Row(k="key0"), Row(k="key1"), Row(k="nope")])
+    doomed_buckets = {
+        r["bucket"]
+        for r in doomed.select(
+            F.pmod(F.hash("k"), F.lit(8)).alias("bucket")
+        ).collect()
+    }
+    assert sink.delete_keys(doomed) == 2
+    after = snap()
+    changed = {b for b in before if before[b] != after.get(b)}
+    assert changed <= {f"bucket={k}" for k in doomed_buckets}
+    rows = {r["k"]: r["v"] for r in sink.read().collect()}
+    assert len(rows) == 38 and "key0" not in rows and "key1" not in rows
+    # idempotent: same request again deletes nothing, rewrites nothing
+    mid = snap()
+    assert sink.delete_keys(doomed) == 0
+    assert snap() == mid
+
+
+def test_upsert_sink_delete_where_retention_sweep(spark, tmp_path):
+    """Retention/TTL: delete_where removes exactly the matching rows,
+    keeps NULL-predicate rows (unjudgeable != expired), drops a bucket
+    emptied by the sweep, and the surviving table stays mergeable."""
+    table = str(tmp_path / "del_where")
+    sink = UpsertParquetSink(spark, table, key_cols=["k"], num_buckets=4)
+    rows = [Row(k=f"key{i}", ts=(None if i == 7 else i)) for i in range(10)]
+    sink.upsert_batch(spark.createDataFrame(rows, "k string, ts int"), batch_id=0)
+
+    assert sink.delete_where(F.col("ts") < 5) == 5  # 0..4; NULL ts kept
+    kept = {r["k"]: r["ts"] for r in sink.read().collect()}
+    assert set(kept) == {"key5", "key6", "key7", "key8", "key9"}
+    assert kept["key7"] is None
+    # sweep everything with a ts: only the NULL row survives, emptied
+    # buckets disappear from disk rather than lingering as husks
+    assert sink.delete_where(F.col("ts").isNotNull()) == 4
+    assert {r["k"] for r in sink.read().collect()} == {"key7"}
+    # the table is still a live MERGE target after maintenance
+    sink.upsert_batch(
+        spark.createDataFrame([Row(k="key7", ts=99), Row(k="new", ts=1)]), batch_id=1
+    )
+    final = {r["k"]: r["ts"] for r in sink.read().collect()}
+    assert final == {"key7": 99, "new": 1}
