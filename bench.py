@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "stream_corpus_ingest",
     "text_inverted_index",
     "orders_market_basket_rules",
+    "dq_split_drift_chi2",
+    "dedup_cross_source_matrix",
 ]
 
 # Sub-second timings at sf0.1 sit inside machine-noise width; best-of-2

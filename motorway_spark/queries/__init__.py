@@ -137,6 +137,8 @@ _SWEEP_PRIORITY_R6B = [
     "text_inverted_index",
     "dedup_minhash_cap_loss",
     "orders_market_basket_rules",
+    "dq_split_drift_chi2",
+    "dedup_cross_source_matrix",
 ]
 
 # Round-5 ordering kept for the tier below: everything here has an

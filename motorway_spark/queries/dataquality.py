@@ -613,3 +613,108 @@ def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Split drift audit (chi-square over a length histogram).
+# ---------------------------------------------------------------------------
+# Length-bucket geometry: floor(n_tokens / 20), capped.
+DRIFT_BUCKET_W = 20
+DRIFT_BUCKET_CAP = 10
+
+# One shared per-bucket chi-square contribution, parsed by BOTH
+# engines (identical IEEE op tree; x*x instead of pow — pow is libm).
+# Inputs: n_train, n_test (bucket counts), tot_train, tot_test, tot
+# (margins). expected_ij = row_total * col_total / grand_total.
+_CHI2_CONTRIB = (
+    "CAST(("
+    "((CAST(n_train AS DOUBLE)"
+    "  - (CAST(n_train + n_test AS DOUBLE) * CAST(tot_train AS DOUBLE))"
+    "    / CAST(tot AS DOUBLE))"
+    " * (CAST(n_train AS DOUBLE)"
+    "  - (CAST(n_train + n_test AS DOUBLE) * CAST(tot_train AS DOUBLE))"
+    "    / CAST(tot AS DOUBLE)))"
+    " / ((CAST(n_train + n_test AS DOUBLE) * CAST(tot_train AS DOUBLE))"
+    "    / CAST(tot AS DOUBLE))"
+    " + ((CAST(n_test AS DOUBLE)"
+    "  - (CAST(n_train + n_test AS DOUBLE) * CAST(tot_test AS DOUBLE))"
+    "    / CAST(tot AS DOUBLE))"
+    " * (CAST(n_test AS DOUBLE)"
+    "  - (CAST(n_train + n_test AS DOUBLE) * CAST(tot_test AS DOUBLE))"
+    "    / CAST(tot AS DOUBLE)))"
+    " / ((CAST(n_train + n_test AS DOUBLE) * CAST(tot_test AS DOUBLE))"
+    "    / CAST(tot AS DOUBLE))"
+    ") AS DECIMAL(38,6))"
+)
+
+
+@query(
+    "dq_split_drift_chi2",
+    oracle=f"""
+    WITH b AS MATERIALIZED (
+      SELECT least(CAST(len(string_split(coalesce(text, ''), ' '))
+                        // {DRIFT_BUCKET_W} AS BIGINT),
+                   {DRIFT_BUCKET_CAP}) AS bucket,
+             CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6'
+                  THEN 1 ELSE 0 END AS is_train
+      FROM documents),
+    cnt AS MATERIALIZED (
+      SELECT bucket,
+             CAST(SUM(is_train) AS BIGINT) AS n_train,
+             CAST(SUM(1 - is_train) AS BIGINT) AS n_test
+      FROM b GROUP BY bucket),
+    m AS (
+      SELECT CAST(SUM(n_train) AS BIGINT) AS tot_train,
+             CAST(SUM(n_test) AS BIGINT) AS tot_test,
+             CAST(SUM(n_train + n_test) AS BIGINT) AS tot
+      FROM cnt)
+    SELECT bucket, n_train, n_test,
+           ROUND(CAST({_CHI2_CONTRIB} AS DOUBLE), 6) AS chi2_contrib
+    FROM cnt, m
+    """,
+)
+def dq_split_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit between the hash-stable train/test
+    splits (same md5 < 'e6' rule as pipeline_pretraining_mix): a
+    chi-square contingency test over the document-length histogram,
+    one row per length bucket with its chi-square contribution — the
+    standard pre-training split QA ("did the split skew the length
+    mix?") and, run between two corpus SNAPSHOTS instead of two
+    splits, the ingest-drift monitor. Chi-square instead of PSI/KL by
+    design: those need libm ln (not bit-reproducible across engines);
+    the chi-square statistic is pure rational arithmetic, expressed as
+    ONE shared expression string parsed by both engines, decimal-cast
+    at the row level so the (driver-side) total is also exact.
+
+    Scale shape (100 TB): one scan -> an 11-bucket map-side-combinable
+    aggregate -> a broadcast 1-row margin join. Nothing wider than the
+    bucket count ever shuffles.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    b = docs.select(
+        F.least(
+            (
+                F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+                / F.lit(DRIFT_BUCKET_W)
+            ).cast("bigint"),
+            F.lit(DRIFT_BUCKET_CAP).cast("bigint"),
+        ).alias("bucket"),
+        F.when(F.md5(F.col("doc_id").cast("string")) < "e6", 1)
+        .otherwise(0)
+        .alias("is_train"),
+    )
+    cnt = b.groupBy("bucket").agg(
+        F.sum("is_train").cast("bigint").alias("n_train"),
+        F.sum(1 - F.col("is_train")).cast("bigint").alias("n_test"),
+    )
+    m = cnt.agg(
+        F.sum("n_train").cast("bigint").alias("tot_train"),
+        F.sum("n_test").cast("bigint").alias("tot_test"),
+        F.sum(F.col("n_train") + F.col("n_test")).cast("bigint").alias("tot"),
+    )
+    return cnt.crossJoin(F.broadcast(m)).select(
+        "bucket",
+        "n_train",
+        "n_test",
+        F.round(F.expr(_CHI2_CONTRIB).cast("double"), 6).alias("chi2_contrib"),
+    )

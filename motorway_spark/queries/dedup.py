@@ -1749,3 +1749,62 @@ def dedup_minhash_cap_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("retained_pct"),
         )
     )
+
+
+@query(
+    "dedup_cross_source_matrix",
+    oracle="""
+    WITH fp AS MATERIALIZED (
+      SELECT doc_id, source, md5(coalesce(text, '')) AS fp FROM documents),
+    pairs AS (
+      SELECT least(a.source, b.source) AS source_a,
+             greatest(a.source, b.source) AS source_b
+      FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+    SELECT source_a, source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+    FROM pairs GROUP BY source_a, source_b
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source duplication MATRIX: for every unordered pair of
+    corpus sources, how many exact-duplicate document pairs straddle
+    them (diagonal = within-source duplication) — the accounting view
+    behind "which crawls overlap," which decides what a pipeline
+    dedups against what and in which order. NULL text fingerprints as
+    md5('') on both engines, so NULL/empty docs count as mutual
+    duplicates here exactly like in the exact-dedup operators.
+
+    Scale shape (100 TB): one hash aggregate groups each fingerprint's
+    (doc_id, source) rows; the per-fingerprint pair expansion is
+    IN-ROW over the doc_id-sorted member list (the basket trick —
+    duplicate groups are template-family-sized, never corpus-sized,
+    and the expansion never shuffles); the matrix aggregate is
+    |sources|² rows at most. The oracle's fp self-join enumerates the
+    identical pair set.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    fp = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias("fp"),
+    )
+    groups = fp.groupBy("fp").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "source"))).alias("ms")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    F.least(x.source, y.source).alias("source_a"),
+                    F.greatest(x.source, y.source).alias("source_b"),
+                ),
+            ),
+        )
+    )
+    return (
+        groups.select(F.inline(pair_arr))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
+    )

@@ -148,6 +148,10 @@ NULL_PARITY = [
     # the posting fingerprints must agree when NULL/empty text shrinks
     # the token stream (NULL drops, '' contributes one [''] token)
     "text_inverted_index",
+    # round-6 batch-9: both coalesce NULL text (bucket 0 / md5('')) so
+    # NULL and empty docs land identically on both engines
+    "dq_split_drift_chi2",
+    "dedup_cross_source_matrix",
 ]
 
 
