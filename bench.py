@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "orders_market_basket_rules",
     "dq_split_drift_chi2",
     "dedup_cross_source_matrix",
+    "orders_rfm_segments",
 ]
 
 # Sub-second timings at sf0.1 sit inside machine-noise width; best-of-2

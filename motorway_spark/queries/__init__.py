@@ -139,6 +139,7 @@ _SWEEP_PRIORITY_R6B = [
     "orders_market_basket_rules",
     "dq_split_drift_chi2",
     "dedup_cross_source_matrix",
+    "orders_rfm_segments",
 ]
 
 # Round-5 ordering kept for the tier below: everything here has an

@@ -994,3 +994,81 @@ def orders_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation.
+# ---------------------------------------------------------------------------
+RFM_TILES = 5
+
+
+@query(
+    "orders_rfm_segments",
+    oracle=f"""
+    WITH cust AS MATERIALIZED (
+      SELECT o_custkey AS custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(38,6))
+               AS monetary
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT custkey, monetary,
+             ntile({RFM_TILES}) OVER (ORDER BY last_order DESC, custkey) AS r,
+             ntile({RFM_TILES}) OVER (ORDER BY n_orders DESC, custkey) AS f,
+             ntile({RFM_TILES}) OVER (ORDER BY monetary DESC, custkey) AS m
+      FROM cust)
+    SELECT r || '' || f || '' || m AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(monetary) AS DOUBLE), 4) AS total_monetary
+    FROM scored GROUP BY r, f, m
+    """,
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the standard customer-value partitioning
+    (recency / frequency / monetary, each quintile-scored, customers
+    grouped into 'rfm' cells like '111' = best across the board): one
+    row per occupied segment with its population and exact-decimal
+    revenue. ntile is deterministic cross-engine only under a TOTAL
+    order, so every score orders by (metric DESC, custkey) — the same
+    tie-break discipline as the sampling family; monetary ranks on the
+    exact DECIMAL(38,6) sum, never a float.
+
+    Scale shape (100 TB): one hash aggregate to customer grain, then
+    three global ntile windows over the CUSTOMER table (dimension-
+    sized, not fact-sized — the only global sorts in the plan are over
+    per-customer rollups), then a 125-cell-max aggregate. At a
+    customer table too big for a single-partition window, ntile's
+    exact form is the two-pass range-partitioned rank (the
+    orders_pareto_concentration playbook); the quantile-approximate
+    form is approx_percentile bucketing.
+    """
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    cust = cat.orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec("o_totalprice")).alias("monetary"),
+    )
+    scored = cust.select(
+        "custkey",
+        "monetary",
+        F.ntile(RFM_TILES)
+        .over(Window.orderBy(F.desc("last_order"), "custkey"))
+        .alias("r"),
+        F.ntile(RFM_TILES)
+        .over(Window.orderBy(F.desc("n_orders"), "custkey"))
+        .alias("f"),
+        F.ntile(RFM_TILES)
+        .over(Window.orderBy(F.desc("monetary"), "custkey"))
+        .alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(F.sum("monetary").cast("double"), 4).alias("total_monetary"),
+    ).select(
+        F.concat_ws("", F.col("r"), F.col("f"), F.col("m")).alias("segment"),
+        "n_customers",
+        "total_monetary",
+    )
