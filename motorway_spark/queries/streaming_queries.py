@@ -940,6 +940,23 @@ def _minhash_process_batch(bdf: DataFrame, batch_id: int, flags_sink, reg_sink) 
         new_reg = bands.groupBy("band", "bkt").agg(
             (-F.min("doc_id")).alias("neg_min_doc_id")
         )
+        # The sink's cross-batch merge is batch-side-WINS (not max), so
+        # the cross-batch min must be merged HERE: fold the pre-batch
+        # registry value in via greatest(-a,-b) = -least(a,b). Without
+        # this, a batch whose bucket min exceeds the prior one would
+        # move the registry min UP and under-flag later duplicates.
+        if reg is not None:
+            new_reg = new_reg.join(
+                reg.withColumnRenamed("neg_min_doc_id", "prior_neg"),
+                ["band", "bkt"],
+                "left",
+            ).select(
+                "band",
+                "bkt",
+                F.greatest("neg_min_doc_id", "prior_neg").alias(
+                    "neg_min_doc_id"
+                ),
+            )
         reg_sink.upsert_batch(new_reg, batch_id)
     finally:
         bands.unpersist()
@@ -972,14 +989,17 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     same production stream-to-serving split as stream_anomaly_zscore,
     with exactly-once batch WALs on both tables. Measured 44 s → ~3 s.
 
-    Cross-batch-ordering: docs are assumed to arrive in doc_id order
-    (ingest logs are id/time-ordered); within a micro-batch order is
-    irrelevant (window min), so batch boundaries never change the
-    answer on an ordered stream. Registry state is ONE int64 row per
+    Cross-batch-ordering: the registry min is EXACT for any arrival
+    order — the sink's cross-batch merge is batch-side-wins, so the
+    foreachBatch body folds the prior value in explicitly
+    (greatest(-batch_min, -prior_min) = -least across batches) before
+    the upsert. Per-doc flags are emitted at arrival time, so a doc
+    that arrives before a lower-id near-twin keeps its not-dup verdict
+    (one-pass streaming semantics); matching the batch oracle's
+    global-min flags additionally needs doc_id-ordered arrival, which
+    the fixture source provides. Registry state is ONE int64 row per
     occupied (band, bucket) — bounded by corpus distinct-bucket count,
     not stream length; the MERGE rewrites only touched hash buckets.
-    The sink keeps the HIGHEST-sorting value per key, so the registry
-    stores the NEGATED min doc_id (max(-id) = min id across batches).
     Docs with no 4-gram shingle (NULL/empty/short text) never enter
     banding — same WHERE on both engines.
     """
@@ -1118,6 +1138,20 @@ def _ingest_process_batch(bdf: DataFrame, batch_id: int, flags_sink, reg_sink) -
             .groupBy("fp")
             .agg((-F.min("doc_id")).alias("neg_min_doc_id"))
         )
+        # batch-side-wins sink: fold the prior registry min in here
+        # (greatest of negated ids = least id), so the registry is the
+        # exact cross-batch min whatever the arrival order
+        if reg is not None:
+            new_reg = new_reg.join(
+                reg.withColumnRenamed("neg_min_doc_id", "prior_neg"),
+                ["fp"],
+                "left",
+            ).select(
+                "fp",
+                F.greatest("neg_min_doc_id", "prior_neg").alias(
+                    "neg_min_doc_id"
+                ),
+            )
         reg_sink.upsert_batch(new_reg, batch_id)
     finally:
         b.unpersist()
@@ -1141,11 +1175,14 @@ def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Registry state is ONE int64 per distinct fingerprint of a PASSING
     doc (rejected docs never claim a fingerprint — a later clean copy
-    of a rejected doc counts as first). The sink keeps the
-    highest-sorting value per key, so the registry stores the NEGATED
-    min doc_id (max(-id) = min id across batches). Same cross-batch
-    ordering contract as stream_dedup_minhash: ingest logs arrive in
-    doc_id order; within a batch order is irrelevant (window min).
+    of a rejected doc counts as first). The sink's cross-batch merge is
+    batch-side-wins, so the batch body folds the prior registry value
+    in explicitly (greatest of negated ids = least id across batches) —
+    the registry min is exact for any arrival order. Same flag-time
+    contract as stream_dedup_minhash: verdicts are emitted at arrival,
+    so matching the batch oracle additionally needs doc_id-ordered
+    arrival (which the fixture source provides); within a batch order
+    is irrelevant (window min).
 
     Scale shape (100 TB/day ingest): per batch one narrow
     (doc_id, fp, bool) projection, one fp-keyed window/agg pair, one

@@ -78,9 +78,22 @@ class UpsertParquetSink:
         return F.pmod(F.hash(*self.key_cols), F.lit(self.num_buckets))
 
     def read(self) -> DataFrame | None:
-        if not os.path.isdir(self._data_dir()):
+        # A delete that removes the last row drops every bucket dir but
+        # leaves data/ itself; parquet schema inference on the empty
+        # directory would raise, so an empty table reads as None.
+        if not self._bucket_dirs():
             return None
         return self.spark.read.parquet(self._data_dir()).drop("bucket")
+
+    def _bucket_dirs(self) -> list[str]:
+        try:
+            return [
+                d
+                for d in os.listdir(self._data_dir())
+                if d.startswith("bucket=")
+            ]
+        except OSError:
+            return []
 
     # -- the sink ------------------------------------------------------
     def upsert_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -122,7 +135,7 @@ class UpsertParquetSink:
         )
 
         data_dir = self._data_dir()
-        if not os.path.isdir(data_dir):
+        if not self._bucket_dirs():
             merged = batch
         else:
             # partition-pruned read: ONLY the affected bucket dirs scan
@@ -184,10 +197,21 @@ class UpsertParquetSink:
         At 100 TB this is the same cost class as an upsert batch:
         O(|touched buckets|), not O(|table|) — the property that makes
         compliance deletes schedulable instead of a table rewrite."""
-        if not os.path.isdir(self._data_dir()):
+        if not self._bucket_dirs():
             return 0
+        # Spark's hash() is TYPE-sensitive (an int and a bigint with the
+        # same value hash differently), so keys supplied with a
+        # different-but-comparable type would prune the WRONG buckets
+        # and the delete would silently remove nothing. Cast every key
+        # column to the table's own key type before bucketing.
+        tschema = self.spark.read.parquet(self._data_dir()).schema
         keys = (
-            keys_df.select(*self.key_cols)
+            keys_df.select(
+                *[
+                    F.col(c).cast(tschema[c].dataType).alias(c)
+                    for c in self.key_cols
+                ]
+            )
             .dropDuplicates(self.key_cols)
             .withColumn("bucket", self._bucket_expr())
         )
@@ -218,7 +242,7 @@ class UpsertParquetSink:
         pre-hash); only those buckets are rewritten, NULL-predicate
         rows are kept (a row the predicate can't judge is not deleted).
         Idempotent. Returns the number of rows deleted."""
-        if not os.path.isdir(self._data_dir()):
+        if not self._bucket_dirs():
             return 0
         table = self.spark.read.parquet(self._data_dir())
         hit = F.coalesce(condition, F.lit(False))

@@ -333,8 +333,16 @@ class SqsSendBatchSink:
                     path = os.path.join(dead_letter_dir, f"{digest}.json")
                     tmp = f"{path}.tmp-{os.getpid()}"
                     with open(tmp, "w") as fh:
+                        # body included so the record is REPLAYABLE from
+                        # the spool (same treatment as the Kinesis sink's
+                        # dump, sinks/kinesis.py), not just logged
                         json.dump(
-                            {"Id": rid, "ErrorCode": "MessageTooLong"}, fh
+                            {
+                                "Id": rid,
+                                "ErrorCode": "MessageTooLong",
+                                "MessageBody": body,
+                            },
+                            fh,
                         )
                     os.replace(tmp, path)
                     continue

@@ -198,12 +198,19 @@ def run_stream_to_upsert(
     window re-emitted with a larger count converges to the final one.
     Replayed micro-batches are exactly-once no-ops via the sink's batch
     WAL (sinks/upsert.py)."""
+    import os
     import shutil
 
     from motorway_spark.sinks.upsert import UpsertParquetSink
 
     spark = streaming_df.sparkSession
     sink = UpsertParquetSink(spark, table_dir, key_cols=key_cols, num_buckets=num_buckets)
+    # The flake retry below wipes table_dir — destructive-only for state
+    # THIS call created. A pre-existing non-empty table (a standing
+    # serving table, or data from a non-replayable source whose commits
+    # already fired) must never be rmtree'd by a retry: record it now
+    # and refuse the wipe later.
+    preexisting = os.path.isdir(table_dir) and bool(os.listdir(table_dir))
     prev = spark.conf.get("spark.sql.shuffle.partitions", None)
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
@@ -213,9 +220,19 @@ def run_stream_to_upsert(
         # the failed first attempt would suppress the new query's
         # same-numbered batches even if their composition differs, so the
         # table dir (data + WAL) is wiped before the restart and the
-        # deterministic finite source rebuilds it from scratch.
+        # deterministic finite source rebuilds it from scratch. If the
+        # table pre-existed this call, that wipe would destroy data the
+        # runner doesn't own (turning exactly-once into at-most-once for
+        # a non-replayable source) — re-raise the flake instead and let
+        # the caller decide.
         for attempt in (1, 2):
             if attempt > 1:
+                if preexisting:
+                    raise RuntimeError(
+                        f"retry would wipe pre-existing table {table_dir}; "
+                        "refusing — restart the query with its own "
+                        "checkpointLocation to resume batch ids instead"
+                    )
                 shutil.rmtree(table_dir, ignore_errors=True)
             query = (
                 streaming_df.writeStream.outputMode(output_mode)

@@ -236,4 +236,9 @@ def test_sqs_send_batch_sink_lands_and_guards_size(spark, tmp_path, moto_endpoin
     dlq = os.listdir(str(tmp_path / "dlq"))
     assert len(dlq) == 1
     with open(os.path.join(str(tmp_path / "dlq"), dlq[0])) as fh:
-        assert json.load(fh)["ErrorCode"] == "MessageTooLong"
+        rec = json.load(fh)
+    assert rec["ErrorCode"] == "MessageTooLong"
+    # the record must be REPLAYABLE from the spool: body included
+    # (same treatment as the Kinesis sink's dead-letter dump)
+    assert rec["Id"] == "id-big"
+    assert json.loads(rec["MessageBody"])["message_id"] == "id-big"

@@ -309,3 +309,37 @@ def test_upsert_sink_delete_where_retention_sweep(spark, tmp_path):
     )
     final = {r["k"]: r["ts"] for r in sink.read().collect()}
     assert final == {"key7": 99, "new": 1}
+
+
+def test_upsert_sink_delete_keys_casts_key_types(spark, tmp_path):
+    """Spark's hash() is type-sensitive (int and bigint hash apart), so
+    delete_keys must cast the caller's keys to the TABLE's key types
+    before bucketing — otherwise the prune hits the wrong buckets and a
+    GDPR delete silently removes nothing."""
+    table = str(tmp_path / "del_cast")
+    sink = UpsertParquetSink(spark, table, key_cols=["k"], num_buckets=8)
+    sink.upsert_batch(
+        spark.createDataFrame([Row(k=i, v=i) for i in range(20)],
+                              "k bigint, v int"),
+        batch_id=0,
+    )
+    # keys supplied as INT (different hash family than the bigint table)
+    doomed = spark.createDataFrame([(3,), (4,)], "k int")
+    assert sink.delete_keys(doomed) == 2
+    assert sink.read().count() == 18
+
+
+def test_upsert_sink_read_none_after_everything_deleted(spark, tmp_path):
+    """Deleting the last row drops every bucket dir; read() must return
+    None (empty table), not crash parquet schema inference on the husk
+    data/ directory — and the table must accept a fresh MERGE after."""
+    table = str(tmp_path / "del_all")
+    sink = UpsertParquetSink(spark, table, key_cols=["k"], num_buckets=4)
+    sink.upsert_batch(
+        spark.createDataFrame([Row(k=i, v=i) for i in range(6)]), batch_id=0
+    )
+    assert sink.delete_where(F.lit(True)) == 6
+    assert sink.read() is None
+    assert sink.delete_keys(spark.createDataFrame([Row(k=1)])) == 0
+    sink.upsert_batch(spark.createDataFrame([Row(k=1, v=9)]), batch_id=1)
+    assert [r["v"] for r in sink.read().collect()] == [9]

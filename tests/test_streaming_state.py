@@ -464,3 +464,48 @@ def test_stream_corpus_ingest_cross_batch_registry(spark, tmp_path):
     reg = reg_sink.read()
     assert reg.count() == 2
     assert reg.filter(F.col("neg_min_doc_id") > 0).count() == 0
+
+
+def test_registry_min_is_exact_across_batches_not_batch_side_wins(spark, tmp_path):
+    """UpsertParquetSink's cross-batch merge is batch-side-WINS, so the
+    foreachBatch bodies must fold the prior registry min in explicitly.
+    Regression: after batches {5} then {10} (same fingerprint), the
+    registry must still say min=5 — the naive upsert moved it to 10,
+    and an out-of-order doc 7 then slipped through unflagged."""
+    from motorway_spark.queries import streaming_queries as sq
+    from motorway_spark.sinks.upsert import UpsertParquetSink
+
+    good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    # -- exact-fingerprint ingest registry -------------------------------
+    root = tmp_path / "ooo_ingest"
+    root.mkdir()
+    flags = UpsertParquetSink(spark, str(root / "flags"), key_cols=["doc_id"])
+    reg = UpsertParquetSink(spark, str(root / "registry"), key_cols=["fp"])
+    mk = lambda i: spark.createDataFrame([(i, good)], "doc_id long, text string")
+    sq._ingest_process_batch(mk(5), 0, flags, reg)
+    sq._ingest_process_batch(mk(10), 1, flags, reg)
+    [(neg,)] = reg.read().select("neg_min_doc_id").collect()
+    assert neg == -5, f"registry min moved up: {-neg}"
+    sq._ingest_process_batch(mk(7), 2, flags, reg)  # out-of-order arrival
+    out = {r["doc_id"]: r for r in flags.read().collect()}
+    assert out[10]["is_exact_dup"] and out[7]["is_exact_dup"]
+    assert not out[5]["is_exact_dup"]
+
+    # -- minhash (band, bucket) registry ---------------------------------
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    root2 = tmp_path / "ooo_mh"
+    root2.mkdir()
+    flags2 = UpsertParquetSink(spark, str(root2 / "flags"), key_cols=["doc_id"])
+    reg2 = UpsertParquetSink(
+        spark, str(root2 / "registry"), key_cols=["band", "bkt"]
+    )
+    mk2 = lambda i: spark.createDataFrame([(i, base)], "doc_id long, text string")
+    sq._minhash_process_batch(mk2(5), 0, flags2, reg2)
+    sq._minhash_process_batch(mk2(10), 1, flags2, reg2)
+    # identical text -> every registry row is this doc family's buckets
+    assert reg2.read().filter("neg_min_doc_id != -5").count() == 0
+    sq._minhash_process_batch(mk2(7), 2, flags2, reg2)
+    out2 = {r["doc_id"]: r for r in flags2.read().collect()}
+    assert out2[10]["is_near_dup"] and out2[7]["is_near_dup"]
+    assert not out2[5]["is_near_dup"]
