@@ -7,12 +7,14 @@ K4's select-update-insert (contrib/sql_alchemy/intersections.py:57-98)
 as an idempotent MERGE.
 """
 
+from motorway_spark.sinks.dbapi import DbApiUpsertSink
 from motorway_spark.sinks.kafka import KafkaLogSink
 from motorway_spark.sinks.kinesis import KinesisPutRecordsSink, MockKinesisStream
 from motorway_spark.sinks.spool import SpoolDirSink
 from motorway_spark.sinks.upsert import UpsertParquetSink
 
 __all__ = [
+    "DbApiUpsertSink",
     "UpsertParquetSink",
     "KafkaLogSink",
     "KinesisPutRecordsSink",
