@@ -108,10 +108,11 @@ BENCH_QUERIES = [
     "orders_rfm_segments",
 ]
 
-# Sub-second timings at sf0.1 sit inside machine-noise width; best-of-2
-# left one ambiguous regression (q21, r5 verdict). Queries still under
+# Sub-2s timings at sf0.1 sit inside machine-noise width; best-of-2
+# left two ambiguous regressions (q21 r5, dedup_minhash_capped r6 —
+# both settled as noise once a third run landed). Queries still under
 # this bound after two runs get a third.
-EXTRA_RUN_UNDER_SEC = 1.5
+EXTRA_RUN_UNDER_SEC = 2.0
 
 
 def main() -> None:

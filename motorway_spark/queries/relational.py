@@ -621,9 +621,13 @@ def basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     independence expectation) — the association-rule statistic behind
     recommendation/bundling analysis. The self-join runs on the
     DEDUPLICATED (order, brand) table (fan-out bounded by brands per
-    order, ~line count), brand marginals broadcast back, and the
-    output is C(|brands|, 2) rows at any data size. Support and lift
-    are single fixed IEEE expressions over exact integer counts."""
+    order, ~line count), brand marginals joined back WITHOUT a forced
+    broadcast hint — the marginal table is vocabulary-sized (25 TPC-H
+    brands) but a hint would bake in the assumption that the catalog
+    fits in executor memory; AQE broadcasts it at runtime when the
+    measured size allows (plan-audited at fixture scale). Output is
+    C(|brands|, 2) rows at any data size. Support and lift are single
+    fixed IEEE expressions over exact integer counts."""
     cat = Catalog(spark, sf_dir)
     ob = (
         cat.lineitem.join(
@@ -643,11 +647,11 @@ def basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.join(
-            F.broadcast(brand_n.select(F.col("b").alias("brand_a"), F.col("nb").alias("na"))),
+            brand_n.select(F.col("b").alias("brand_a"), F.col("nb").alias("na")),
             "brand_a",
         )
         .join(
-            F.broadcast(brand_n.select(F.col("b").alias("brand_b"), F.col("nb").alias("nc"))),
+            brand_n.select(F.col("b").alias("brand_b"), F.col("nb").alias("nc")),
             "brand_b",
         )
         .crossJoin(F.broadcast(totals))

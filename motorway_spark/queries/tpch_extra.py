@@ -940,8 +940,14 @@ def orders_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     key with IN-ROW pair expansion (sorted collect_set + nested
     transforms — no self-join; the triangle-count trick), pair support
     is one map-side-combinable (u,v) aggregate bounded by the support
-    gate, and the per-part support table is vocabulary-sized — both
-    support joins broadcast under AQE. Confidence/lift are single
+    gate, and the per-part support table is vocabulary-sized. The
+    support joins carry NO broadcast hint: a forced hint assumes the
+    item catalog fits in executor memory (true for TPC-H's ~200k/SF
+    parts, an OOM at a 100M-item catalog), so the choice is left to
+    AQE, which broadcasts at runtime exactly when the measured build
+    side is under spark.sql.autoBroadcastJoinThreshold (plan-audited
+    at fixture scale in test_plan_audit). The only forced broadcast is
+    the provably-1-row totals frame. Confidence/lift are single
     divisions over integer counts, identical op trees both engines.
     """
     cat = Catalog(spark, sf_dir)
@@ -976,8 +982,8 @@ def orders_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sup.select(F.col("pk").alias("antecedent"), F.col("sup").alias("sup_a"))
     sc = sup.select(F.col("pk").alias("consequent"), F.col("sup").alias("sup_c"))
     return (
-        rules.join(F.broadcast(sa), "antecedent")
-        .join(F.broadcast(sc), "consequent")
+        rules.join(sa, "antecedent")
+        .join(sc, "consequent")
         .crossJoin(F.broadcast(n))
         .select(
             "antecedent",

@@ -579,3 +579,20 @@ def test_market_basket_supports_broadcast(spark):
     plan = _plan(spark, "orders_market_basket_rules")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["orders_market_basket_rules", "basket_brand_affinity"]
+)
+def test_basket_support_joins_broadcast_via_aqe_not_hint(spark, name):
+    """The vocabulary-sized support/marginal tables carry NO forced
+    broadcast hint (a hint would OOM at a 100M-item catalog); AQE must
+    still pick a broadcast join at fixture scale from measured sizes.
+    Asserted on the FINAL adaptive plan, after execution."""
+    df = QUERIES[name](spark, SF)
+    df.collect()  # finalize THIS queryExecution's adaptive plan
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "BroadcastHashJoin" in final or "BroadcastQueryStage" in final
+    # and the fact side never degenerates into a cartesian product
+    assert "CartesianProduct" not in final
