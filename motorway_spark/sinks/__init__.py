@@ -9,12 +9,20 @@ as an idempotent MERGE.
 
 from motorway_spark.sinks.dbapi import DbApiUpsertSink
 from motorway_spark.sinks.kafka import KafkaLogSink
+from motorway_spark.sinks.salesforce import (
+    HttpUpsertTransport,
+    SalesforceUpsertSink,
+    SpoolUpsertTransport,
+)
 from motorway_spark.sinks.kinesis import KinesisPutRecordsSink, MockKinesisStream
 from motorway_spark.sinks.spool import SpoolDirSink
 from motorway_spark.sinks.upsert import UpsertParquetSink
 
 __all__ = [
     "DbApiUpsertSink",
+    "SalesforceUpsertSink",
+    "HttpUpsertTransport",
+    "SpoolUpsertTransport",
     "UpsertParquetSink",
     "KafkaLogSink",
     "KinesisPutRecordsSink",

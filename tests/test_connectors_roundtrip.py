@@ -343,3 +343,106 @@ def test_spool_batch_read_and_write_roundtrip(spark, tmp_path):
         .collect()
     )
     assert sorted(r.message_id for r in back) == sorted(f"m{i}" for i in range(10))
+
+
+# ---------------------------------------------------------------------------
+# SalesforceUpsertSink: the K5 external-id contract behind the dir->HTTP
+# transport seam (the sink twin of sources/transports.py).
+# ---------------------------------------------------------------------------
+@pytest.fixture()
+def sobject_server():
+    """Local REST twin of the Salesforce upsert endpoint: PATCH
+    /sobjects/{obj}/{field}/{ext_id} stores the JSON body under the
+    external id (create-or-replace), and counts requests."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    store: dict[str, dict] = {}
+    hits: list[str] = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_PATCH(self):
+            parts = self.path.strip("/").split("/")
+            assert parts[0] == "sobjects" and len(parts) == 4
+            ext_id = parts[3]
+            created = ext_id not in store
+            n = int(self.headers.get("Content-Length", 0))
+            store[ext_id] = json.loads(self.rfile.read(n) or b"{}")
+            hits.append(self.path)
+            self.send_response(201 if created else 204)
+            self.end_headers()
+
+        def log_message(self, *args):  # quiet
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{server.server_address[1]}", store, hits
+    server.shutdown()
+
+
+def test_salesforce_sink_external_id_contract_over_http(spark, sobject_server):
+    """The SAME external-id contract test_spool_sink_external_id_upsert
+    pins, run over the HTTP transport: later batch REPLACES the stored
+    object; a replayed batch leaves final state unchanged (no-op)."""
+    from motorway_spark.sinks.salesforce import (
+        HttpUpsertTransport,
+        SalesforceUpsertSink,
+    )
+
+    base_url, store, hits = sobject_server
+    sink = SalesforceUpsertSink(
+        HttpUpsertTransport(base_url, "Opportunity", "ext_id"),
+        ext_id_col="ext_id",
+    )
+    sink.send_batch(
+        spark.createDataFrame(
+            [Row(ext_id="opp-1", amount=100, stage="new"),
+             Row(ext_id="opp-2", amount=50, stage="new")]
+        ),
+        batch_id=0,
+    )
+    assert store["opp-1"] == {"amount": 100, "stage": "new"}
+    # later batch updates opp-1 (create-or-REPLACE by external id)
+    sink.send_batch(
+        spark.createDataFrame([Row(ext_id="opp-1", amount=250, stage="won")]),
+        batch_id=1,
+    )
+    assert store["opp-1"] == {"amount": 250, "stage": "won"}
+    assert store["opp-2"] == {"amount": 50, "stage": "new"}
+    # replayed batch: byte-identical PATCH -> final state unchanged
+    before = dict(store)
+    sink.send_batch(
+        spark.createDataFrame([Row(ext_id="opp-1", amount=250, stage="won")]),
+        batch_id=1,
+    )
+    assert store == before
+    # the URL shape is the reference's SFType.upsert REST path
+    assert all(h.startswith("/sobjects/Opportunity/ext_id/") for h in hits)
+
+
+def test_salesforce_sink_same_contract_over_spool_transport(spark, tmp_path):
+    """Transport swap is behavior-preserving: the spool transport
+    passes the identical contract (one file per external id, replace
+    on re-send, deterministic within-batch winner)."""
+    from motorway_spark.sinks.salesforce import (
+        SalesforceUpsertSink,
+        SpoolUpsertTransport,
+    )
+
+    spool = str(tmp_path / "sobjects2")
+    sink = SalesforceUpsertSink(
+        SpoolUpsertTransport(spool), ext_id_col="ext_id"
+    )
+    # duplicate external id WITHIN one batch: highest-sorting row wins
+    sink.send_batch(
+        spark.createDataFrame(
+            [Row(ext_id="opp-9", amount=1, stage="a"),
+             Row(ext_id="opp-9", amount=7, stage="z")]
+        ).repartition(2),
+        batch_id=0,
+    )
+    files = sorted(f for f in os.listdir(spool) if f.endswith(".json"))
+    assert files == ["opp-9.json"]
+    with open(os.path.join(spool, "opp-9.json")) as fh:
+        assert json.load(fh)["body"] == {"amount": 7, "stage": "z"}
