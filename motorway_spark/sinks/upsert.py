@@ -95,6 +95,25 @@ class UpsertParquetSink:
         except OSError:
             return []
 
+    def _read_buckets(self, affected: list[int]) -> DataFrame | None:
+        """Read ONLY the affected buckets' directories. Listing the whole
+        table and filtering on the partition column prunes the SCAN but
+        still enumerates every bucket dir's files per batch — O(|table
+        dirs|) driver work that grew per-batch merge 3× when the
+        registry grew 10×. Listing the affected paths directly keeps
+        the whole merge O(|touched buckets|). ``basePath`` preserves the
+        ``bucket`` partition column."""
+        paths = [
+            f"{self._data_dir()}/bucket={k}"
+            for k in affected
+            if os.path.isdir(f"{self._data_dir()}/bucket={k}")
+        ]
+        if not paths:
+            return None
+        return self.spark.read.option("basePath", self._data_dir()).parquet(
+            *paths
+        )
+
     # -- the sink ------------------------------------------------------
     def upsert_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch body: MERGE batch into target, idempotently,
@@ -135,13 +154,10 @@ class UpsertParquetSink:
         )
 
         data_dir = self._data_dir()
-        if not self._bucket_dirs():
+        target = self._read_buckets(affected)
+        if target is None:
             merged = batch
         else:
-            # partition-pruned read: ONLY the affected bucket dirs scan
-            target = self.spark.read.parquet(data_dir).filter(
-                F.col("bucket").isin(affected)
-            )
             b = batch.alias("b")
             t = target.alias("t")
             cond = [F.col(f"b.{k}").eqNullSafe(F.col(f"t.{k}")) for k in self.key_cols]
@@ -220,9 +236,9 @@ class UpsertParquetSink:
         )
         if not affected:
             return 0
-        target = self.spark.read.parquet(self._data_dir()).filter(
-            F.col("bucket").isin(affected)
-        )
+        target = self._read_buckets(affected)
+        if target is None:
+            return 0
         t = target.alias("t")
         k = keys.alias("k")
         cond = [F.col(f"t.{c}").eqNullSafe(F.col(f"k.{c}")) for c in self.key_cols]

@@ -301,3 +301,48 @@ def test_bloom_geometry_is_output_invisible(spark, sf_dir):
     want_ids = {r["doc_id"] * 10 for r in base.filter("doc_id % 2 = 0").collect()}
     assert {d for d, _fp in default} >= want_ids
     assert default  # dupes really exist
+
+
+def test_registry_merge_cost_flat_when_bucket_size_held(spark, tmp_path):
+    """stream_dedup_minhash's registry table: per-batch MERGE cost must
+    track TOUCHED buckets, not registry size. With bucket size held
+    constant (num_buckets scaled with the registry) and a fixed-key
+    batch, a 10× registry may not grow per-batch merge time beyond
+    noise (measured 1.04×; the pre-fix full-dir listing gave 3×).
+    Loose 2.5× bound so machine noise can't flake the suite."""
+    import time
+
+    from motorway_spark.sinks.upsert import UpsertParquetSink
+
+    def merge_time(n_keys: int, num_buckets: int, tag: str) -> float:
+        sink = UpsertParquetSink(
+            spark,
+            str(tmp_path / f"reg_{tag}"),
+            key_cols=["band", "bkt"],
+            num_buckets=num_buckets,
+        )
+        seed = spark.range(n_keys).select(
+            (F.col("id") % 4).alias("band"),
+            F.col("id").alias("bkt"),
+            (-F.col("id")).alias("neg_min_doc_id"),
+        )
+        sink.upsert_batch(seed, batch_id=0)
+
+        def batch(off: int):
+            return spark.range(20).select(
+                (F.col("id") % 4).alias("band"),
+                (F.col("id") + off).alias("bkt"),
+                (-F.col("id") - off).alias("neg_min_doc_id"),
+            )
+
+        sink.upsert_batch(batch(n_keys + 1000), batch_id=1)  # warm
+        best = float("inf")
+        for i in range(3):
+            t0 = time.perf_counter()
+            sink.upsert_batch(batch(n_keys + 10_000 * (i + 2)), batch_id=2 + i)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    small = merge_time(40_000, 64, "small")
+    big = merge_time(400_000, 640, "big")  # 10× registry, same bucket size
+    assert big < small * 2.5, f"merge not flat: {small:.2f}s -> {big:.2f}s"
