@@ -74,6 +74,8 @@ _SWEEP_PRIORITY = [
     "dq_split_drift_chi2",
     "dedup_cross_source_matrix",
     "orders_rfm_segments",
+    # -- new in round 7 --
+    "cluster_kmeans_lloyd",  # oracle-exact quantized-Lloyd k-means (IVF fit)
     # -- latest driver row is ROUND 3: streaming family first --
     "stream_tumbling_window",
     "stream_sliding_window",

@@ -1144,3 +1144,217 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "neighbor_id", F.round("cosine_raw", 6).alias("cosine")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-exact k-means (quantized Lloyd): the FIT half of IVF, replayable.
+# ---------------------------------------------------------------------------
+def _kmeans_oracle() -> str:
+    """Two unrolled Lloyd iterations in DuckDB SQL, mirroring the Spark
+    implementation step for step (same init, same per-dim distance
+    fold, same decimal-exact means rounded to 6 digits)."""
+    # Integer-exact half-up mean on the micro-unit grid. A double-domain
+    # mean is NOT cross-engine-stable here: the DECIMAL(38,6) sum over n
+    # rows can make the true mean land EXACTLY on a half-microunit
+    # (measured: 0.594524/56 = 10616.5 micro exactly), where the two
+    # engines' decimal->double casts differ by an ulp and flip the
+    # rounding. So: u = exact micro-unit sum as BIGINT, and
+    # mean_micro = floor((2u + n) / (2n)) — mathematical half-up in
+    # integer arithmetic. The one double division is safe: the
+    # quotient's distance to any integer is 0 or >= 1/(2n), orders of
+    # magnitude above an ulp, so FLOOR cannot flip.
+    #
+    # The inner CAST(... AS DOUBLE) hop before the decimal cast is load-
+    # bearing too: DuckDB rounds FLOAT->DECIMAL from the float32's
+    # SHORTEST decimal repr ("0.2563205" -> half-even tie -> 0.256320)
+    # while Spark widens to double first ("0.2563205063..." -> 0.256321,
+    # 4 of 500 rows measured); widening in SQL makes both engines round
+    # the same 17-digit value.
+    mean_cols = ", ".join(
+        f"CAST(FLOOR(CAST(2 * CAST(SUM(CAST(CAST(e.embedding[{i}] AS DOUBLE) AS DECIMAL(38,6)))"
+        f" * 1000000 AS BIGINT) + COUNT(*) AS DOUBLE)"
+        f" / CAST(2 * COUNT(*) AS DOUBLE)) AS DOUBLE)"
+        f" / 1000000.0 AS m{i}"
+        for i in range(1, DIM + 1)
+    )
+    cent_list = "list_value(" + ", ".join(f"m{i}" for i in range(1, DIM + 1)) + ")"
+    checksum_sum = " + ".join(f"m{i}" for i in range(1, DIM + 1))
+    checksum = (
+        f"CAST(FLOOR(({checksum_sum}) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0"
+    )
+    # explicit left-associative chain, NOT list_sum: list_sum's fold
+    # order is engine-internal (measured 3e-6 drift vs numpy's per-dim
+    # accumulation); a `+` chain parses strictly left-to-right, which
+    # is exactly the numpy acc-loop order
+    dist = " + ".join(
+        f"(CAST(e.embedding[{i}] AS DOUBLE) - c.cent[{i}])"
+        f" * (CAST(e.embedding[{i}] AS DOUBLE) - c.cent[{i}])"
+        for i in range(1, DIM + 1)
+    )
+    return f"""
+    WITH valid AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings WHERE {_VALID_VEC_SQL}),
+    c0 AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+      FROM embeddings
+      WHERE vec_id BETWEEN {IVF_CENTROID_LO} AND {IVF_CENTROID_HI}),
+    a1 AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist}, c.cell) AS rn
+        FROM valid e CROSS JOIN c0 c)
+      WHERE rn = 1),
+    c1 AS MATERIALIZED (
+      SELECT cell, {cent_list} AS cent FROM (
+        SELECT a1.cell, {mean_cols}
+        FROM a1 JOIN valid e USING (vec_id) GROUP BY a1.cell)),
+    a2 AS MATERIALIZED (
+      SELECT vec_id, cell, d FROM (
+        SELECT e.vec_id, c.cell, {dist} AS d,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist}, c.cell) AS rn
+        FROM valid e CROSS JOIN c1 c)
+      WHERE rn = 1),
+    c2 AS (
+      SELECT a2.cell, COUNT(*) AS n_members, {mean_cols}
+      FROM a2 JOIN valid e USING (vec_id) GROUP BY a2.cell),
+    inert AS (
+      -- floor-based grid quantization, NOT ROUND: DuckDB rounds doubles
+      -- by scaled multiply while Spark uses exact BigDecimal (the
+      -- fn_math/q2 lesson); FLOOR(d*1e6 + 0.5) is the same IEEE ops in
+      -- both engines, and the micro-unit sum is exact integer math
+      SELECT cell,
+             CAST(SUM(CAST(FLOOR(d * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS inertia
+      FROM a2 GROUP BY cell)
+    SELECT c2.cell, c2.n_members,
+           {checksum} AS centroid_checksum, inert.inertia
+    FROM c2 JOIN inert USING (cell)
+    ORDER BY cell
+    """
+
+
+@query("cluster_kmeans_lloyd", oracle=_kmeans_oracle())
+def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering with DETERMINISTIC, oracle-replayable training
+    — the FIT half of IVF made exact, so the whole train-then-probe ANN
+    pipeline now carries full oracles (fit here; probe in
+    sim_ann_ivf_fixed). This is the quantized-Lloyd answer to why
+    sim_ann_ivf stays rows-only: MLlib's centroids are an opaque
+    function of partitioning and seed internals, but Lloyd's update
+    itself is just argmin + mean — expressible identically in two
+    engines if (a) init is fixed data (the {IVF_CELLS} codebook vectors,
+    vec_ids {IVF_CENTROID_LO}-{IVF_CENTROID_HI}), (b) distances fold
+    per-dim left-to-right (the sim_ann_ivf_fixed convention), and (c)
+    each new centroid is an exact DECIMAL(38,6) mean cast to double and
+    ROUNDed to 6 digits (the helpers.py davg convention — rounding the
+    means each step is the "quantized Lloyd step"; ties at the rounding
+    digit are impossible for binary doubles).
+
+    Two full iterations: A1 = assign(corpus, C0); C1 = mean(A1);
+    A2 = assign(corpus, C1); C2 = mean(A2). Output per surviving cell:
+    member count, centroid checksum (sum of C2 components), and
+    inertia (sum of A2 squared distances, decimal-exact).
+
+    Scale shape (100 TB): assignment is one mapInPandas pass per
+    iteration with the codebook in the closure (8x64 doubles — the
+    sim_knn_matmul pattern); the update is one {DIM}-column decimal
+    hash aggregate (map-side combinable); the only collects are the
+    8-row codebooks. Iterations are a fixed constant — the plan is
+    K x (map + agg), linear in corpus size, no quadratic term.
+
+    Reference: motorway has no clustering surface; this extends the
+    north-star ANN family (SURVEY.md §2b) with the training step every
+    IVF deployment needs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = _valid_vectors(Catalog(spark, sf_dir).embeddings)
+    par = spark.sparkContext.defaultParallelism
+    corpus = emb.repartition(par).select("vec_id", "embedding")
+
+    cent_rows = (
+        Catalog(spark, sf_dir)
+        .embeddings.filter(
+            (F.col("vec_id") >= IVF_CENTROID_LO)
+            & (F.col("vec_id") <= IVF_CENTROID_HI)
+        )
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    c0 = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+
+    def assign_with(cents: np.ndarray, cells: list[int]):
+        """mapInPandas factory: nearest-cell assignment against a fixed
+        centroid matrix, per-dim left-fold distances (bit-matches the
+        oracle's list_sum fold), first-min tiebreak = lowest cell."""
+
+        def fn(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
+                acc = np.zeros((vecs.shape[0], cents.shape[0]))
+                for i in range(vecs.shape[1]):
+                    d = vecs[:, i : i + 1] - cents[None, :, i]
+                    acc += d * d
+                pos = acc.argmin(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "embedding": pdf["embedding"],
+                        "cell": [cells[p] for p in pos],
+                        "d": acc[np.arange(len(pos)), pos],
+                    }
+                )
+
+        return fn
+
+    schema = "vec_id long, embedding array<float>, cell int, d double"
+    # integer-exact half-up means on the micro-unit grid (see
+    # _kmeans_oracle: a double-domain mean hits true half-microunit
+    # ties where engine decimal->double casts diverge by an ulp)
+    mean_aggs = [
+        F.expr(
+            f"CAST(FLOOR(CAST(2 * CAST(SUM(CAST(CAST(element_at(embedding, {i})"
+            f" AS DOUBLE) AS DECIMAL(38,6))) * 1000000 AS BIGINT) + COUNT(1) AS DOUBLE)"
+            f" / CAST(2 * COUNT(1) AS DOUBLE)) AS DOUBLE) / 1000000.0"
+        ).alias(f"m{i}")
+        for i in range(1, DIM + 1)
+    ]
+
+    a1 = corpus.mapInPandas(
+        assign_with(c0, list(range(IVF_CELLS))), schema=schema
+    )
+    c1_rows = a1.groupBy("cell").agg(*mean_aggs).collect()  # <= 8 rows
+    c1_rows = sorted(c1_rows, key=lambda r: r["cell"])
+    cells1 = [r["cell"] for r in c1_rows]
+    c1 = np.array(
+        [[r[f"m{i}"] for i in range(1, DIM + 1)] for r in c1_rows],
+        dtype=np.float64,
+    )
+
+    a2 = corpus.mapInPandas(assign_with(c1, cells1), schema=schema)
+    chain = " + ".join(f"m{i}" for i in range(1, DIM + 1))
+    checksum = F.expr(
+        f"CAST(FLOOR(({chain}) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0"
+    ).alias("centroid_checksum")
+    return (
+        a2.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            *mean_aggs,
+            (
+                F.sum(
+                    F.expr("CAST(FLOOR(d * 1000000.0 + 0.5) AS BIGINT)")
+                ).cast("double")
+                / F.lit(1000000.0)
+            ).alias("inertia"),
+        )
+        .select("cell", "n_members", checksum, "inertia")
+        .orderBy("cell")
+    )
