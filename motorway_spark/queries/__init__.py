@@ -76,6 +76,7 @@ _SWEEP_PRIORITY = [
     "orders_rfm_segments",
     # -- new in round 7 --
     "cluster_kmeans_lloyd",  # oracle-exact quantized-Lloyd k-means (IVF fit)
+    "sim_ann_ivf_lloyd",  # trained-ANN pipeline composed, full oracle
     # -- latest driver row is ROUND 3: streaming family first --
     "stream_tumbling_window",
     "stream_sliding_window",

@@ -1147,41 +1147,51 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Oracle-exact k-means (quantized Lloyd): the FIT half of IVF, replayable.
+# Oracle-exact k-means (quantized Lloyd): the FIT half of IVF, replayable —
+# plus the full trained-ANN composition (fit -> inverted file -> probe).
 # ---------------------------------------------------------------------------
-def _kmeans_oracle() -> str:
-    """Two unrolled Lloyd iterations in DuckDB SQL, mirroring the Spark
-    implementation step for step (same init, same per-dim distance
-    fold, same decimal-exact means rounded to 6 digits)."""
-    # Integer-exact half-up mean on the micro-unit grid. A double-domain
-    # mean is NOT cross-engine-stable here: the DECIMAL(38,6) sum over n
-    # rows can make the true mean land EXACTLY on a half-microunit
-    # (measured: 0.594524/56 = 10616.5 micro exactly), where the two
-    # engines' decimal->double casts differ by an ulp and flip the
-    # rounding. So: u = exact micro-unit sum as BIGINT, and
-    # mean_micro = floor((2u + n) / (2n)) — mathematical half-up in
-    # integer arithmetic. The one double division is safe: the
-    # quotient's distance to any integer is 0 or >= 1/(2n), orders of
-    # magnitude above an ulp, so FLOOR cannot flip.
-    #
-    # The inner CAST(... AS DOUBLE) hop before the decimal cast is load-
-    # bearing too: DuckDB rounds FLOAT->DECIMAL from the float32's
-    # SHORTEST decimal repr ("0.2563205" -> half-even tie -> 0.256320)
-    # while Spark widens to double first ("0.2563205063..." -> 0.256321,
-    # 4 of 500 rows measured); widening in SQL makes both engines round
-    # the same 17-digit value.
-    mean_cols = ", ".join(
-        f"CAST(FLOOR(CAST(2 * CAST(SUM(CAST(CAST(e.embedding[{i}] AS DOUBLE) AS DECIMAL(38,6)))"
-        f" * 1000000 AS BIGINT) + COUNT(*) AS DOUBLE)"
-        f" / CAST(2 * COUNT(*) AS DOUBLE)) AS DOUBLE)"
-        f" / 1000000.0 AS m{i}"
+def _km_mean_sql(vec: str) -> str:
+    """One centroid component as SQL: integer-exact half-up mean of
+    ``{vec}`` (a 1-based element access template) on the micro-unit
+    grid. A double-domain mean is NOT cross-engine-stable: the
+    DECIMAL(38,6) sum over n rows can make the true mean land EXACTLY
+    on a half-microunit (measured: 0.594524/56 = 10616.5 micro), where
+    the engines' decimal->double casts differ by an ulp and flip the
+    rounding. So u = exact micro-unit sum as BIGINT and mean_micro =
+    floor((2u + n) / (2n)) — mathematical half-up in integer
+    arithmetic; the one double division is safe because the quotient's
+    distance to any integer is 0 or >= 1/(2n), orders of magnitude
+    above an ulp, so FLOOR cannot flip.
+
+    The inner CAST(... AS DOUBLE) hop before the decimal cast is load-
+    bearing: DuckDB rounds FLOAT->DECIMAL from the float32's SHORTEST
+    decimal repr ("0.2563205" -> half-even tie -> 0.256320) while
+    Spark widens to double first ("0.2563205063..." -> 0.256321; 4 of
+    500 rows measured); widening in SQL makes both engines round the
+    same 17-digit value."""
+    return (
+        f"CAST(FLOOR(CAST(2 * CAST(SUM(CAST(CAST({vec} AS DOUBLE)"
+        f" AS DECIMAL(38,6))) * 1000000 AS BIGINT) + COUNT(*) AS DOUBLE)"
+        f" / CAST(2 * COUNT(*) AS DOUBLE)) AS DOUBLE) / 1000000.0"
+    )
+
+
+def _km_mean_aggs() -> list[Column]:
+    """Spark mirror of _km_mean_sql over the ``embedding`` column."""
+    return [
+        F.expr(_km_mean_sql(f"element_at(embedding, {i})")).alias(f"m{i}")
         for i in range(1, DIM + 1)
+    ]
+
+
+# DuckDB CTE prefix shared by the fit and the composed ANN query:
+# valid corpus, fixed init codebook, assignment 1, quantized means 1,
+# assignment 2 (with per-row distance).
+def _km_cte_prefix() -> str:
+    mean_cols = ", ".join(
+        f"{_km_mean_sql(f'e.embedding[{i}]')} AS m{i}" for i in range(1, DIM + 1)
     )
     cent_list = "list_value(" + ", ".join(f"m{i}" for i in range(1, DIM + 1)) + ")"
-    checksum_sum = " + ".join(f"m{i}" for i in range(1, DIM + 1))
-    checksum = (
-        f"CAST(FLOOR(({checksum_sum}) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0"
-    )
     # explicit left-associative chain, NOT list_sum: list_sum's fold
     # order is engine-internal (measured 3e-6 drift vs numpy's per-dim
     # accumulation); a `+` chain parses strictly left-to-right, which
@@ -1216,7 +1226,18 @@ def _kmeans_oracle() -> str:
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY {dist}, c.cell) AS rn
         FROM valid e CROSS JOIN c1 c)
-      WHERE rn = 1),
+      WHERE rn = 1)"""
+
+
+def _kmeans_oracle() -> str:
+    mean_cols = ", ".join(
+        f"{_km_mean_sql(f'e.embedding[{i}]')} AS m{i}" for i in range(1, DIM + 1)
+    )
+    checksum_sum = " + ".join(f"m{i}" for i in range(1, DIM + 1))
+    checksum = (
+        f"CAST(FLOOR(({checksum_sum}) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0"
+    )
+    return f"""{_km_cte_prefix()},
     c2 AS (
       SELECT a2.cell, COUNT(*) AS n_members, {mean_cols}
       FROM a2 JOIN valid e USING (vec_id) GROUP BY a2.cell),
@@ -1236,42 +1257,42 @@ def _kmeans_oracle() -> str:
     """
 
 
-@query("cluster_kmeans_lloyd", oracle=_kmeans_oracle())
-def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-means clustering with DETERMINISTIC, oracle-replayable training
-    — the FIT half of IVF made exact, so the whole train-then-probe ANN
-    pipeline now carries full oracles (fit here; probe in
-    sim_ann_ivf_fixed). This is the quantized-Lloyd answer to why
-    sim_ann_ivf stays rows-only: MLlib's centroids are an opaque
-    function of partitioning and seed internals, but Lloyd's update
-    itself is just argmin + mean — expressible identically in two
-    engines if (a) init is fixed data (the {IVF_CELLS} codebook vectors,
-    vec_ids {IVF_CENTROID_LO}-{IVF_CENTROID_HI}), (b) distances fold
-    per-dim left-to-right (the sim_ann_ivf_fixed convention), and (c)
-    each new centroid is an exact DECIMAL(38,6) mean cast to double and
-    ROUNDed to 6 digits (the helpers.py davg convention — rounding the
-    means each step is the "quantized Lloyd step"; ties at the rounding
-    digit are impossible for binary doubles).
-
-    Two full iterations: A1 = assign(corpus, C0); C1 = mean(A1);
-    A2 = assign(corpus, C1); C2 = mean(A2). Output per surviving cell:
-    member count, centroid checksum (sum of C2 components), and
-    inertia (sum of A2 squared distances, decimal-exact).
-
-    Scale shape (100 TB): assignment is one mapInPandas pass per
-    iteration with the codebook in the closure (8x64 doubles — the
-    sim_knn_matmul pattern); the update is one {DIM}-column decimal
-    hash aggregate (map-side combinable); the only collects are the
-    8-row codebooks. Iterations are a fixed constant — the plan is
-    K x (map + agg), linear in corpus size, no quadratic term.
-
-    Reference: motorway has no clustering surface; this extends the
-    north-star ANN family (SURVEY.md §2b) with the training step every
-    IVF deployment needs.
-    """
-    import numpy as np
+def _km_assign_factory(cents: "np.ndarray", cells: list[int]):
+    """mapInPandas factory: nearest-cell assignment against a fixed
+    centroid matrix, per-dim left-fold distances (bit-matches the
+    oracle's explicit `+` chain), first-min tiebreak = lowest cell.
+    Output schema: vec_id, embedding, cell, d (min squared L2)."""
     import pandas as pd
 
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
+            acc = np.zeros((vecs.shape[0], cents.shape[0]))
+            for i in range(vecs.shape[1]):
+                d = vecs[:, i : i + 1] - cents[None, :, i]
+                acc += d * d
+            pos = acc.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cell": [cells[p] for p in pos],
+                    "d": acc[np.arange(len(pos)), pos],
+                }
+            )
+
+    return fn
+
+
+_KM_ASSIGN_SCHEMA = "vec_id long, embedding array<float>, cell int, d double"
+
+
+def _lloyd_c1(spark: SparkSession, sf_dir: str):
+    """Shared fit prefix: A1 = assign(corpus, C0); C1 = quantized
+    means. Returns (corpus, cells1, C1). The only collects are the
+    8-row codebooks (the sim_ann_ivf_fixed pattern)."""
     emb = _valid_vectors(Catalog(spark, sf_dir).embeddings)
     par = spark.sparkContext.defaultParallelism
     corpus = emb.repartition(par).select("vec_id", "embedding")
@@ -1288,57 +1309,57 @@ def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c0 = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
 
-    def assign_with(cents: np.ndarray, cells: list[int]):
-        """mapInPandas factory: nearest-cell assignment against a fixed
-        centroid matrix, per-dim left-fold distances (bit-matches the
-        oracle's list_sum fold), first-min tiebreak = lowest cell."""
-
-        def fn(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
-                acc = np.zeros((vecs.shape[0], cents.shape[0]))
-                for i in range(vecs.shape[1]):
-                    d = vecs[:, i : i + 1] - cents[None, :, i]
-                    acc += d * d
-                pos = acc.argmin(axis=1)
-                yield pd.DataFrame(
-                    {
-                        "vec_id": pdf["vec_id"],
-                        "embedding": pdf["embedding"],
-                        "cell": [cells[p] for p in pos],
-                        "d": acc[np.arange(len(pos)), pos],
-                    }
-                )
-
-        return fn
-
-    schema = "vec_id long, embedding array<float>, cell int, d double"
-    # integer-exact half-up means on the micro-unit grid (see
-    # _kmeans_oracle: a double-domain mean hits true half-microunit
-    # ties where engine decimal->double casts diverge by an ulp)
-    mean_aggs = [
-        F.expr(
-            f"CAST(FLOOR(CAST(2 * CAST(SUM(CAST(CAST(element_at(embedding, {i})"
-            f" AS DOUBLE) AS DECIMAL(38,6))) * 1000000 AS BIGINT) + COUNT(1) AS DOUBLE)"
-            f" / CAST(2 * COUNT(1) AS DOUBLE)) AS DOUBLE) / 1000000.0"
-        ).alias(f"m{i}")
-        for i in range(1, DIM + 1)
-    ]
-
     a1 = corpus.mapInPandas(
-        assign_with(c0, list(range(IVF_CELLS))), schema=schema
+        _km_assign_factory(c0, list(range(IVF_CELLS))), schema=_KM_ASSIGN_SCHEMA
     )
-    c1_rows = a1.groupBy("cell").agg(*mean_aggs).collect()  # <= 8 rows
-    c1_rows = sorted(c1_rows, key=lambda r: r["cell"])
+    c1_rows = sorted(
+        a1.groupBy("cell").agg(*_km_mean_aggs()).collect(),  # <= 8 rows
+        key=lambda r: r["cell"],
+    )
     cells1 = [r["cell"] for r in c1_rows]
     c1 = np.array(
         [[r[f"m{i}"] for i in range(1, DIM + 1)] for r in c1_rows],
         dtype=np.float64,
     )
+    return corpus, cells1, c1
 
-    a2 = corpus.mapInPandas(assign_with(c1, cells1), schema=schema)
+
+@query("cluster_kmeans_lloyd", oracle=_kmeans_oracle())
+def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering with DETERMINISTIC, oracle-replayable training
+    — the FIT half of IVF made exact, so the whole train-then-probe ANN
+    pipeline carries full oracles (fit here; probe in sim_ann_ivf_fixed;
+    the two composed in sim_ann_ivf_lloyd). This is the quantized-Lloyd
+    answer to why sim_ann_ivf stays rows-only: MLlib's centroids are an
+    opaque function of partitioning and seed internals, but Lloyd's
+    update itself is just argmin + mean — expressible identically in two
+    engines if (a) init is fixed data (the {IVF_CELLS} codebook vectors,
+    vec_ids {IVF_CENTROID_LO}-{IVF_CENTROID_HI}), (b) distances fold
+    per-dim left-to-right (the sim_ann_ivf_fixed convention), and (c)
+    each new centroid is an integer-exact half-up mean on the micro-unit
+    grid (see _km_mean_sql for why a double-domain mean is not enough —
+    true half-microunit ties exist and engine casts diverge there).
+
+    Two full iterations: A1 = assign(corpus, C0); C1 = mean(A1);
+    A2 = assign(corpus, C1); C2 = mean(A2). Output per surviving cell:
+    member count, centroid checksum (sum of C2 components), and
+    inertia (sum of A2 squared distances, exact integer micro-units).
+
+    Scale shape (100 TB): assignment is one mapInPandas pass per
+    iteration with the codebook in the closure (8x64 doubles — the
+    sim_knn_matmul pattern); the update is one {DIM}-column decimal
+    hash aggregate (map-side combinable); the only collects are the
+    8-row codebooks. Iterations are a fixed constant — the plan is
+    K x (map + agg), linear in corpus size, no quadratic term.
+
+    Reference: motorway has no clustering surface; this extends the
+    north-star ANN family (SURVEY.md §2b) with the training step every
+    IVF deployment needs.
+    """
+    corpus, cells1, c1 = _lloyd_c1(spark, sf_dir)
+    a2 = corpus.mapInPandas(
+        _km_assign_factory(c1, cells1), schema=_KM_ASSIGN_SCHEMA
+    )
     chain = " + ".join(f"m{i}" for i in range(1, DIM + 1))
     checksum = F.expr(
         f"CAST(FLOOR(({chain}) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0"
@@ -1347,7 +1368,7 @@ def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         a2.groupBy("cell")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            *mean_aggs,
+            *_km_mean_aggs(),
             (
                 F.sum(
                     F.expr("CAST(FLOOR(d * 1000000.0 + 0.5) AS BIGINT)")
@@ -1357,4 +1378,134 @@ def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("cell", "n_members", checksum, "inertia")
         .orderBy("cell")
+    )
+
+
+def _ivf_lloyd_oracle() -> str:
+    mean_cols = ", ".join(
+        f"{_km_mean_sql(f'e.embedding[{i}]')} AS m{i}" for i in range(1, DIM + 1)
+    )
+    cent_list = "list_value(" + ", ".join(f"m{i}" for i in range(1, DIM + 1)) + ")"
+    dist = " + ".join(
+        f"(CAST(e.embedding[{i}] AS DOUBLE) - c.cent[{i}])"
+        f" * (CAST(e.embedding[{i}] AS DOUBLE) - c.cent[{i}])"
+        for i in range(1, DIM + 1)
+    )
+    return f"""{_km_cte_prefix()},
+    c2 AS MATERIALIZED (
+      SELECT cell, {cent_list} AS cent FROM (
+        SELECT a2.cell, {mean_cols}
+        FROM a2 JOIN valid e USING (vec_id) GROUP BY a2.cell)),
+    d3 AS MATERIALIZED (
+      SELECT e.vec_id, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {dist}, c.cell) AS rn
+      FROM valid e CROSS JOIN c2 c),
+    a3 AS MATERIALIZED (SELECT vec_id, cell FROM d3 WHERE rn = 1),
+    probe AS (
+      SELECT vec_id AS query_id, cell FROM d3
+      WHERE vec_id < {N_QUERIES} AND rn <= {IVF_PROBE}),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, a.cell
+      FROM probe p JOIN a3 a USING (cell)
+      WHERE p.query_id <> a.vec_id),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id, cand.cell,
+             ROUND({_SQL_DOT.format(a='qe.embedding', b='ce.embedding')}
+                   / ({_SQL_NORM.format(a='qe.embedding')}
+                      * {_SQL_NORM.format(a='ce.embedding')}), 6) AS cosine
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored)
+    SELECT query_id, neighbor_id, cell, cosine, rn AS rank
+    FROM ranked WHERE rn <= 3
+    """
+
+
+@query("sim_ann_ivf_lloyd", oracle=_ivf_lloyd_oracle())
+def sim_ann_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE trained-ANN pipeline, oracle-exact end to end:
+    quantized-Lloyd k-means fit (cluster_kmeans_lloyd's two iterations)
+    -> inverted file over the FITTED codebook C2 -> {IVF_PROBE}-cell
+    probe -> exact cosine rerank, top 3 per query. sim_ann_ivf_fixed
+    proved the probe with a degenerate codebook; this replays the real
+    production sequence (train, index, search) bit-for-bit in DuckDB —
+    the operator sim_ann_ivf (MLlib-fitted, rows-only) represents, with
+    the packaged trainer swapped for the replayable one.
+
+    Scale shape: everything cluster_kmeans_lloyd says, plus one more
+    assignment pass for the inverted file and the cell-equality probe
+    join (int key, linear — the sim_ann_ivf_fixed analysis). The fitted
+    codebook crosses to the driver as 8x64 quantized doubles, exactly
+    like the fixed codebook did.
+    """
+    corpus, cells1, c1 = _lloyd_c1(spark, sf_dir)
+    a2 = corpus.mapInPandas(
+        _km_assign_factory(c1, cells1), schema=_KM_ASSIGN_SCHEMA
+    )
+    c2_rows = sorted(
+        a2.groupBy("cell").agg(*_km_mean_aggs()).collect(),  # <= 8 rows
+        key=lambda r: r["cell"],
+    )
+    cells2 = [r["cell"] for r in c2_rows]
+    c2 = np.array(
+        [[r[f"m{i}"] for i in range(1, DIM + 1)] for r in c2_rows],
+        dtype=np.float64,
+    )
+
+    a3 = corpus.mapInPandas(
+        _km_assign_factory(c2, cells2), schema=_KM_ASSIGN_SCHEMA
+    ).select("vec_id", "embedding", "cell")
+
+    # per-query probe list on the driver: 20 bounded query vectors x
+    # <= 8 cells, per-dim left-fold distances, (d, cell) tie order
+    q_rows = (
+        corpus.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    probe_pairs = []
+    for r in q_rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        acc = np.zeros(c2.shape[0])
+        for i in range(DIM):
+            d = v[i] - c2[:, i]
+            acc += d * d
+        order = sorted(range(len(cells2)), key=lambda p: (acc[p], cells2[p]))
+        probe_pairs += [
+            (r["vec_id"], cells2[p]) for p in order[:IVF_PROBE]
+        ]
+    probe = F.broadcast(
+        spark.createDataFrame(probe_pairs, "query_id long, cell int")
+    )
+
+    q_emb = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cosine = F.round(
+        _dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")), 6
+    )
+    pairs = (
+        probe.join(
+            a3.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("c_emb"),
+                "cell",
+            ),
+            "cell",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(q_emb), "query_id")
+        .withColumn("cosine", cosine)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cell", "cosine", "rank")
+        .orderBy("query_id", "rank")
     )
