@@ -77,6 +77,9 @@ _SWEEP_PRIORITY = [
     # -- new in round 7 --
     "cluster_kmeans_lloyd",  # oracle-exact quantized-Lloyd k-means (IVF fit)
     "sim_ann_ivf_lloyd",  # trained-ANN pipeline composed, full oracle
+    "dq_benford_first_digit",  # Benford drift audit, libm-free
+    "win_ewma_finite",  # dyadic-weight EWMA over trailing frame
+    "events_forecast_seasonal_naive",  # week-over-week backtest, WMAPE
     # -- latest driver row is ROUND 3: streaming family first --
     "stream_tumbling_window",
     "stream_sliding_window",

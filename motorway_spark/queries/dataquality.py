@@ -718,3 +718,93 @@ def dq_split_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_test",
         F.round(F.expr(_CHI2_CONTRIB).cast("double"), 6).alias("chi2_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit drift audit.
+# ---------------------------------------------------------------------------
+# log10(1 + 1/d) in exact micro-units, precomputed (no libm in either
+# engine's plan — the BM25/chi-square discipline): 301030 = round(1e6 *
+# log10(2)), etc. benford_expected = micro / 1e6 exactly.
+_BENFORD_MICRO = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910,
+    5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {m}" for d, m in _BENFORD_MICRO.items())
+    + " END"
+)
+
+
+@query(
+    "dq_benford_first_digit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(LEFT(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1)
+                  AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM digits),
+    freq AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n, n_total,
+             CAST(FLOOR(CAST(2 * COUNT(*) * 1000000 + n_total AS DOUBLE)
+                        / CAST(2 * n_total AS DOUBLE)) AS BIGINT) AS f_micro
+      FROM digits CROSS JOIN tot GROUP BY digit, n_total)
+    SELECT digit, n,
+           CAST(f_micro AS DOUBLE) / 1000000.0 AS observed_freq,
+           CAST({_BENFORD_CASE} AS DOUBLE) / 1000000.0 AS benford_expected,
+           CAST(ABS(f_micro - {_BENFORD_CASE}) AS DOUBLE) / 1000000.0
+             AS abs_dev
+    FROM freq ORDER BY digit
+    """,
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order amounts — the classic
+    fabricated-data / broken-feed detector (a synthetic or truncated
+    amount column drifts visibly from log10(1+1/d)). Complements
+    dq_split_drift_chi2 (distribution drift BETWEEN splits) with drift
+    against a THEORETICAL reference.
+
+    Determinism: the first digit comes from the BIGINT string (integer
+    formatting is unambiguous cross-engine; double formatting is not),
+    expected frequencies are exact micro-unit literals (no libm log10
+    in either plan), and the observed frequency is the integer-exact
+    half-up mean trick (floor((2n*1e6 + total) / (2*total)) — see
+    similarity._km_mean_sql for why ROUND on a quotient double is not
+    cross-engine-stable). The deviation is then pure integer math.
+
+    Scale shape: one scan, one 9-group aggregate, a 1-row total
+    broadcast back — nothing grows with data size except the scan."""
+    orders = Catalog(spark, sf_dir).orders
+    digits = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.expr(
+            "CAST(LEFT(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS STRING), 1) AS INT)"
+        ).alias("digit")
+    )
+    tot = digits.agg(F.count(F.lit(1)).alias("n_total"))
+    freq = (
+        digits.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "f_micro",
+            F.expr(
+                "CAST(FLOOR(CAST(2 * n * 1000000 + n_total AS DOUBLE)"
+                " / CAST(2 * n_total AS DOUBLE)) AS BIGINT)"
+            ),
+        )
+    )
+    return freq.select(
+        "digit",
+        "n",
+        (F.col("f_micro").cast("double") / F.lit(1000000.0)).alias(
+            "observed_freq"
+        ),
+        (
+            F.expr(f"CAST({_BENFORD_CASE} AS DOUBLE)") / F.lit(1000000.0)
+        ).alias("benford_expected"),
+        (
+            F.expr(f"CAST(ABS(f_micro - {_BENFORD_CASE}) AS DOUBLE)")
+            / F.lit(1000000.0)
+        ).alias("abs_dev"),
+    ).orderBy("digit")

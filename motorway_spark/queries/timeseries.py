@@ -1185,3 +1185,81 @@ def orders_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_customers"), "n_for_80pct", "top_decile_share"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest (weekly seasonality, hourly grain).
+# ---------------------------------------------------------------------------
+@query(
+    "events_forecast_seasonal_naive",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    scored AS (
+      SELECT a.event_type, a.c AS actual, f.c AS forecast,
+             ABS(a.c - f.c) AS abs_err
+      FROM hourly a
+      JOIN hourly f
+        ON f.event_type = a.event_type
+       AND f.h = a.h - INTERVAL '168' HOUR)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours_scored,
+           CAST(SUM(actual) AS BIGINT) AS total_actual,
+           CAST(SUM(abs_err) AS BIGINT) AS total_abs_err,
+           CAST(FLOOR(CAST(2 * SUM(abs_err) * 1000000 + SUM(actual) AS DOUBLE)
+                      / CAST(2 * SUM(actual) AS DOUBLE)) AS DOUBLE)
+             / 1000000.0 AS wmape
+    FROM scored GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecasting backtest — the baseline every
+    forecasting deployment must beat, run as a query: the forecast for
+    hour t is the actual at t-168h (same hour last week), scored over
+    every hour whose seasonal ancestor exists, reported per event type
+    as WMAPE (sum|err| / sum actual — the volume-weighted error that
+    doesn't explode on near-zero hours like per-row MAPE does).
+
+    Determinism: counts are exact integers; abs errors and both sums
+    are integer; WMAPE uses the integer-exact half-up division
+    (floor((2e*1e6 + a) / (2a)) — the _km_mean_sql trick) so the one
+    ratio is bit-identical cross-engine.
+
+    Scale shape: one shuffle to hourly granularity (raw events collapse
+    ~3 orders of magnitude), a self-equi-join on (event_type, hour) —
+    int/timestamp keys, co-partitioned by the groupBy exchange — and a
+    |event_type|-row final aggregate. Missing hours simply don't score
+    (no spine needed; the zero-filled variant is
+    events_changepoint_cusum_filled's spine composed with this join).
+
+    Reference: motorway's KPI domain (Plecto) is exactly this shape —
+    per-metric hourly rollups with week-over-week comparison."""
+    events = Catalog(spark, sf_dir).events
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = hourly.select("event_type", "h", F.col("c").alias("actual"))
+    f = hourly.select(
+        "event_type",
+        F.expr("h + INTERVAL '168' HOUR").alias("h"),
+        F.col("c").alias("forecast"),
+    )
+    scored = a.join(f, ["event_type", "h"]).withColumn(
+        "abs_err", F.abs(F.col("actual") - F.col("forecast"))
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours_scored"),
+            F.sum("actual").alias("total_actual"),
+            F.sum("abs_err").alias("total_abs_err"),
+            F.expr(
+                "CAST(FLOOR(CAST(2 * SUM(abs_err) * 1000000 + SUM(actual)"
+                " AS DOUBLE) / CAST(2 * SUM(actual) AS DOUBLE)) AS DOUBLE)"
+                " / 1000000.0"
+            ).alias("wmape"),
+        )
+        .orderBy("event_type")
+    )

@@ -372,3 +372,78 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("frame_n"),
         F.element_at(vals, F.floor((n + 1) / 2).cast("int")).alias("moving_median"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Finite-window EWMA (exponentially weighted moving average).
+# ---------------------------------------------------------------------------
+# alpha = 0.5: weights 2^-1 .. 2^-5 are DYADIC rationals — exactly
+# representable doubles, so every product/sum below is the same IEEE
+# value in both engines (the reason alpha is not, say, 0.3).
+_EWMA_LAGS = 5
+
+
+def _ewma_expr(lag_name) -> str:
+    """num/den over the present lags, fixed left-to-right fold; both
+    engines parse the identical expression string."""
+    num = " + ".join(
+        f"COALESCE({lag_name(k)}, 0.0) * {0.5 ** (k + 1)!r}"
+        for k in range(_EWMA_LAGS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN {lag_name(k)} IS NOT NULL THEN {0.5 ** (k + 1)!r}"
+        " ELSE 0.0 END)"
+        for k in range(_EWMA_LAGS)
+    )
+    # floor-grid output quantization: inputs are bit-identical in both
+    # engines, so FLOOR agrees; ROUND(double) would not (DuckDB rounds
+    # by scaled multiply, Spark by exact BigDecimal)
+    return (
+        f"CAST(FLOOR((({num}) / ({den})) * 1000000.0 + 0.5) AS DOUBLE)"
+        " / 1000000.0"
+    )
+
+
+@query(
+    "win_ewma_finite",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE value IS NOT NULL)
+    SELECT event_id, user_id, value,
+           {_ewma_expr(lambda k: f"lag(value, {k}) OVER (PARTITION BY user_id ORDER BY ts, event_id)")}
+             AS ewma
+    FROM e
+    """,
+)
+def win_ewma_finite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average over the trailing
+    {_EWMA_LAGS}-event frame per user — the standard smoothing
+    primitive between the plain moving average (win_running) and the
+    moving median (win_moving_median). The infinite-history EWMA is a
+    recurrence (not window-expressible); the finite-window form is a
+    fixed weighted sum of lags, which IS — and at alpha=0.5 the weights
+    are dyadic rationals, so the arithmetic is bit-identical
+    cross-engine with no decimal machinery. Weights renormalize over
+    the PRESENT lags (sequence heads average over what exists rather
+    than decaying toward zero).
+
+    Scale shape: one hash exchange on user_id + in-partition sort, then
+    {_EWMA_LAGS} lag reads per row — constant state, the same window
+    economics as win_lag_lead. NULL measurements are filtered up front
+    so both engines see identical frames (the win_moving_median
+    lesson)."""
+    events = Catalog(spark, sf_dir).events.filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = events.select(
+        "event_id",
+        "user_id",
+        "value",
+        *[F.lag("value", k).over(w).alias(f"l{k}") for k in range(_EWMA_LAGS)],
+    )
+    return lagged.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.expr(_ewma_expr(lambda k: f"l{k}")).alias("ewma"),
+    )
