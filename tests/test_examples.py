@@ -83,3 +83,20 @@ def test_sqs_pipeline_example(spark):
         }
     finally:
         stop()
+
+
+def test_database_pipeline_example(spark, tmp_path):
+    """The reference's database example shape (examples/database.py:
+    WordRamp -> count -> SQL upsert by primary key) lands real rows
+    in SQLite with MERGE semantics."""
+    import sqlite3
+
+    from examples.database_pipeline import count_words_into_db
+
+    db = str(tmp_path / "wc.db")
+    count_words_into_db(spark, db, n_sentences=20)
+    with sqlite3.connect(db) as conn:
+        rows = dict(conn.execute("SELECT word, count FROM word_counts"))
+    assert rows  # every distinct word exactly once, counts positive
+    assert all(c >= 1 for c in rows.values())
+    assert len(rows) == len(set(rows))
