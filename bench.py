@@ -106,6 +106,13 @@ BENCH_QUERIES = [
     "dq_split_drift_chi2",
     "dedup_cross_source_matrix",
     "orders_rfm_segments",
+    # round-7 additions: oracle-exact k-means fit, the composed
+    # trained-ANN pipeline, Benford audit, EWMA, forecast backtest
+    "cluster_kmeans_lloyd",
+    "sim_ann_ivf_lloyd",
+    "dq_benford_first_digit",
+    "win_ewma_finite",
+    "events_forecast_seasonal_naive",
 ]
 
 # Sub-2s timings at sf0.1 sit inside machine-noise width; best-of-2
@@ -213,8 +220,7 @@ def main() -> None:
 
     def _line() -> str:
         result = {
-            "metric": f"{len(timings)}/{len(bench_queries)} headline queries,"
-                      " noop sink, best-of-2/3",
+            "metric": f"{len(timings)}/{len(bench_queries)} noop best-of-2/3",
             "value": detail["value"],
             "unit": "sec",
             "queries": line_queries,
@@ -226,9 +232,10 @@ def main() -> None:
             result["n_errors"] = len(errors)
         return json.dumps(result, separators=(",", ":"))
 
+    # cap: the line plus its newline must sit inside the 2000-char window
     out = _line()
     for name in sorted(line_queries, key=line_queries.get):
-        if len(out) <= 1900:
+        if len(out) <= 1990:
             break
         omitted_sec += line_queries.pop(name)
         omitted_n += 1
