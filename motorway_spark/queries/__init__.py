@@ -80,6 +80,8 @@ _SWEEP_PRIORITY = [
     "dq_benford_first_digit",  # Benford drift audit, libm-free
     "win_ewma_finite",  # dyadic-weight EWMA over trailing frame
     "events_forecast_seasonal_naive",  # week-over-week backtest, WMAPE
+    "agg_histogram_equidepth",  # exact decile buckets (profiler/CBO stat)
+    "events_twap_daily",  # time-weighted average over irregular samples
     # -- latest driver row is ROUND 3: streaming family first --
     "stream_tumbling_window",
     "stream_sliding_window",

@@ -441,3 +441,56 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth (quantile-bucket) histogram.
+# ---------------------------------------------------------------------------
+@query(
+    "agg_histogram_equidepth",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_extendedprice AS v,
+             ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+                             l_linenumber) AS bucket
+      FROM lineitem WHERE l_extendedprice IS NOT NULL)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(v) AS lo, MAX(v) AS hi
+    FROM ranked GROUP BY bucket ORDER BY bucket
+    """,
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (quantile buckets) over line prices — the
+    profiler's complement to agg_histogram's fixed-edge equi-width
+    bins: each of the 10 buckets holds (as near as possible) the same
+    row count, and the [lo, hi] boundaries ARE the deciles. This is the
+    statistic a cost-based optimizer keeps per column and the binning a
+    skewed distribution needs (equi-width collapses skew into one hot
+    bin).
+
+    Determinism: ntile over a TOTAL order (value, then the primary
+    key) assigns identical bucket ids in both engines — the bucket
+    boundaries are exact order statistics, no floats involved; min/max
+    per bucket are order-insensitive.
+
+    Scale shape: a global ntile is a single-partition sort at the
+    extreme — the honest cost of EXACT deciles (the orders_rfm playbook
+    documents the two-pass range-partitioned rank swap when the column
+    outgrows one partition; approximate deciles come free from
+    approx_percentile when exactness isn't the contract)."""
+    li = Catalog(spark, sf_dir).lineitem.filter(
+        F.col("l_extendedprice").isNotNull()
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (
+        li.select(F.col("l_extendedprice").alias("v"), F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -1263,3 +1263,81 @@ def events_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP) over irregular samples.
+# ---------------------------------------------------------------------------
+@query(
+    "events_twap_daily",
+    oracle="""
+    WITH samples AS (
+      SELECT user_id, ts, value,
+             lag(ts) OVER w AS prev_ts,
+             lag(value) OVER w AS prev_v
+      FROM events WHERE value IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    intervals AS (
+      SELECT user_id, strftime(date_trunc('day', prev_ts), '%Y-%m-%d') AS day,
+             epoch_us(ts) - epoch_us(prev_ts) AS dt_us, prev_v
+      FROM samples
+      WHERE prev_ts IS NOT NULL AND epoch_us(ts) > epoch_us(prev_ts))
+    SELECT user_id, day,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dt_us) AS BIGINT) AS total_us,
+           CAST(FLOOR((CAST(SUM(CAST(prev_v AS DECIMAL(38,6)) * dt_us)
+                            AS DOUBLE)
+                       / CAST(SUM(dt_us) AS DOUBLE)) * 1000000.0 + 0.5)
+                AS DOUBLE) / 1000000.0 AS twap
+    FROM intervals GROUP BY user_id, day
+    """,
+)
+def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-WEIGHTED average per (user, day) over irregularly sampled
+    measurements — the correct mean when samples are unevenly spaced
+    (a plain AVG over-weights bursts; TWAP weights each value by how
+    long it held). Left-continuous step semantics: the lagged value
+    holds over [prev_ts, ts); an interval belongs to the day it STARTS.
+    The financial TWAP / monitoring-gauge rollup primitive.
+
+    Determinism: interval lengths are exact integer microseconds;
+    value x dt products accumulate as exact DECIMAL(38,6) (the
+    helpers.py convention — value casts to decimal BEFORE the integer
+    multiply, so the product is exact); the one division produces the
+    identical double in both engines and quantizes on the micro-grid
+    with FLOOR (not ROUND — see _km_mean_sql's engine-divergence
+    notes). Zero-length intervals (duplicate timestamps) are excluded
+    on both sides rather than contributing zero weight.
+
+    Scale shape: one hash exchange on user_id + in-partition sort (lag
+    window), then a (user, day) hash aggregate — map-side combinable;
+    nothing global, nothing Python-side."""
+    events = Catalog(spark, sf_dir).events.filter(F.col("value").isNotNull())
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    samples = events.select(
+        "user_id",
+        "ts",
+        "value",
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.lag("value").over(w).alias("prev_v"),
+    )
+    intervals = samples.filter(
+        F.col("prev_ts").isNotNull()
+        & (F.unix_micros("ts") > F.unix_micros("prev_ts"))
+    ).select(
+        "user_id",
+        F.date_format(F.col("prev_ts"), "yyyy-MM-dd").alias("day"),
+        (F.unix_micros("ts") - F.unix_micros("prev_ts")).alias("dt_us"),
+        "prev_v",
+    )
+    return intervals.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dt_us").alias("total_us"),
+        F.expr(
+            "CAST(FLOOR((CAST(SUM(CAST(prev_v AS DECIMAL(38,6)) * dt_us)"
+            " AS DOUBLE) / CAST(SUM(dt_us) AS DOUBLE)) * 1000000.0 + 0.5)"
+            " AS DOUBLE) / 1000000.0"
+        ).alias("twap"),
+    )
