@@ -596,3 +596,35 @@ def test_basket_support_joins_broadcast_via_aqe_not_hint(spark, name):
     assert "BroadcastHashJoin" in final or "BroadcastQueryStage" in final
     # and the fact side never degenerates into a cartesian product
     assert "CartesianProduct" not in final
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "sim_ann_ivf_lloyd",
+        "cluster_kmeans_lloyd",
+        "events_twap_daily",
+        "win_ewma_finite",
+        "events_forecast_seasonal_naive",
+        "dq_benford_first_digit",
+    ],
+)
+def test_round7_ops_no_cartesian(spark, name):
+    """Round-7 operators: no CartesianProduct anywhere — the kmeans
+    pair carries its codebook in the mapInPandas closure (not a join),
+    the ANN probe is a broadcast cell-equality join, TWAP/EWMA are one
+    window exchange, Benford's total is an explicitly broadcast 1-row
+    frame."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+
+
+def test_twap_single_window_exchange(spark):
+    """events_twap_daily: exactly ONE exchange feeds the lag window
+    (hashpartitioning on user_id); the (user, day) aggregate reuses
+    partial aggregation — no second full shuffle of raw rows beyond
+    the agg's own exchange."""
+    plan = _plan(spark, "events_twap_daily")
+    assert plan.count("Window") >= 1
+    # the window's exchange partitions by user_id
+    assert "hashpartitioning(user_id" in plan
