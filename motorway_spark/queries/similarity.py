@@ -1292,10 +1292,22 @@ _KM_ASSIGN_SCHEMA = "vec_id long, embedding array<float>, cell int, d double"
 def _lloyd_c1(spark: SparkSession, sf_dir: str):
     """Shared fit prefix: A1 = assign(corpus, C0); C1 = quantized
     means. Returns (corpus, cells1, C1). The only collects are the
-    8-row codebooks (the sim_ann_ivf_fixed pattern)."""
+    8-row codebooks (the sim_ann_ivf_fixed pattern).
+
+    The corpus persists via the cache registry: Lloyd re-reads it once
+    per assignment pass (2x for the fit, 3x for the composed ANN) —
+    the canonical iterative-workload caching case; without it each
+    pass repeats the scan + repartition shuffle (A/B at sf0.1: fit
+    3.9->3.7 s, composed ANN 4.9->4.0 s). Exclusive swap releases
+    prior operators' scopes, and the NEXT operator's swap releases
+    this one."""
+    from motorway_spark.maintenance import CACHES
+
     emb = _valid_vectors(Catalog(spark, sf_dir).embeddings)
     par = spark.sparkContext.defaultParallelism
-    corpus = emb.repartition(par).select("vec_id", "embedding")
+    corpus = CACHES.persist_swap(
+        "lloyd.corpus", emb.repartition(par).select("vec_id", "embedding")
+    )
 
     cent_rows = (
         Catalog(spark, sf_dir)
