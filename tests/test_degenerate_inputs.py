@@ -152,6 +152,18 @@ NULL_PARITY = [
     # NULL and empty docs land identically on both engines
     "dq_split_drift_chi2",
     "dedup_cross_source_matrix",
+    # round-7 operators with NULL-exposed inputs: EWMA and TWAP filter
+    # NULL measurements up front (identical frames both engines, the
+    # win_moving_median lesson); the kmeans pair abstains on NULL
+    # vectors via the shared valid-vector predicate; the equi-depth
+    # histogram and Benford filter their NULL measures explicitly
+    "win_ewma_finite",
+    "events_twap_daily",
+    "cluster_kmeans_lloyd",
+    "sim_ann_ivf_lloyd",
+    "agg_histogram_equidepth",
+    "dq_benford_first_digit",
+    "events_forecast_seasonal_naive",
 ]
 
 

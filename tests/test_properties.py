@@ -694,3 +694,50 @@ def test_chunk_dedup_matches_pure_python_reference(spark, tmp_path):
         for r in QUERIES["dedup_chunk_global"](spark, str(tmp_path)).collect()
     }
     assert got == want
+
+
+def test_dbapi_and_parquet_upsert_sinks_converge_identically(spark, tmp_path):
+    """The two MERGE sinks implement ONE contract: for any batch
+    sequence (duplicate keys within batches, keys updated across
+    batches, replayed batch ids), the SQL table and the parquet table
+    must hold the identical final (key -> value) map. Seeded random
+    sequences rather than @given: each trial pays two Spark sinks, so
+    hypothesis' example budget would be minutes; the seeds are fixed
+    and the failure message carries the trial."""
+    import functools
+    import random
+    import sqlite3
+
+    from motorway_spark.sinks.dbapi import DbApiUpsertSink
+    from motorway_spark.sinks.upsert import UpsertParquetSink
+
+    for trial in range(3):
+        rng = random.Random(1000 + trial)
+        db = str(tmp_path / f"prop{trial}.db")
+        pq_dir = tmp_path / f"prop{trial}_pq"
+        pq_dir.mkdir()
+        sql_sink = DbApiUpsertSink(
+            functools.partial(sqlite3.connect, db, timeout=30),
+            "kv",
+            key_cols=["k"],
+        )
+        pq_sink = UpsertParquetSink(
+            spark, str(pq_dir / "t"), key_cols=["k"], num_buckets=4
+        )
+        n_batches = rng.randint(2, 4)
+        for b in range(n_batches):
+            rows = [
+                (rng.randint(0, 12), rng.randint(0, 99))
+                for _ in range(rng.randint(1, 15))
+            ]
+            df = spark.createDataFrame(rows, "k int, v int").repartition(2)
+            sql_sink.upsert_batch(df, batch_id=b)
+            pq_sink.upsert_batch(df, batch_id=b)
+            if rng.random() < 0.5:  # replay with DIFFERENT content: no-op
+                noise = spark.createDataFrame([(999, -1)], "k int, v int")
+                sql_sink.upsert_batch(noise, batch_id=b)
+                pq_sink.upsert_batch(noise, batch_id=b)
+        with sqlite3.connect(db) as conn:
+            sql_state = dict(conn.execute("SELECT k, v FROM kv"))
+        pq_state = {r["k"]: r["v"] for r in pq_sink.read().collect()}
+        assert sql_state == pq_state, f"trial {trial}: {sql_state} != {pq_state}"
