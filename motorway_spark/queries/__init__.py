@@ -82,6 +82,7 @@ _SWEEP_PRIORITY = [
     "events_forecast_seasonal_naive",  # week-over-week backtest, WMAPE
     "agg_histogram_equidepth",  # exact decile buckets (profiler/CBO stat)
     "events_twap_daily",  # time-weighted average over irregular samples
+    "agg_distinct_kmv",  # deterministic mergeable distinct sketch, oracle-exact
     # -- latest driver row is ROUND 3: streaming family first --
     "stream_tumbling_window",
     "stream_sliding_window",

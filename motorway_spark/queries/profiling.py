@@ -494,3 +494,86 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch — oracle-exact.
+# ---------------------------------------------------------------------------
+_KMV_K = 256
+_KMV_SPACE = 1152921504606846976.0  # 2^60 — exact as a double
+
+
+@query(
+    "agg_distinct_kmv",
+    oracle=f"""
+    WITH u AS MATERIALIZED (
+      SELECT DISTINCT
+             ('0x' || substr(md5(coalesce(text, '')), 1, 15))::BIGINT AS u
+      FROM documents),
+    kth AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k_used, MAX(u) AS u_k
+      FROM (SELECT u FROM u ORDER BY u LIMIT {_KMV_K})),
+    ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM u)
+    SELECT k_used, u_k, n_exact,
+           CASE WHEN k_used < {_KMV_K} THEN n_exact
+                ELSE CAST(FLOOR(CAST(k_used - 1 AS DOUBLE) * {_KMV_SPACE!r}
+                                / CAST(u_k AS DOUBLE)) AS BIGINT) END
+             AS kmv_estimate,
+           CAST(FLOOR(CAST(2 * ABS((CASE WHEN k_used < {_KMV_K} THEN n_exact
+                ELSE CAST(FLOOR(CAST(k_used - 1 AS DOUBLE) * {_KMV_SPACE!r}
+                                / CAST(u_k AS DOUBLE)) AS BIGINT) END)
+                - n_exact) * 1000000 + n_exact AS DOUBLE)
+                / CAST(2 * n_exact AS DOUBLE)) AS DOUBLE) / 1000000.0
+             AS rel_err
+    FROM kth CROSS JOIN ex
+    """,
+)
+def agg_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count estimation via a KMV (k-minimum-values) sketch —
+    the DETERMINISTIC mergeable sketch, oracle-exact where
+    agg_approx_distinct (HLL) is necessarily rows-only: HLL's register
+    layout is engine-internal, but KMV is pure order statistics over a
+    shared hash — the k smallest md5-derived 60-bit values of the
+    distinct texts, estimate = (k-1) * 2^60 / u_k. Both engines compute
+    identical hashes, take the identical k-th order statistic, and the
+    one double division is bit-identical. The output row carries the
+    estimate NEXT TO the exact count with the measured relative error
+    (integer-exact half-up grid) — the sketch-accuracy audit built in.
+
+    Mergeability (the production point): KMV sketches union by "merge
+    and keep the k smallest" — an algebraic min-k aggregate, so
+    per-partition sketches combine map-side exactly like the partial
+    aggregates Spark already does; the DISTINCT + TakeOrdered plan
+    here IS that two-phase shape. At 100 TB the sketch is k values per
+    partition crossing the shuffle, never the distinct set itself.
+
+    Reference: extends the profiling family (SURVEY.md §2b) the same
+    way topk_heavy_hitters did — an exact-checkable form of a
+    classically-approximate operator."""
+    from motorway_spark.queries.dedup import _h64
+
+    docs = Catalog(spark, sf_dir).documents
+    us = docs.select(
+        _h64(F.coalesce(F.col("text"), F.lit(""))).alias("u")
+    ).distinct()
+    kth = (
+        us.orderBy("u")
+        .limit(_KMV_K)
+        .agg(F.count(F.lit(1)).alias("k_used"), F.max("u").alias("u_k"))
+    )
+    ex = us.agg(F.count(F.lit(1)).alias("n_exact"))
+    est = (
+        f"CASE WHEN k_used < {_KMV_K} THEN n_exact "
+        f"ELSE CAST(FLOOR(CAST(k_used - 1 AS DOUBLE) * {_KMV_SPACE!r} "
+        f"/ CAST(u_k AS DOUBLE)) AS BIGINT) END"
+    )
+    return kth.crossJoin(F.broadcast(ex)).select(
+        "k_used",
+        "u_k",
+        "n_exact",
+        F.expr(est).alias("kmv_estimate"),
+        F.expr(
+            f"CAST(FLOOR(CAST(2 * ABS(({est}) - n_exact) * 1000000 + n_exact"
+            " AS DOUBLE) / CAST(2 * n_exact AS DOUBLE)) AS DOUBLE) / 1000000.0"
+        ).alias("rel_err"),
+    )
