@@ -83,6 +83,7 @@ _SWEEP_PRIORITY = [
     "agg_histogram_equidepth",  # exact decile buckets (profiler/CBO stat)
     "events_twap_daily",  # time-weighted average over irregular samples
     "agg_distinct_kmv",  # deterministic mergeable distinct sketch, oracle-exact
+    "stream_distinct_kmv",  # streaming KMV: bounded-state cardinality, WAL-free
     # -- latest driver row is ROUND 3: streaming family first --
     "stream_tumbling_window",
     "stream_sliding_window",

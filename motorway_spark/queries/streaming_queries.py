@@ -1247,3 +1247,148 @@ def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(f"stream produced no batches into {root}/flags")
     # survives the next invocation's rmtree of this run's table dir
     return out.localCheckpoint(eager=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming distinct-count: the KMV sketch maintained per micro-batch.
+# ---------------------------------------------------------------------------
+_LAST_KMV_DIR: str | None = None
+_KMV_STREAM_K = 256
+_KMV_STREAM_SPACE = 1152921504606846976.0  # 2^60
+
+
+def _kmv_oracle() -> str:
+    k, space = _KMV_STREAM_K, _KMV_STREAM_SPACE
+    return f"""
+    WITH u AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(coalesce(text, '')), 1, 15))::BIGINT AS u
+      FROM documents),
+    kth AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k_used, MAX(u) AS u_k
+      FROM (SELECT u FROM u ORDER BY u LIMIT {k}))
+    SELECT k_used, u_k,
+           CASE WHEN k_used < {k} THEN k_used
+                ELSE CAST(FLOOR(CAST(k_used - 1 AS DOUBLE) * {space!r}
+                                / CAST(u_k AS DOUBLE)) AS BIGINT) END
+             AS kmv_estimate
+    FROM kth
+    """
+
+
+@query("stream_distinct_kmv", oracle=_kmv_oracle())
+def stream_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cardinality: how many DISTINCT documents has this
+    stream carried, maintained per micro-batch with BOUNDED state — the
+    KMV sketch of agg_distinct_kmv kept as a {_KMV_STREAM_K}-row table.
+    Per batch: the batch's k smallest distinct hash values union the
+    prior sketch, keep the k smallest — KMV's merge is associative and
+    commutative, so batch boundaries cannot change the final sketch,
+    and the drained stream's answer equals the batch operator's on the
+    same corpus EXACTLY (that equality IS the oracle).
+
+    Exactly-once comes free: merging the same values twice is a set
+    union — a replayed micro-batch is a mathematical no-op, so this
+    sink needs no batch-id WAL at all (contrast the ingest registries,
+    whose counts would double). The swap is still atomic-per-batch
+    (tmp + rename) so a crash mid-write leaves the prior sketch.
+
+    Scale shape: per batch one distinct + TakeOrdered(k) over the
+    micro-batch (map-side partial, k values per partition cross the
+    shuffle), one union with a {_KMV_STREAM_K}-row table, one
+    {_KMV_STREAM_K}-row write. State is O(k) forever — the point of
+    sketches; the exact-registry alternative (stream_corpus_ingest)
+    grows with distinct count.
+
+    Reference: motorway's stats pipeline tracks stream volumes
+    (motorway/controller.py histograms); this is the distinct-volume
+    monitor it can't express with bounded memory."""
+    import os
+    import shutil
+    import tempfile
+
+    from motorway_spark.streaming.runner import stream_documents
+
+    global _LAST_KMV_DIR
+    if _LAST_KMV_DIR is not None:
+        shutil.rmtree(_LAST_KMV_DIR, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="stream_kmv_")
+    _LAST_KMV_DIR = root
+    sketch_dir = f"{root}/sketch"
+
+    k = _KMV_STREAM_K
+
+    def process_batch(bdf: DataFrame, batch_id: int) -> None:
+        batch_u = (
+            bdf.select(
+                F.conv(
+                    F.substring(
+                        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("bigint")
+                .alias("u")
+            )
+            .distinct()
+            .orderBy("u")
+            .limit(k)
+        )
+        if os.path.isdir(sketch_dir):
+            prior = bdf.sparkSession.read.parquet(sketch_dir)
+            merged = prior.union(batch_u).distinct().orderBy("u").limit(k)
+        else:
+            merged = batch_u
+        tmp = f"{sketch_dir}.tmp-{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = f"{sketch_dir}.old-{batch_id}"
+        if os.path.isdir(sketch_dir):
+            os.rename(sketch_dir, old)
+        os.rename(tmp, sketch_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        # replay-idempotent by construction, so the flake retry needs
+        # no wipe: a restarted query re-merges the same values
+        for attempt in (1, 2):
+            q = (
+                stream_documents(spark, sf_dir)
+                .writeStream.outputMode("append")
+                .trigger(availableNow=True)
+                .foreachBatch(process_batch)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise TimeoutError("stream did not drain within 300s")
+                break
+            except Exception as exc:  # noqa: BLE001
+                if attempt == 1 and "Python worker" in str(exc):
+                    continue
+                raise
+            finally:
+                if q.isActive:
+                    q.stop()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+
+    sketch = spark.read.parquet(sketch_dir)
+    space = _KMV_STREAM_SPACE
+    est = (
+        f"CASE WHEN k_used < {k} THEN k_used "
+        f"ELSE CAST(FLOOR(CAST(k_used - 1 AS DOUBLE) * {space!r} "
+        f"/ CAST(u_k AS DOUBLE)) AS BIGINT) END"
+    )
+    out = sketch.agg(
+        F.count(F.lit(1)).alias("k_used"), F.max("u").alias("u_k")
+    ).select("k_used", "u_k", F.expr(est).alias("kmv_estimate"))
+    # survives the next invocation's rmtree of this run's sketch dir
+    return out.localCheckpoint(eager=True)
