@@ -113,6 +113,10 @@ BENCH_QUERIES = [
     "dq_benford_first_digit",
     "win_ewma_finite",
     "events_forecast_seasonal_naive",
+    "agg_histogram_equidepth",
+    "events_twap_daily",
+    "agg_distinct_kmv",
+    "stream_distinct_kmv",
 ]
 
 # Sub-2s timings at sf0.1 sit inside machine-noise width; best-of-2

@@ -741,3 +741,40 @@ def test_dbapi_and_parquet_upsert_sinks_converge_identically(spark, tmp_path):
             sql_state = dict(conn.execute("SELECT k, v FROM kv"))
         pq_state = {r["k"]: r["v"] for r in pq_sink.read().collect()}
         assert sql_state == pq_state, f"trial {trial}: {sql_state} != {pq_state}"
+
+
+def test_equidepth_rank_formula_matches_ntile_all_sizes(spark):
+    """The distributed-rank ntile arithmetic must equal Spark's own
+    ntile(10) for every row-count regime: N < k (one row per bucket),
+    N = k, N not divisible by k (first N%k buckets get the extra row),
+    and across multiple partitions."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    for n in (3, 10, 17, 100, 1003):
+        df = spark.range(n).select(
+            (F.col("id") * 37 % 1000).alias("l_extendedprice"),
+            F.col("id").alias("l_orderkey"),
+            F.lit(1).alias("l_linenumber"),
+        )
+        w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        want = {
+            r["bucket"]: r["n"]
+            for r in df.select(F.ntile(10).over(w).alias("bucket"))
+            .groupBy("bucket")
+            .count()
+            .withColumnRenamed("count", "n")
+            .collect()
+        }
+        # run the operator's math over a written-out fixture table
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="eqd_")
+        df.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+        from motorway_spark.queries import QUERIES
+
+        got = {
+            r["bucket"]: r["n"]
+            for r in QUERIES["agg_histogram_equidepth"](spark, d).collect()
+        }
+        assert got == want, f"N={n}: {got} != {want}"
