@@ -55,3 +55,73 @@ def sql_davg(expr: str, alias: str, ndigits: int = 6) -> str:
         f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
         f" / CAST(COUNT({expr}) AS DOUBLE), {ndigits}) AS {alias}"
     )
+
+
+def distributed_ntile(df, n_tiles: int, sort_cols: list, out_col: str):
+    """Exact SQL-standard ``ntile(n) OVER (ORDER BY sort_cols)`` WITHOUT
+    the global window's single-partition sort — the two-pass
+    range-partitioned rank (measured on the equi-depth histogram:
+    139 s with the global ntile -> 9.5 s at sf10).
+
+    Shape: repartitionByRange + sortWithinPartitions on the caller's
+    TOTAL order gives every partition a contiguous sorted run; the
+    in-partition position is the low 33 bits of
+    ``monotonically_increasing_id()`` (consecutive record numbers per
+    partition by contract); the partition's global offset is a running
+    sum over the per-partition counts — computed IN-PLAN (an
+    ``npart``-row aggregate + window, broadcast-joined back on the
+    partition id), so the whole rank derivation happens in ONE
+    execution of ONE range exchange. That single-execution property is
+    what makes it correct: RangePartitioner SAMPLES its boundaries per
+    exchange execution, so offsets collected in a separate job (or
+    against an evicted-and-recomputed cache) can silently mismatch the
+    partitioning — here both consumers read the SAME exchange
+    (ReusedExchange, pinned by a plan audit), and nothing is
+    materialized or collected at all. The ntile bucket is pure integer
+    arithmetic on (rank, total) — whole-stage codegen, no Python.
+
+    Returns ``df``'s rows (original columns) plus ``out_col`` (int
+    bucket, 1-based). Row order is not defined. The rank formula is
+    property-tested against Spark's own ntile at every size regime
+    (tests/test_properties.py)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    npart = spark.sparkContext.defaultParallelism
+    pos_mask = (1 << 33) - 1
+    s = (
+        df.repartitionByRange(npart, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__pos", F.monotonically_increasing_id().bitwiseAND(F.lit(pos_mask))
+        )
+    )
+    counts = s.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__c").over(w), F.lit(0)).alias("__off"),
+        F.sum("__c").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__total"),
+    )
+    ranked = s.join(F.broadcast(offsets), "__pid")
+    rank = F.col("__off") + F.col("__pos") + 1
+    # SQL-standard ntile from (rank, total): q = total div n, m = total
+    # mod n; the first m buckets carry q+1 rows. Guard q = 0 (fewer
+    # rows than tiles: one bucket per row) inside the expression.
+    q = F.floor(F.col("__total") / n_tiles)
+    m = F.col("__total") % n_tiles
+    split = m * (q + 1)
+    bucket = F.when(F.col("__total") < n_tiles, rank).otherwise(
+        F.when(rank <= split, F.floor((rank + q) / (q + 1))).otherwise(
+            F.floor((rank - split + q - 1) / q) + m
+        )
+    )
+    return ranked.withColumn(out_col, bucket.cast("int")).drop(
+        "__pid", "__pos", "__off", "__total"
+    )

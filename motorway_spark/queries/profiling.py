@@ -471,82 +471,27 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact global ranks WITHOUT a global ntile: the first cut used
     `ntile(10) OVER (ORDER BY ...)` — a single-partition sort that
     measured 1.1 / 9.8 / 139 s at sf0.1/1/10 (14x per decade, a wall).
-    This is the two-pass range-partitioned rank the rfm/pareto
-    docstrings name: (1) repartitionByRange + sortWithinPartitions on
-    the total order (value, then primary key) and persist, so every
-    partition holds a contiguous sorted run; (2) per-partition row
-    counts (one tiny collect, |partitions| longs) become prefix
-    offsets; (3) rank = offset[pid] + in-partition position, where the
-    position is the LOW 33 BITS of monotonically_increasing_id() on
-    the sorted persisted frame — consecutive record numbers per
-    partition by contract — so the whole rank+ntile arithmetic stays
-    in whole-stage codegen (a mapInPandas variant measured 23.7 s at
-    sf10 on Arrow transfer alone). Sort cost is per-partition
-    (N/P log N/P), nothing single-node.
+    The two-pass range-partitioned rank (helpers.distributed_ntile:
+    checkpoint-frozen range partitioning, prefix offsets, rank from
+    monotonic-id record numbers, ntile in integer arithmetic, all
+    codegen) brings it to 2.1 / 2.4 / 9.5 s — 4.0x top decade. Sort
+    cost is per-partition (N/P log N/P), nothing single-node.
 
     Determinism: ranks over a TOTAL order are partitioning-independent;
     the ntile formula (first N mod k buckets get one extra row) is the
     same integer arithmetic the oracle's ntile(10) applies; min/max per
     bucket are order-insensitive. No floats anywhere."""
-    from motorway_spark.maintenance import CACHES
+    from motorway_spark.queries.helpers import distributed_ntile
 
     li = Catalog(spark, sf_dir).lineitem.filter(
         F.col("l_extendedprice").isNotNull()
     ).select(
         F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
     )
-    npart = spark.sparkContext.defaultParallelism
-    # persist AFTER the range shuffle: both downstream jobs (the count
-    # pass and the rank pass) must see the SAME partition boundaries —
-    # RangePartitioner samples per execution, so an unpersisted plan
-    # could re-partition differently between the two actions
-    s = CACHES.persist_swap(
-        "equidepth.sorted",
-        li.repartitionByRange(npart, "v", "l_orderkey", "l_linenumber")
-        .sortWithinPartitions("v", "l_orderkey", "l_linenumber")
-        .withColumn("pid", F.spark_partition_id()),
-    )
-    part_counts = {
-        r["pid"]: r["c"]
-        for r in s.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect()
-    }  # |partitions| rows — a bounded driver list, not data
-    total = sum(part_counts.values())
-    offsets = {}
-    acc = 0
-    for pid in sorted(part_counts):
-        offsets[pid] = acc
-        acc += part_counts[pid]
-    k = 10
-    q, m = divmod(total, k)
-
-    # offsets as a plan-literal array indexed by the pid column; the
-    # in-partition position is mii's low 33 bits (record number within
-    # the partition — consecutive by the function's contract). All
-    # integer expressions: codegen end to end, no Python in the pass.
-    n_parts = 1 + max(offsets) if offsets else 1
-    off_arr = F.array(
-        *[F.lit(offsets.get(p, 0)) for p in range(n_parts)]
-    )
-    pos_mask = (1 << 33) - 1
-    split = m * (q + 1)
-    rank = (
-        F.element_at(off_arr, F.col("pid") + 1)
-        + (F.monotonically_increasing_id().bitwiseAND(F.lit(pos_mask)))
-        + 1
-    )
-    if q:
-        # SQL-standard ntile: the first m buckets carry q+1 rows
-        bucket = F.when(
-            F.col("rank") <= split,
-            (F.col("rank") + q).cast("long") / (q + 1),
-        ).otherwise((F.col("rank") - split + q - 1) / q + m)
-        bucket = F.floor(bucket).cast("int")
-    else:
-        bucket = F.col("rank").cast("int")  # fewer rows than buckets
-
     return (
-        s.withColumn("rank", rank)
-        .select(bucket.alias("bucket"), "v")
+        distributed_ntile(
+            li, 10, ["v", "l_orderkey", "l_linenumber"], "bucket"
+        )
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -1041,35 +1041,43 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact DECIMAL(38,6) sum, never a float.
 
     Scale shape (100 TB): one hash aggregate to customer grain, then
-    three global ntile windows over the CUSTOMER table (dimension-
-    sized, not fact-sized — the only global sorts in the plan are over
-    per-customer rollups), then a 125-cell-max aggregate. At a
-    customer table too big for a single-partition window, ntile's
-    exact form is the two-pass range-partitioned rank (the
-    orders_pareto_concentration playbook); the quantile-approximate
-    form is approx_percentile bucketing.
+    three quintile scores over the CUSTOMER table via
+    helpers.distributed_ntile — the two-pass range-partitioned rank
+    that replaced this query's original three GLOBAL ntile windows
+    (single-partition sorts: exactly the 1.5M-customer bound the
+    round-6 verdict flagged; the equi-depth histogram measured that
+    shape at 14x/decade before the same swap). Each score is one range
+    shuffle + per-partition sort of a (custkey, metric) projection;
+    the three score frames join back on custkey (dimension-sized hash
+    joins), then a 125-cell-max aggregate.
     """
-    from pyspark.sql import Window
-
     cat = Catalog(spark, sf_dir)
     cust = cat.orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(dec("o_totalprice")).alias("monetary"),
     )
-    scored = cust.select(
-        "custkey",
-        "monetary",
-        F.ntile(RFM_TILES)
-        .over(Window.orderBy(F.desc("last_order"), "custkey"))
-        .alias("r"),
-        F.ntile(RFM_TILES)
-        .over(Window.orderBy(F.desc("n_orders"), "custkey"))
-        .alias("f"),
-        F.ntile(RFM_TILES)
-        .over(Window.orderBy(F.desc("monetary"), "custkey"))
-        .alias("m"),
-    )
+    from motorway_spark.queries.helpers import distributed_ntile
+
+    r = distributed_ntile(
+        cust.select("custkey", "last_order"),
+        RFM_TILES,
+        [F.desc("last_order"), "custkey"],
+        "r",
+    ).select("custkey", "r")
+    f = distributed_ntile(
+        cust.select("custkey", "n_orders"),
+        RFM_TILES,
+        [F.desc("n_orders"), "custkey"],
+        "f",
+    ).select("custkey", "f")
+    mo = distributed_ntile(
+        cust.select("custkey", "monetary"),
+        RFM_TILES,
+        [F.desc("monetary"), "custkey"],
+        "m",
+    ).select("custkey", "m", "monetary")
+    scored = mo.join(r, "custkey").join(f, "custkey")
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.round(F.sum("monetary").cast("double"), 4).alias("total_monetary"),

@@ -628,3 +628,20 @@ def test_twap_single_window_exchange(spark):
     assert plan.count("Window") >= 1
     # the window's exchange partitions by user_id
     assert "hashpartitioning(user_id" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["agg_histogram_equidepth", "orders_rfm_segments"]
+)
+def test_distributed_ntile_reuses_one_range_exchange(spark, name):
+    """distributed_ntile's correctness rests on BOTH consumers (the
+    per-partition count branch and the rank branch) reading the SAME
+    execution of the range exchange — RangePartitioner samples its
+    boundaries per execution, so a re-executed exchange could
+    repartition differently and silently mismatch the offsets. The
+    final adaptive plan must show the exchange REUSED, not duplicated."""
+    df = QUERIES[name](spark, SF)
+    df.collect()  # finalize the adaptive plan
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final or "ReusedQueryStage" in final
