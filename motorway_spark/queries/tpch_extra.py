@@ -314,8 +314,15 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    w = Window.orderBy(F.desc("total_revenue_d"))
-    top = revenue.withColumn("rnk", F.rank().over(w)).filter(F.col("rnk") == 1)
+    # rank()==1 is max-with-ties: a 1-row broadcast max + equality join
+    # gives the identical set without the rank window's single-partition
+    # sort over the supplier rollup (dimension-sized today, but the max
+    # join is scale-proof at ANY supplier cardinality). Exact decimals,
+    # so equality is well-defined.
+    mx = revenue.agg(F.max("total_revenue_d").alias("__mx"))
+    top = revenue.join(
+        F.broadcast(mx), F.col("total_revenue_d") == F.col("__mx")
+    ).drop("__mx")
     return (
         top.join(F.broadcast(cat.supplier), F.col("s_suppkey") == F.col("supplier_no"))
         .select(
