@@ -44,15 +44,103 @@ from motorway_spark.queries import joins  # noqa: F401,E402
 from motorway_spark.queries import relational  # noqa: F401,E402
 from motorway_spark.queries import windows  # noqa: F401,E402
 
-# Explicit sweep priority (round 7). The driver's per-round correctness
+# Explicit sweep priority (round 8). The driver's per-round correctness
 # budget is ~50 queries, taken in registration order. Merged latest-row
-# distribution after round 6: r06:50 / r05:50 / r04:47 / r03:49, plus
-# 20 round-6 operators that have NEVER had a driver row (all green in
-# three independent local sweeps). This head = those 20, then 30 of the
-# r03-latest cohort (streaming family, scans, TPC-H q-series,
-# dedup_minhash_capped) = exactly the ~50 budget. The remaining 19
-# r03-latest queries queue immediately after and retire in round 8.
+# distribution after round 7: r07:50 / r06:50 / r05:50 / r04:47 / r03:28,
+# zero fails ever. This head = q15_top_supplier FIRST (its plan was
+# rewritten to a broadcast max join AFTER its last driver row — the one
+# round-7 process gap), then the entire 28-query r03-stale cohort, then
+# 21 of the r04 cohort (the "changed in round 4" tier — intrinsically the
+# most complex of that cohort) = exactly the ~50 budget. The remaining 26
+# r04 entries queue immediately after and retire in round 9.
 _SWEEP_PRIORITY = [
+    # -- plan rewritten after its latest driver row (r5): re-verify first --
+    "q15_top_supplier",
+    # -- latest driver row is ROUND 3 (28 queries: the full remaining cohort) --
+    "sessionize_native",
+    "pipeline_pretraining_mix",
+    "embedding_quantize_int8",
+    "fn_math",
+    "fn_null_semantics",
+    "fn_bitwise",
+    "fn_url",
+    "set_intersect_all",
+    "set_except_all",
+    "distinct_rows",
+    "drop_duplicates_subset",
+    "sample_stratified_exact",
+    "split_train_test",
+    "balance_classes",
+    "pack_sequences",
+    "asof_join",
+    "join_salted_skew",
+    "agg_grouping_sets",
+    "pivot_status_by_priority",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q16_parts_supplier",
+    "q17_small_quantity",
+    "q20_dominant_supplier",
+    "q21_waiting_supplier",
+    "sql_api_recursive_cte",
+    "sql_api_lateral_topn",
+    "dedup_minhash_capped",
+    # -- latest driver row is ROUND 4 (21 of 47; the changed-in-r4 tier) --
+    "agg_percentile_approx",
+    "sim_knn_matmul",
+    "sim_ann_lsh",
+    "sim_ann_ivf_fixed",
+    "dedup_cluster_canonical",
+    "pipeline_training_prep",
+    "fuzzy_join_levenshtein",
+    "decontam_ngram_overlap",
+    "text_repetition",
+    "text_pii_redact",
+    "scan_text",
+    "dq_checks",
+    "events_anomaly_zscore",
+    "agg_histogram",
+    "fn_try_arith",
+    "scan_schema_evolution",
+    "sql_api_group_by_all",
+    "win_time_interval_frame",
+    "events_funnel",
+    "agg_corr_regression",
+    "asof_join_nearest",
+]
+
+# The other 26 r04-latest queries: next tier, retire round 9.
+_SWEEP_PRIORITY_R8B = [
+    "agg_mode_deterministic",
+    "scan_hive_partitioned",
+    "events_retention_cohorts",
+    "join_null_safe",
+    "agg_bool_logic",
+    "scan_csv_dead_letter",
+    "pipeline_entity_resolution",
+    "multimodal_dedup_hash",
+    "agg_skew_kurtosis",
+    "events_dau_wau",
+    "geo_radius_join",
+    "geo_knn_within_radius",
+    "events_markov_transitions",
+    "agg_gini",
+    "win_running_distinct",
+    "orders_rfm_segmentation",
+    "agg_weighted_avg",
+    "events_type_cooccurrence",
+    "events_gap_fill_lerp",
+    "events_seasonality_dow_hour",
+    "events_anomaly_seasonal",
+    "basket_brand_affinity",
+    "nation_revenue_yoy",
+    "fn_regex_extract_all",
+    "filter_project",
+    "case_when",
+]
+
+# Round-7 head kept below: everything here has an r7 driver row already.
+_SWEEP_PRIORITY_R7 = [
     # -- NEVER driver-verified (added late round 6) --
     "dedup_bloom_incremental",
     "agg_median_mad",
@@ -361,6 +449,8 @@ def _reorder_for_sweep() -> None:
         n: QUERIES[n]
         for n in (
             *_SWEEP_PRIORITY,
+            *_SWEEP_PRIORITY_R8B,
+            *_SWEEP_PRIORITY_R7,
             *_SWEEP_PRIORITY_R7B,
             *_SWEEP_PRIORITY_R5,
             *_SWEEP_PRIORITY_R4,
