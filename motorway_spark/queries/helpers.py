@@ -80,6 +80,23 @@ def distributed_ntile(df, n_tiles: int, sort_cols: list, out_col: str):
     materialized or collected at all. The ntile bucket is pure integer
     arithmetic on (rank, total) — whole-stage codegen, no Python.
 
+    The reuse invariant is ALSO guarded at runtime, in-plan: each row
+    checks ``__pos < __c`` (its in-partition position against the
+    counts-side row count for its partition) and raises if violated.
+    This check is complete for the hazard: ``__pid``/``__pos`` come
+    from the s-side execution and ``__off``/``__total``/``__c`` from
+    the counts-side execution; if the two executions sampled different
+    range boundaries, either (a) some partition's counts differ — and
+    since totals are equal, some partition has counts-side ``__c`` <
+    s-side size, whose last row trips the guard — or (b) every
+    partition's count is identical, in which case the offsets are
+    exactly what the s-side's own counts would give and every rank is
+    correct. So a silent wrong bucket is impossible: any divergent
+    re-execution either changes no answer or raises. Cost: one
+    codegen'd integer compare per row. New call sites should still add
+    a ReusedExchange plan audit (tests/test_plan_audit.py) so the
+    single-execution FAST path is pinned, not just the safety net.
+
     Returns ``df``'s rows (original columns) plus ``out_col`` (int
     bucket, 1-based). Row order is not defined. The rank formula is
     property-tested against Spark's own ntile at every size regime
@@ -102,6 +119,7 @@ def distributed_ntile(df, n_tiles: int, sort_cols: list, out_col: str):
     w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         "__pid",
+        "__c",
         F.coalesce(F.sum("__c").over(w), F.lit(0)).alias("__off"),
         F.sum("__c").over(
             Window.orderBy(F.lit(1)).rowsBetween(
@@ -110,7 +128,19 @@ def distributed_ntile(df, n_tiles: int, sort_cols: list, out_col: str):
         ).alias("__total"),
     )
     ranked = s.join(F.broadcast(offsets), "__pid")
-    rank = F.col("__off") + F.col("__pos") + 1
+    # runtime reuse guard (see docstring): a divergent re-execution of
+    # the range exchange that could change any bucket necessarily puts
+    # some row's position at or past its partition's counts-side size.
+    pos_guarded = F.when(F.col("__pos") < F.col("__c"), F.col("__pos")).otherwise(
+        F.raise_error(
+            F.lit(
+                "distributed_ntile: range exchange re-executed with "
+                "divergent boundaries (in-partition position >= counted "
+                "partition size); offsets are unsafe"
+            )
+        )
+    )
+    rank = F.col("__off") + pos_guarded + 1
     # SQL-standard ntile from (rank, total): q = total div n, m = total
     # mod n; the first m buckets carry q+1 rows. Guard q = 0 (fewer
     # rows than tiles: one bucket per row) inside the expression.
@@ -123,5 +153,5 @@ def distributed_ntile(df, n_tiles: int, sort_cols: list, out_col: str):
         )
     )
     return ranked.withColumn(out_col, bucket.cast("int")).drop(
-        "__pid", "__pos", "__off", "__total"
+        "__pid", "__pos", "__off", "__total", "__c"
     )

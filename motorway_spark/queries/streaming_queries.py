@@ -1257,6 +1257,26 @@ _KMV_STREAM_K = 256
 _KMV_STREAM_SPACE = 1152921504606846976.0  # 2^60
 
 
+def _recover_kmv_sketch(path: str) -> None:
+    """Crash recovery for the KMV sketch's two-rename swap (sketch ->
+    .old-N, then .tmp-N -> sketch): a crash between the renames leaves
+    NO sketch dir, but the prior sketch is intact under .old-N —
+    restore the newest one rather than silently restarting from empty
+    (an undercount). .tmp-N is an uncommitted merge of the same union;
+    discarding it is safe because the restarted batch re-merges the
+    same values (set union is idempotent)."""
+    import glob
+    import os
+
+    if os.path.isdir(path):
+        return
+    olds = sorted(
+        glob.glob(f"{path}.old-*"), key=lambda p: int(p.rsplit("-", 1)[1])
+    )
+    if olds:
+        os.rename(olds[-1], path)
+
+
 def _kmv_oracle() -> str:
     k, space = _KMV_STREAM_K, _KMV_STREAM_SPACE
     return f"""
@@ -1291,7 +1311,8 @@ def stream_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     union — a replayed micro-batch is a mathematical no-op, so this
     sink needs no batch-id WAL at all (contrast the ingest registries,
     whose counts would double). The swap is still atomic-per-batch
-    (tmp + rename) so a crash mid-write leaves the prior sketch.
+    (tmp + rename); a crash between the two renames leaves the prior
+    sketch under ``.old-N`` and the next read restores it.
 
     Scale shape: per batch one distinct + TakeOrdered(k) over the
     micro-batch (map-side partial, k values per partition cross the
@@ -1319,6 +1340,7 @@ def stream_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = _KMV_STREAM_K
 
     def process_batch(bdf: DataFrame, batch_id: int) -> None:
+        _recover_kmv_sketch(sketch_dir)
         batch_u = (
             bdf.select(
                 F.conv(
@@ -1380,6 +1402,7 @@ def stream_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.unset("spark.sql.shuffle.partitions")
 
+    _recover_kmv_sketch(sketch_dir)
     sketch = spark.read.parquet(sketch_dir)
     space = _KMV_STREAM_SPACE
     est = (

@@ -179,11 +179,19 @@ class DbApiUpsertSink:
     def upsert_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         conn = self.connection_factory()
         done = False
+        ok = False
         try:
             self._ensure_tables(conn, batch_df.schema)
             done = self._batch_done(conn, batch_id)
+            ok = True
         finally:
-            if done or self.parallelism == "partition":
+            # keep conn open ONLY on the successful driver-mode
+            # not-done path (it carries the single data+ledger
+            # transaction below); close on every other exit —
+            # including exceptions, else repeated failing batches
+            # accumulate open connections (SQLite file locks /
+            # Postgres connection slots)
+            if not ok or done or self.parallelism == "partition":
                 conn.close()
         if done:
             # replayed micro-batch: no-op for the table, but the batch

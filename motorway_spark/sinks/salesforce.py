@@ -129,7 +129,13 @@ class SalesforceUpsertSink:
             deduped = batch_df.dropDuplicates([self.ext_id_col])
         out = deduped.select(
             F.col(self.ext_id_col).cast("string").alias("_eid"),
-            F.to_json(F.struct(*body_cols)).alias("_body")
+            # keep NULL fields in the PATCH body: the reference's
+            # SFType.upsert sends the full record dict nulls included, so a
+            # NULL must CLEAR the remote field, not silently preserve its
+            # stale value (to_json drops nulls by default).
+            F.to_json(
+                F.struct(*body_cols), {"ignoreNullFields": "false"}
+            ).alias("_body")
             if body_cols
             else F.lit("{}").alias("_body"),
         )

@@ -38,6 +38,7 @@ import json
 import os
 import shutil
 import tempfile
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -221,13 +222,42 @@ class UpsertParquetSink:
         # and the delete would silently remove nothing. Cast every key
         # column to the table's own key type before bucketing.
         tschema = self.spark.read.parquet(self._data_dir()).schema
-        keys = (
-            keys_df.select(
-                *[
-                    F.col(c).cast(tschema[c].dataType).alias(c)
-                    for c in self.key_cols
-                ]
+        # try_cast (not cast): under ANSI a malformed value would throw
+        # deep inside the prune job; under non-ANSI it would silently
+        # become NULL. try_cast gives NULL in both modes, and the check
+        # below turns it into ONE well-defined refusal either way.
+        casted = keys_df.select(
+            *[
+                F.col(c).try_cast(tschema[c].dataType).alias(c)
+                for c in self.key_cols
+            ],
+            *[
+                (
+                    F.col(c).try_cast(tschema[c].dataType).isNull()
+                    & F.col(c).isNotNull()
+                ).alias(f"__badcast_{c}")
+                for c in self.key_cols
+            ],
+        )
+        # A cast that turns a non-NULL caller value into NULL (e.g. a
+        # non-numeric string for a numeric key) must FAIL, not fall
+        # through: the NULL would eqNullSafe-match genuine NULL-key
+        # rows in the table and delete data the caller never named.
+        bad = casted.filter(
+            reduce(
+                lambda a, b: a | b,
+                [F.col(f"__badcast_{c}") for c in self.key_cols],
             )
+        ).limit(1)
+        if bad.count() > 0:
+            raise ValueError(
+                "delete_keys: a key value failed the cast to the table's "
+                f"key type ({ {c: str(tschema[c].dataType) for c in self.key_cols} }); "
+                "refusing to proceed because the resulting NULL would "
+                "match genuine NULL-key rows"
+            )
+        keys = (
+            casted.select(*self.key_cols)
             .dropDuplicates(self.key_cols)
             .withColumn("bucket", self._bucket_expr())
         )

@@ -421,6 +421,41 @@ def test_salesforce_sink_external_id_contract_over_http(spark, sobject_server):
     assert all(h.startswith("/sobjects/Opportunity/ext_id/") for h in hits)
 
 
+def test_salesforce_sink_null_field_clears_remote_value(spark, sobject_server):
+    """K5 replace-if-present contract for nullable columns: the
+    reference's SFType.upsert sends the full record dict NULLS
+    INCLUDED, so a NULL column must appear as an explicit null in the
+    PATCH body (clearing the remote field) — not be dropped from the
+    JSON (which would silently preserve the stale remote value)."""
+    from motorway_spark.sinks.salesforce import (
+        HttpUpsertTransport,
+        SalesforceUpsertSink,
+    )
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    base_url, store, _hits = sobject_server
+    sink = SalesforceUpsertSink(
+        HttpUpsertTransport(base_url, "Opportunity", "ext_id"),
+        ext_id_col="ext_id",
+    )
+    schema = StructType(
+        [
+            StructField("ext_id", StringType()),
+            StructField("amount", IntegerType()),
+            StructField("stage", StringType()),
+        ]
+    )
+    sink.send_batch(
+        spark.createDataFrame([("opp-n", 100, "new")], schema), batch_id=0
+    )
+    assert store["opp-n"] == {"amount": 100, "stage": "new"}
+    # stage goes NULL: the PATCH body must carry {"stage": null}
+    sink.send_batch(
+        spark.createDataFrame([("opp-n", 250, None)], schema), batch_id=1
+    )
+    assert store["opp-n"] == {"amount": 250, "stage": None}
+
+
 def test_salesforce_sink_same_contract_over_spool_transport(spark, tmp_path):
     """Transport swap is behavior-preserving: the spool transport
     passes the identical contract (one file per external id, replace

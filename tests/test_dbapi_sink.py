@@ -150,6 +150,34 @@ def test_dbapi_upsert_typed_ddl_and_pk_only_table(spark, tmp_path):
         assert [r[0] for r in conn.execute("SELECT k FROM pk_only ORDER BY k")] == [1, 2, 3]
 
 
+def test_dbapi_conn_closed_when_batch_probe_fails(spark, tmp_path, sink_mode):
+    """A failing _ensure_tables/_batch_done must CLOSE the connection:
+    repeated failing batches would otherwise accumulate open
+    connections (SQLite file locks / Postgres slots). Forced here by a
+    pre-existing ledger table with an incompatible schema."""
+    db = str(tmp_path / "leak.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE kv__batches (wrong_col TEXT)")
+        conn.commit()
+    opened: list[sqlite3.Connection] = []
+
+    def factory():
+        c = sqlite3.connect(db, timeout=30)
+        opened.append(c)
+        return c
+
+    sink = DbApiUpsertSink(factory, "kv", key_cols=["k"], parallelism=sink_mode)
+    for _ in range(3):  # repeated failing batches must not accumulate
+        with pytest.raises(sqlite3.OperationalError):
+            sink.upsert_batch(
+                spark.createDataFrame([Row(k=1, v="a")]), batch_id=0
+            )
+    assert len(opened) == 3
+    for c in opened:  # a closed sqlite connection refuses to operate
+        with pytest.raises(sqlite3.ProgrammingError):
+            c.execute("SELECT 1")
+
+
 def test_dbapi_upsert_against_postgres_if_available(spark):
     """Opt-in live-Postgres path (docker compose up -d postgres;
     POSTGRES_DSN=... pytest). The same ON CONFLICT statements, the

@@ -645,3 +645,25 @@ def test_distributed_ntile_reuses_one_range_exchange(spark, name):
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in final
     assert "ReusedExchange" in final or "ReusedQueryStage" in final
+
+
+def test_distributed_ntile_runtime_guard_in_plan(spark):
+    """Beyond the ReusedExchange audit, the helper carries an IN-PLAN
+    runtime guard (__pos < __c raises on violation) that makes a
+    silently-wrong bucket impossible even if a future call site or
+    config defeats exchange reuse. Pin that the guard survives into
+    the analyzed plan (i.e. wasn't pruned with its column)."""
+    from pyspark.sql import functions as F
+
+    from motorway_spark.queries.helpers import distributed_ntile
+
+    df = spark.range(100).withColumn("v", F.col("id") * 7 % 31)
+    out = distributed_ntile(df, 4, ["v", "id"], "bucket")
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "raise_error" in analyzed
+    # positive path executes clean and buckets are exact quartiles
+    sizes = sorted(
+        r["n"]
+        for r in out.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert sizes == [25, 25, 25, 25]

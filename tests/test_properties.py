@@ -778,3 +778,27 @@ def test_equidepth_rank_formula_matches_ntile_all_sizes(spark):
             for r in QUERIES["agg_histogram_equidepth"](spark, d).collect()
         }
         assert got == want, f"N={n}: {got} != {want}"
+
+
+def test_distributed_ntile_guard_raises_on_count_mismatch(spark):
+    """The in-plan reuse guard: if the offsets side reports a smaller
+    partition size than the rank side observes (the signature of a
+    divergently re-executed range exchange), the row at the boundary
+    must RAISE — never produce a silently wrong bucket. Emulated here
+    with the helper's exact expression shape over a corrupted counts
+    side (a real divergence can't be forced deterministically)."""
+    from pyspark.sql import functions as F
+
+    s = spark.range(10).select(
+        F.lit(0).alias("__pid"), F.col("id").alias("__pos")
+    )
+    # counts side claims the partition holds 9 rows; __pos=9 must trip
+    offsets = spark.createDataFrame([(0, 9, 0)], "__pid int, __c bigint, __off bigint")
+    joined = s.join(F.broadcast(offsets), "__pid")
+    guarded = F.when(F.col("__pos") < F.col("__c"), F.col("__pos")).otherwise(
+        F.raise_error(F.lit("distributed_ntile: range exchange re-executed"))
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="range exchange re-executed"):
+        joined.select((F.col("__off") + guarded + 1).alias("rank")).collect()

@@ -11,6 +11,7 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -327,6 +328,29 @@ def test_upsert_sink_delete_keys_casts_key_types(spark, tmp_path):
     doomed = spark.createDataFrame([(3,), (4,)], "k int")
     assert sink.delete_keys(doomed) == 2
     assert sink.read().count() == 18
+
+
+def test_upsert_sink_delete_keys_refuses_failed_cast(spark, tmp_path):
+    """A caller key whose cast to the table key type produces NULL
+    (e.g. a non-numeric string for a bigint key) must FAIL the delete:
+    the NULL would eqNullSafe-match genuine NULL-key rows and delete
+    data the caller never named. Genuine NULL keys supplied as NULL
+    still delete NULL-key rows (the cast didn't corrupt anything)."""
+    table = str(tmp_path / "del_badcast")
+    sink = UpsertParquetSink(spark, table, key_cols=["k"], num_buckets=8)
+    sink.upsert_batch(
+        spark.createDataFrame(
+            [Row(k=None, v=0)] + [Row(k=i, v=i) for i in range(1, 6)],
+            "k bigint, v int",
+        ),
+        batch_id=0,
+    )
+    with pytest.raises(ValueError, match="failed the cast"):
+        sink.delete_keys(spark.createDataFrame([("oops",)], "k string"))
+    assert sink.read().count() == 6  # nothing deleted, NULL-key row intact
+    # an honest NULL key is still a legitimate delete target
+    assert sink.delete_keys(spark.createDataFrame([(None,)], "k bigint")) == 1
+    assert sink.read().count() == 5
 
 
 def test_upsert_sink_read_none_after_everything_deleted(spark, tmp_path):

@@ -509,3 +509,33 @@ def test_registry_min_is_exact_across_batches_not_batch_side_wins(spark, tmp_pat
     out2 = {r["doc_id"]: r for r in flags2.read().collect()}
     assert out2[10]["is_near_dup"] and out2[7]["is_near_dup"]
     assert not out2[5]["is_near_dup"]
+
+
+def test_kmv_sketch_recovers_from_old_dir_after_crash(spark, tmp_path):
+    """stream_distinct_kmv's swap is two renames (sketch -> .old-N,
+    then .tmp-N -> sketch); a crash between them leaves no sketch dir.
+    The reader must restore the NEWEST .old-* instead of restarting
+    from an empty sketch (which would undercount)."""
+    import os
+
+    from motorway_spark.queries import streaming_queries as sq
+
+    sketch = str(tmp_path / "sketch")
+    spark.createDataFrame([(1,), (2,)], "u bigint").write.parquet(sketch)
+
+    # intact dir: recovery is a no-op
+    sq._recover_kmv_sketch(sketch)
+    assert spark.read.parquet(sketch).count() == 2
+
+    # crash window: sketch renamed away, a stale older .old and an
+    # uncommitted .tmp also linger
+    spark.createDataFrame([(9,)], "u bigint").write.parquet(f"{sketch}.old-3")
+    spark.createDataFrame([(1,), (2,), (3,)], "u bigint").write.parquet(
+        f"{sketch}.tmp-7"
+    )
+    os.rename(sketch, f"{sketch}.old-7")
+    assert not os.path.isdir(sketch)
+
+    sq._recover_kmv_sketch(sketch)
+    # the newest .old (batch 7's prior state) is restored, not old-3
+    assert sorted(r["u"] for r in spark.read.parquet(sketch).collect()) == [1, 2]
