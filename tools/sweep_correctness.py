@@ -3,12 +3,18 @@ oracle over the same parquet fixture dir — the builder-side replica of
 the driver's CORRECTNESS gate.
 
 Usage:
-    python tools/sweep_correctness.py [sf_dir] [out.json]
+    python tools/sweep_correctness.py [sf_dir] [out.json] [query ...]
 
 Defaults: sf_dir=/root/testdata/sf0.01, out written to stdout path arg
-or printed. Rows-only queries (no oracle) are executed and recorded as
+or printed; trailing names run a TARGETED sweep of just those queries.
+Rows-only queries (no oracle) are executed and recorded as
 status=rows_only with their row count; failures carry the first
 problem/exception line. Exit code 1 if any query fails or errors.
+
+A clean run writes .sweep_stamp.json (tools/sweep_stamp.py) recording
+which query-module file contents this sweep vouches for — the input to
+tools/check_sweep_freshness.py, the guard against shipping a query
+rewrite with no post-change oracle evidence.
 """
 
 from __future__ import annotations
@@ -23,10 +29,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_path = sys.argv[2] if len(sys.argv) > 2 else ""
+    only = sys.argv[3:]
 
     from motorway_spark.oracle import _duckdb_con, compare_frames
     from motorway_spark.queries import ORACLES, QUERIES
     from motorway_spark.session import get_session
+
+    unknown = [n for n in only if n not in QUERIES]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 2
+    to_run = {n: QUERIES[n] for n in only} if only else QUERIES
 
     spark = get_session("sweep-correctness", cpus=8, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
@@ -34,7 +47,7 @@ def main() -> int:
 
     results: dict[str, dict] = {}
     n_bad = 0
-    for name, fn in QUERIES.items():
+    for name, fn in to_run.items():
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
             if name not in ORACLES:
@@ -78,6 +91,16 @@ def main() -> int:
         print(f"wrote {out_path}", file=sys.stderr)
     else:
         print(blob)
+    if not n_bad:
+        from tools.sweep_stamp import write_stamp
+
+        stamp = write_stamp(
+            Path(__file__).resolve().parent.parent,
+            list(results),
+            sf_dir,
+            artifact=out_path,
+        )
+        print(f"stamped {stamp}", file=sys.stderr)
     return 1 if n_bad else 0
 
 
