@@ -56,6 +56,8 @@ from motorway_spark.queries import windows  # noqa: F401,E402
 _SWEEP_PRIORITY = [
     # -- plan rewritten after its latest driver row (r5): re-verify first --
     "q15_top_supplier",
+    # -- new in round 8 --
+    "agg_percentile_grid_sketch",  # deterministic mergeable quantile sketch
     # -- latest driver row is ROUND 3 (28 queries: the full remaining cohort) --
     "sessionize_native",
     "pipeline_pretraining_mix",
@@ -106,11 +108,11 @@ _SWEEP_PRIORITY = [
     "win_time_interval_frame",
     "events_funnel",
     "agg_corr_regression",
-    "asof_join_nearest",
 ]
 
-# The other 26 r04-latest queries: next tier, retire round 9.
+# The other 27 r04-latest queries: next tier, retire round 9.
 _SWEEP_PRIORITY_R8B = [
+    "asof_join_nearest",
     "agg_mode_deterministic",
     "scan_hive_partitioned",
     "events_retention_cohorts",

@@ -583,3 +583,120 @@ def agg_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DOUBLE) / CAST(2 * n_exact AS DOUBLE)) AS DOUBLE) / 1000000.0"
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-grid quantile sketch — the deterministic mergeable percentile
+# sketch, oracle-exact (the KMV/equidepth playbook applied to quantiles).
+# ---------------------------------------------------------------------------
+_GRID_W_CENTS = 10_400  # bucket width in cents: value error <= $52
+_GRID_B = 1024          # buckets cover [0, $106,496) — the TPC-H price domain
+
+
+@query(
+    "agg_percentile_grid_sketch",
+    oracle=f"""
+    WITH b AS (
+      SELECT l_returnflag,
+             LEAST({_GRID_B - 1},
+                   CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     // {_GRID_W_CENTS}) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT l_returnflag, bucket, c,
+             CAST(SUM(c) OVER (PARTITION BY l_returnflag
+                               ORDER BY bucket) AS BIGINT) AS cum,
+             CAST(SUM(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+      FROM b)
+    SELECT l_returnflag,
+           MAX(n) AS n_rows,
+           CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN bucket END)
+                * {_GRID_W_CENTS} + {_GRID_W_CENTS // 2} AS DOUBLE) / 100.0
+             AS p50_est,
+           CAST(MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN bucket END)
+                * {_GRID_W_CENTS} + {_GRID_W_CENTS // 2} AS DOUBLE) / 100.0
+             AS p90_est,
+           CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN bucket END)
+                * {_GRID_W_CENTS} + {_GRID_W_CENTS // 2} AS DOUBLE) / 100.0
+             AS p99_est
+    FROM cum
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_grid_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles from a FIXED-GRID histogram sketch — the
+    deterministic, mergeable, oracle-exact form of the quantile-sketch
+    capability that agg_percentile_approx (Spark's GK/KLL summary) can
+    only offer rows-only: GK summaries are engine-internal, but a fixed
+    grid is pure integer arithmetic both engines replay bit-for-bit.
+
+    Sketch: prices land in 1024 fixed $104 buckets (integer cents,
+    half-up to dodge binary-double cent drift); the sketch state is the
+    per-bucket count vector — it MERGES BY ADDITION, so per-partition
+    sketches combine map-side exactly like any partial hash aggregate,
+    and at 100 TB only groups x 1024 counter rows ever cross the
+    shuffle (never values). Quantile answer = midpoint of the first
+    bucket whose cumulative count reaches ceil(q*n) (integer rank
+    arithmetic); the declared error bound is VALUE error <= half a
+    bucket width ($52 here), the classic equi-width-histogram
+    guarantee — tune width to the accuracy you need, memory stays O(B).
+
+    This is what a percentile monitor over a 100 TB stream actually
+    runs: bounded state, exact merges, reproducible answers. The
+    engine-native sketch (percentile_approx) remains covered by
+    agg_percentile_approx + its rank-error invariant test; the exact
+    order statistics remain covered by agg_percentile /
+    agg_histogram_equidepth.
+
+    Reference: sketch family parity (SURVEY.md §2b aggregations) beside
+    agg_distinct_kmv — same playbook: replace an engine-internal
+    summary with order/grid statistics over shared integers."""
+    li = Catalog(spark, sf_dir).lineitem.filter(
+        F.col("l_extendedprice").isNotNull()
+    )
+    counts = (
+        li.select(
+            "l_returnflag",
+            F.expr(
+                f"LEAST({_GRID_B - 1}, "
+                f"CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+                f" DIV {_GRID_W_CENTS})"
+            ).alias("bucket"),
+        )
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = counts.select(
+        "l_returnflag",
+        "bucket",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+
+    def pick(t_expr: str, alias: str):
+        est_cents = (
+            F.min(F.when(F.expr(f"cum >= {t_expr}"), F.col("bucket")))
+            * _GRID_W_CENTS
+            + _GRID_W_CENTS // 2
+        )
+        return (est_cents.cast("double") / F.lit(100.0)).alias(alias)
+
+    return cum.groupBy("l_returnflag").agg(
+        F.max("n").alias("n_rows"),
+        pick("(n + 1) DIV 2", "p50_est"),
+        pick("(9 * n + 9) DIV 10", "p90_est"),
+        pick("(99 * n + 99) DIV 100", "p99_est"),
+    )

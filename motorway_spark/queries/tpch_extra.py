@@ -1057,6 +1057,17 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle + per-partition sort of a (custkey, metric) projection;
     the three score frames join back on custkey (dimension-sized hash
     joins), then a 125-cell-max aggregate.
+
+    Crossover note (why the sf0.1 bench went 0.54 s -> ~1.1 s in r7):
+    distributed_ntile trades three cheap single-partition windows for
+    three range exchanges + broadcast joins. Measured three-SF curve:
+    1.03 -> 2.08 s at sf0.1 (the fixed overhead dominates 15k
+    customers) but 8.16 -> 6.36 s at sf10, and the equi-depth twin of
+    the same swap went 139 -> 10.1 s at sf10; top decade ratio
+    6.2x -> 2.2x. The crossover is around sf1 — below it the global
+    window is faster, above it the global window is a single-executor
+    wall. This operator is built for the 100 TB side of that line; see
+    SCALE.md round-7 batch 5 and the round-8 sf1 bench point.
     """
     cat = Catalog(spark, sf_dir)
     cust = cat.orders.groupBy(F.col("o_custkey").alias("custkey")).agg(

@@ -159,6 +159,30 @@ for name in ("q1_pricing_summary", "win_running", "dedup_exact"):
 """
 
 
+_LLOYD_SCRIPT = _PRELUDE + r"""
+# The Lloyd pair: a mapInPandas codebook closure (assignment step) and
+# a map-side-combinable decimal centroid aggregate, iterated K times —
+# exactly the code whose determinism must survive REAL executor JVMs
+# (pickled closures to out-of-process Python workers, decimal partial
+# aggregation across a cross-process shuffle). Oracle-exact here means
+# the whole train -> index -> probe -> rerank sequence replays
+# bit-for-bit in DuckDB even when every stage crosses process
+# boundaries.
+spark = cluster_session("lc-lloyd")
+from pyspark.sql import functions as F  # noqa: E402
+from motorway_spark.queries import QUERIES, ORACLES
+from motorway_spark.oracle import _duckdb_con, compare_frames
+
+SF = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata").rstrip("/") + "/sf0.01"
+con = _duckdb_con(SF)
+for name in ("cluster_kmeans_lloyd", "sim_ann_ivf_lloyd"):
+    spark_pdf = QUERIES[name](spark, SF).toPandas()
+    problems = compare_frames(spark_pdf, con.sql(ORACLES[name]).df())
+    assert not problems, (name, problems[:3])
+    print("LC_LLOYD_OK", name, len(spark_pdf))
+"""
+
+
 def _run(script: str, *args: str) -> str:
     proc = subprocess.run(
         [sys.executable, "-c", script, *args],
@@ -185,3 +209,8 @@ def test_local_cluster_task_retry_and_oracle_exact_joins(tmp_path):
 def test_local_cluster_forced_spill_oracle_exact():
     out = _run(_SPILL_SCRIPT)
     assert out.count("LC_SPILL_OK") == 3
+
+
+def test_local_cluster_lloyd_pair_oracle_exact():
+    out = _run(_LLOYD_SCRIPT)
+    assert out.count("LC_LLOYD_OK") == 2

@@ -1,0 +1,284 @@
+"""Manifest metadata for UpsertParquetSink — the lakehouse rung: file
+lists + footer stats per bucket so the driver never LISTS directories
+(Delta-log add-file stats, rebuilt on plain parquet). Covers creation,
+no-scan accessors, crash-window healing, pre-manifest upgrade, and
+stats-based bucket skipping."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from motorway_spark.sinks import UpsertParquetSink
+
+
+def _manifest(sink: UpsertParquetSink) -> dict:
+    """Merged manifest view via a COLD load on a fresh instance — every
+    call exercises base + log replay and cross-instance freshness."""
+    fresh = UpsertParquetSink(
+        sink.spark,
+        sink.table_dir,
+        key_cols=sink.key_cols,
+        num_buckets=sink.num_buckets,
+    )
+    return fresh._load_manifest()
+
+
+def _mk(spark, tmp_path, n=40, buckets=8):
+    table = str(tmp_path / "mtab")
+    sink = UpsertParquetSink(spark, table, key_cols=["k"], num_buckets=buckets)
+    sink.upsert_batch(
+        spark.createDataFrame(
+            [Row(k=i, ts=i * 10, v=f"v{i}") for i in range(n)],
+            "k bigint, ts bigint, v string",
+        ),
+        batch_id=0,
+    )
+    return sink, table
+
+
+def test_manifest_written_and_matches_disk(spark, tmp_path):
+    sink, table = _mk(spark, tmp_path)
+    m = _manifest(sink)
+    assert m["version"] == 1 and m["num_buckets"] == 8
+    total_rows = 0
+    for k, ent in m["buckets"].items():
+        live = f"{table}/data/bucket={k}"
+        on_disk = sorted(
+            f for f in os.listdir(live) if f.endswith(".parquet")
+        )
+        assert ent["files"] == on_disk
+        total_rows += ent["rows"]
+        # footer stats recorded for the scalar columns
+        assert "k" in ent["min"] and "ts" in ent["max"]
+        assert ent["min"]["k"] <= ent["max"]["k"]
+    assert total_rows == 40
+
+
+def test_row_count_and_schema_without_scan(spark, tmp_path):
+    sink, table = _mk(spark, tmp_path)
+    assert sink.row_count() == 40
+    schema = sink.table_schema()
+    assert [f.name for f in schema.fields] == ["k", "ts", "v"]
+    # stays exact through a merge that updates 5 and inserts 2
+    sink.upsert_batch(
+        spark.createDataFrame(
+            [Row(k=i, ts=0, v="u") for i in range(5)]
+            + [Row(k=100, ts=0, v="n"), Row(k=101, ts=0, v="n")],
+            "k bigint, ts bigint, v string",
+        ),
+        batch_id=1,
+    )
+    assert sink.row_count() == 42
+    assert sink.row_count() == sink.read().count()
+
+
+def test_read_serves_from_manifest_file_list(spark, tmp_path):
+    sink, table = _mk(spark, tmp_path)
+    got = {r["k"]: r["v"] for r in sink.read().collect()}
+    assert got == {i: f"v{i}" for i in range(40)}
+    # the plan reads the manifest's explicit files (basePath keeps the
+    # bucket partition out of the output schema)
+    assert sink.read().columns == ["k", "ts", "v"]
+
+
+def test_crash_window_stale_entry_heals(spark, tmp_path):
+    """Simulated crash between a bucket swap and its manifest write:
+    the entry names files that no longer exist. Every reader must
+    detect that bucket (stat, not list), re-list ONLY it, and serve the
+    live data."""
+    sink, table = _mk(spark, tmp_path)
+    m = _manifest(sink)
+    k = next(iter(m["buckets"]))
+    # emulate: the swap replaced the files but the manifest write never
+    # happened — rewrite the live file under a different name
+    live = f"{table}/data/bucket={k}"
+    real = [f for f in os.listdir(live) if f.endswith(".parquet")]
+    for i, f in enumerate(real):
+        os.rename(f"{live}/{f}", f"{live}/part-renamed-{i}.parquet")
+    assert sink.row_count() == 40  # healed, not undercounted
+    healed = _manifest(sink)["buckets"][k]
+    assert healed["files"] == sorted(
+        f for f in os.listdir(live) if f.endswith(".parquet")
+    )
+    assert {r["k"] for r in sink.read().collect()} == set(range(40))
+
+
+def test_crash_window_vanished_bucket_heals(spark, tmp_path):
+    sink, table = _mk(spark, tmp_path)
+    m = _manifest(sink)
+    k = next(iter(m["buckets"]))
+    shutil.rmtree(f"{table}/data/bucket={k}")
+    n_gone = m["buckets"][k]["rows"]
+    assert sink.row_count() == 40 - n_gone
+    assert str(k) not in _manifest(sink)["buckets"]
+
+
+def test_pre_manifest_table_upgrades_with_full_bootstrap(spark, tmp_path):
+    """Deleting the manifest (or a table written before manifests
+    existed) must not lose untouched buckets: the first write after the
+    upgrade bootstraps entries for EVERY live bucket."""
+    sink, table = _mk(spark, tmp_path)
+    os.remove(f"{table}/_manifest.json")
+    # legacy read path still works
+    assert sink.read().count() == 40
+    # one small merge recreates the manifest covering the whole table
+    sink.upsert_batch(
+        spark.createDataFrame(
+            [Row(k=1, ts=999, v="up")], "k bigint, ts bigint, v string"
+        ),
+        batch_id=7,
+    )
+    assert sink.row_count() == 40
+    m = _manifest(sink)
+    assert sum(e["rows"] for e in m["buckets"].values()) == 40
+
+
+def test_delete_keys_uses_manifest_schema(spark, tmp_path):
+    sink, table = _mk(spark, tmp_path)
+    # keys supplied as INT against a BIGINT table: the cast target must
+    # come from the manifest schema (no parquet inference listing)
+    doomed = spark.createDataFrame([(3,), (5,)], "k int")
+    assert sink.delete_keys(doomed) == 2
+    assert sink.row_count() == 38
+
+
+def test_delete_where_bounds_skips_disjoint_buckets(spark, tmp_path):
+    """Footer-stats data skipping: buckets whose [min,max] on the
+    hinted column are disjoint from the bounds are excluded from the
+    scan entirely (the Delta data-skipping contract)."""
+    sink, table = _mk(spark, tmp_path)
+    m = _manifest(sink)
+    # per-bucket ts stats are exact footers: compute which buckets the
+    # hint ts <= 95 can skip (min ts > 95)
+    skippable = {
+        k for k, e in m["buckets"].items() if e["min"]["ts"] > 95
+    }
+    assert skippable  # fixture guarantees some high-ts-only buckets
+    assert UpsertParquetSink._bucket_skippable(
+        m, int(next(iter(skippable))), {"ts": (None, 95)}
+    )
+    deleted = sink.delete_where(F.col("ts") <= 95, bounds={"ts": (None, 95)})
+    assert deleted == 10  # ts in {0,10,...,90}
+    assert sink.row_count() == 30
+    assert {r["k"] for r in sink.read().collect()} == set(range(10, 40))
+
+
+def test_manifest_untouched_buckets_byte_identical_across_merge(spark, tmp_path):
+    """A single-key merge touches exactly one bucket: every other
+    bucket's files stay byte-identical on disk AND its manifest entry
+    is carried over unchanged."""
+    sink, table = _mk(spark, tmp_path)
+    m0 = _manifest(sink)
+
+    def fingerprint(k: str, ent: dict):
+        return [
+            (f, os.path.getsize(f"{table}/data/bucket={k}/{f}"))
+            for f in ent["files"]
+        ]
+
+    before = {k: fingerprint(k, e) for k, e in m0["buckets"].items()}
+    sink.upsert_batch(
+        spark.createDataFrame(
+            [Row(k=0, ts=1, v="x")], "k bigint, ts bigint, v string"
+        ),
+        batch_id=3,
+    )
+    m1 = _manifest(sink)
+    touched = [k for k in m0["buckets"] if m1["buckets"][k] != m0["buckets"][k]]
+    assert len(touched) == 1  # only k=0's hash bucket was rewritten
+    for k, ent in m1["buckets"].items():
+        if k not in touched:
+            assert fingerprint(k, ent) == before[k]
+
+
+def test_manifest_commits_are_log_deltas_not_base_rewrites(spark, tmp_path):
+    """Per-batch manifest commits append O(|touched|) JSONL deltas; the
+    O(|buckets|) base checkpoint is written once at bootstrap and only
+    rewritten by compaction. (A monolithic rewrite measured 1.48x/decade
+    on the third registry decade; the log form is what keeps per-batch
+    driver time flat.)"""
+    sink, table = _mk(spark, tmp_path)
+    base0 = os.path.getmtime(f"{table}/_manifest.json")
+    for b in range(1, 4):
+        sink.upsert_batch(
+            spark.createDataFrame(
+                [Row(k=0, ts=b, v="x")], "k bigint, ts bigint, v string"
+            ),
+            batch_id=b,
+        )
+    assert os.path.getmtime(f"{table}/_manifest.json") == base0  # untouched
+    with open(f"{table}/_manifest.log") as fh:
+        recs = [json.loads(line) for line in fh if line.strip()]
+    assert len(recs) == 3
+    assert all(len(r["buckets"]) == 1 for r in recs)  # one touched bucket
+    # merged view = base + replay: the touched bucket reflects the LAST
+    # delta (ts=3 won the within-batch sort), untouched buckets intact
+    m = _manifest(sink)
+    assert sum(e["rows"] for e in m["buckets"].values()) == 40
+    assert {r["ts"] for r in sink.read().filter("k = 0").collect()} == {3}
+    assert sink.row_count() == 40
+
+
+def test_manifest_log_torn_tail_ignored(spark, tmp_path):
+    """A crash mid-append leaves a torn last line: load must replay the
+    complete records and ignore the tail (the batch it belonged to is
+    unrecorded and replays)."""
+    sink, table = _mk(spark, tmp_path)
+    sink.upsert_batch(
+        spark.createDataFrame(
+            [Row(k=0, ts=77, v="x")], "k bigint, ts bigint, v string"
+        ),
+        batch_id=1,
+    )
+    with open(f"{table}/_manifest.log", "a") as fh:
+        fh.write('{"buckets": {"3": {"files": ["TORN')  # no newline, cut
+    m = _manifest(sink)
+    assert sum(e["rows"] for e in m["buckets"].values()) == 40
+    assert {r["k"] for r in sink.read().collect()} == set(range(40))
+
+
+def test_manifest_log_compacts_into_base(spark, tmp_path):
+    sink, table = _mk(spark, tmp_path, n=10, buckets=4)
+    sink._LOG_COMPACT_EVERY = 5  # instance-level override for the test
+    for b in range(1, 7):
+        sink.upsert_batch(
+            spark.createDataFrame(
+                [Row(k=b % 10, ts=b, v="c")], "k bigint, ts bigint, v string"
+            ),
+            batch_id=b,
+        )
+    # 6 deltas with threshold 5 -> one compaction happened: log gone or
+    # restarted short, base carries the merged state
+    assert not os.path.exists(f"{table}/_manifest.log") or sum(
+        1 for line in open(f"{table}/_manifest.log") if line.strip()
+    ) < 5
+    with open(f"{table}/_manifest.json") as fh:
+        base = json.load(fh)
+    assert sum(e["rows"] for e in base["buckets"].values()) >= 10
+    assert sink.row_count() == 10
+    assert {r["ts"] for r in sink.read().filter("k = 1").collect()} == {1}
+
+
+def test_manifest_warm_cache_skips_reparse_but_sees_external_writes(
+    spark, tmp_path
+):
+    sink, table = _mk(spark, tmp_path)
+    m1 = sink._load_manifest()
+    assert sink._load_manifest() is m1  # warm: same object, no reparse
+    # an external writer (second instance) commits; stat invalidates
+    other = UpsertParquetSink(spark, table, key_cols=["k"], num_buckets=8)
+    other.upsert_batch(
+        spark.createDataFrame(
+            [Row(k=500, ts=1, v="ext")], "k bigint, ts bigint, v string"
+        ),
+        batch_id=9,
+    )
+    m2 = sink._load_manifest()
+    assert m2 is not m1
+    assert sink.row_count() == 41
