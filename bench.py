@@ -136,11 +136,19 @@ BENCH_FIXED_N = 46  # q1..sample_importance_weighted (rounds 1-5 core)
 # Standing measurement notes, copied into every bench_results.json so
 # they survive regeneration (the artifact is rewritten per run).
 BENCH_NOTES = {
+    "dedup_minhash_capped": (
+        "r5->r7 'drift' (1.42->2.09s) root-caused round 8: best-of-5 solo "
+        "run gives [6.9, 2.33, 2.17, 1.84, 1.87] -> best 1.84s. The op is "
+        "warm-up-sensitive (shingle-set build); crossing the old 2.0s "
+        "best-of-3 cutoff REDUCED its repetitions exactly when noise "
+        "dominated. Cutoff raised to 2.5s; not operator drift."
+    ),
     "orders_rfm_segments": (
         "distributed_ntile trades ~2x at sf0.1 for scale: 3-SF curve "
         "(global-window form -> distributed form) 1.03->2.08s at sf0.1, "
-        "8.16->6.36s at sf10; crossover ~sf1. Built for the 100TB side. "
-        "See SCALE.md round-7 batch 5 + round-8 sf1 point."
+        "8.16->6.36s at sf10; measured sf1 point (round 8, solo best-of-3): "
+        "3.56s. Crossover ~sf1; built for the 100TB side. "
+        "See SCALE.md round-7 batch 5."
     ),
 }
 
