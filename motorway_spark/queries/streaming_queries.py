@@ -1415,3 +1415,176 @@ def stream_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("k_used", "u_k", F.expr(est).alias("kmv_estimate"))
     # survives the next invocation's rmtree of this run's sketch dir
     return out.localCheckpoint(eager=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming fixed-grid percentile monitor — the quantile twin of
+# stream_distinct_kmv: bounded sketch state forever, exactly-once via
+# the sink's batch WAL, oracle-exact against the batch grid arithmetic.
+# ---------------------------------------------------------------------------
+_LAST_PGRID_DIR: str | None = None
+_PGRID_W_CENTS = 64    # bucket width in value-cents: value error <= $0.32
+_PGRID_B = 1024        # grid covers [0, $655.36); tail clamps into the top
+
+
+def _pgrid_oracle() -> str:
+    w, b = _PGRID_W_CENTS, _PGRID_B
+    return f"""
+    WITH cb AS (
+      SELECT event_type,
+             LEAST({b - 1},
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // {w}) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events
+      WHERE value IS NOT NULL
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, bucket, c,
+             CAST(SUM(c) OVER (PARTITION BY event_type
+                               ORDER BY bucket) AS BIGINT) AS cum,
+             CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM cb)
+    SELECT event_type,
+           MAX(n) AS n_rows,
+           CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN bucket END)
+                * {w} + {w // 2} AS DOUBLE) / 100.0 AS p50_est,
+           CAST(MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN bucket END)
+                * {w} + {w // 2} AS DOUBLE) / 100.0 AS p90_est,
+           CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN bucket END)
+                * {w} + {w // 2} AS DOUBLE) / 100.0 AS p99_est
+    FROM cum
+    GROUP BY event_type
+    """
+
+
+@query("stream_percentile_grid", oracle=_pgrid_oracle())
+def stream_percentile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency/value-percentile monitoring over an unbounded stream —
+    the production question "what is p99 right now" answered with
+    BOUNDED state: the streaming twin of agg_percentile_grid_sketch
+    (profiling.py). Each micro-batch folds its per-(event_type, grid
+    bucket) counts into a keyed UpsertParquetSink registry; the sketch
+    state is <= types x {_PGRID_B} integer counters FOREVER, and the
+    read-time quantile selection is pure integer rank arithmetic, so
+    the drained stream equals the batch grid sketch bit-for-bit — which
+    IS the oracle.
+
+    Exactly-once: a grid sketch merges by ADDITION (unlike KMV's
+    union), so replays would double-count — the sink's batch-id WAL is
+    what makes the add-merge exactly-once (a replayed batch id is a
+    no-op for the table). The merge itself is read-prior + add + MERGE
+    on (event_type, bucket): O(touched buckets) per batch against a
+    bounded registry, manifest-pruned like every upsert.
+
+    Scale shape (100 TB): per batch one hash aggregate of the
+    micro-batch to <= types x {_PGRID_B} counter rows (map-side
+    combine), one bounded-table join, one pruned MERGE. Nothing grows
+    with stream length; accuracy is fixed by the grid (value error <=
+    half a bucket width, ${_PGRID_W_CENTS / 200:.2f} here).
+
+    Reference: motorway's controller tracks per-intersection latency
+    histograms with fixed buckets (motorway/controller.py percentile
+    stats) — this is that monitor, distributed and exactly-once."""
+    import shutil
+    import tempfile
+
+    from motorway_spark.sinks.upsert import UpsertParquetSink
+    from motorway_spark.streaming.runner import stream_events
+
+    global _LAST_PGRID_DIR
+    if _LAST_PGRID_DIR is not None:
+        shutil.rmtree(_LAST_PGRID_DIR, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="stream_pgrid_")
+    _LAST_PGRID_DIR = root
+
+    w, b = _PGRID_W_CENTS, _PGRID_B
+    sink = UpsertParquetSink(
+        spark, f"{root}/grid", key_cols=["event_type", "gbucket"], num_buckets=8
+    )
+
+    def process_batch(bdf: DataFrame, batch_id: int) -> None:
+        bc = (
+            bdf.filter(F.col("value").isNotNull())
+            .select(
+                "event_type",
+                F.expr(
+                    f"LEAST({b - 1}, "
+                    f"CAST(FLOOR(value * 100 + 0.5) AS BIGINT) DIV {w})"
+                ).alias("gbucket"),
+            )
+            .groupBy("event_type", "gbucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        prior = sink.read()
+        if prior is not None:
+            p = prior.withColumnRenamed("c", "pc")
+            bc = bc.join(p, ["event_type", "gbucket"], "left").select(
+                "event_type",
+                "gbucket",
+                (F.col("c") + F.coalesce(F.col("pc"), F.lit(0))).alias("c"),
+            )
+        sink.upsert_batch(bc, batch_id)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        # the WAL makes a replayed batch a table no-op, so the flake
+        # retry needs no wipe
+        for attempt in (1, 2):
+            q = (
+                stream_events(spark, sf_dir)
+                .writeStream.outputMode("append")
+                .trigger(availableNow=True)
+                .foreachBatch(process_batch)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise TimeoutError("stream did not drain within 300s")
+                break
+            except Exception as exc:  # noqa: BLE001
+                if attempt == 1 and "Python worker" in str(exc):
+                    continue
+                raise
+            finally:
+                if q.isActive:
+                    q.stop()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+
+    grid = sink.read()
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("gbucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = grid.select(
+        "event_type",
+        "gbucket",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+
+    def pick(t_expr: str, alias: str):
+        est_cents = (
+            F.min(F.when(F.expr(f"cum >= {t_expr}"), F.col("gbucket"))) * w
+            + w // 2
+        )
+        return (est_cents.cast("double") / F.lit(100.0)).alias(alias)
+
+    out = cum.groupBy("event_type").agg(
+        F.max("n").alias("n_rows"),
+        pick("(n + 1) DIV 2", "p50_est"),
+        pick("(9 * n + 9) DIV 10", "p90_est"),
+        pick("(99 * n + 99) DIV 100", "p99_est"),
+    )
+    # survives the next invocation's rmtree of this run's table dir
+    return out.localCheckpoint(eager=True)

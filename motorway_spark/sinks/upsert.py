@@ -81,6 +81,11 @@ class UpsertParquetSink:
         key_cols: list[str],
         num_buckets: int = 16,
     ):
+        if "bucket" in key_cols:
+            raise ValueError(
+                "column name 'bucket' is reserved for the sink's hash-"
+                "partition column; rename the key column"
+            )
         self.spark = spark
         self.table_dir = table_dir.rstrip("/")
         self.key_cols = key_cols
@@ -439,6 +444,11 @@ class UpsertParquetSink:
     def upsert_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch body: MERGE batch into target, idempotently,
         rewriting only the key-hash buckets the batch touches."""
+        if "bucket" in batch_df.columns:
+            raise ValueError(
+                "column name 'bucket' is reserved for the sink's hash-"
+                "partition column; rename the batch column"
+            )
         if batch_id in self._processed_batches():
             # Replayed micro-batch: exactly-once no-op for the TABLE —
             # but the batch must still be fully consumed: Spark 4

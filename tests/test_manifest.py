@@ -282,3 +282,21 @@ def test_manifest_warm_cache_skips_reparse_but_sees_external_writes(
     m2 = sink._load_manifest()
     assert m2 is not m1
     assert sink.row_count() == 41
+
+
+def test_bucket_column_name_is_reserved(spark, tmp_path):
+    """'bucket' is the sink's internal hash-partition column; a key or
+    value column with that name would be silently overwritten (found by
+    stream_percentile_grid's first draft) — refuse loudly instead."""
+    with pytest.raises(ValueError, match="reserved"):
+        UpsertParquetSink(
+            spark, str(tmp_path / "t"), key_cols=["bucket"], num_buckets=4
+        )
+    sink = UpsertParquetSink(
+        spark, str(tmp_path / "t2"), key_cols=["k"], num_buckets=4
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        sink.upsert_batch(
+            spark.createDataFrame([(1, 2)], "k bigint, bucket bigint"),
+            batch_id=0,
+        )
