@@ -59,6 +59,7 @@ _SWEEP_PRIORITY = [
     # -- new in round 8 --
     "agg_percentile_grid_sketch",  # deterministic mergeable quantile sketch
     "stream_percentile_grid",  # its streaming twin: bounded state, WAL-exact
+    "sim_ann_pq_adc",  # product quantization + ADC scan, oracle-exact
     # -- latest driver row is ROUND 3 (28 queries: the full remaining cohort) --
     "sessionize_native",
     "pipeline_pretraining_mix",

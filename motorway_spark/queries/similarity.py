@@ -1521,3 +1521,265 @@ def sim_ann_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cell", "cosine", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric-distance (ADC) scan — the
+# memory-compressed ANN path, oracle-exact end to end.
+# ---------------------------------------------------------------------------
+PQ_M = 8          # subspaces
+PQ_SUBDIM = 8     # dims per subspace (PQ_M * PQ_SUBDIM = DIM)
+PQ_K = 16         # codes per subspace (4 bits)
+PQ_CB_LO, PQ_CB_HI = 100, 115  # vec_ids of the fixed PQ codebook vectors
+PQ_RERANK = 50    # ADC candidates per query fed to the exact rerank
+
+
+def _pq_sub_dist_sql(v: str, vn: str, c: str, cn: str, s: int) -> str:
+    """Squared L2 over subspace s between L2-NORMALIZED vectors, as an
+    explicit left-fold chain (1-based SQL array indexing; dims
+    s*8+1 .. s*8+8). On the unit sphere squared L2 = 2 - 2*cosine, so
+    the ADC order is the cosine order — unnormalized L2 would rank by
+    magnitude as much as by angle (measured: recall 0.27 raw vs 0.9+
+    normalized on the fixture)."""
+    return " + ".join(
+        f"(CAST({v}[{s * PQ_SUBDIM + i}] AS DOUBLE) / {vn}"
+        f" - CAST({c}[{s * PQ_SUBDIM + i}] AS DOUBLE) / {cn})"
+        f" * (CAST({v}[{s * PQ_SUBDIM + i}] AS DOUBLE) / {vn}"
+        f" - CAST({c}[{s * PQ_SUBDIM + i}] AS DOUBLE) / {cn})"
+        for i in range(1, PQ_SUBDIM + 1)
+    )
+
+
+def _pq_oracle() -> str:
+    enc_blocks = "\n      UNION ALL\n      ".join(
+        f"SELECT v.vec_id, {s} AS s, c.code,"
+        f" {_pq_sub_dist_sql('v.embedding', 'v.nrm', 'c.embedding', 'c.nrm', s)} AS d"
+        " FROM valid v CROSS JOIN cb c"
+        for s in range(PQ_M)
+    )
+    tab_blocks = "\n      UNION ALL\n      ".join(
+        f"SELECT q.vec_id AS query_id, {s} AS s, c.code,"
+        f" {_pq_sub_dist_sql('q.embedding', 'q.nrm', 'c.embedding', 'c.nrm', s)} AS d"
+        " FROM queries q CROSS JOIN cb c"
+        for s in range(PQ_M)
+    )
+    nrm = _SQL_NORM.format(a="embedding")
+    return f"""
+    WITH valid AS MATERIALIZED (
+      SELECT vec_id, embedding, {nrm} AS nrm
+      FROM embeddings WHERE {_VALID_VEC_SQL}),
+    queries AS MATERIALIZED (
+      SELECT vec_id, embedding, nrm FROM valid WHERE vec_id < {N_QUERIES}),
+    cb AS MATERIALIZED (
+      SELECT vec_id - {PQ_CB_LO} AS code, embedding, {nrm} AS nrm
+      FROM embeddings
+      WHERE vec_id BETWEEN {PQ_CB_LO} AND {PQ_CB_HI}),
+    cdist AS MATERIALIZED (
+      {enc_blocks}),
+    codes AS MATERIALIZED (
+      SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d, code) AS rn
+        FROM cdist) WHERE rn = 1),
+    qdist AS (
+      {tab_blocks}),
+    qtab AS MATERIALIZED (
+      SELECT query_id, s, code,
+             CAST(FLOOR(d * 1000000.0 + 0.5) AS BIGINT) AS dmicro
+      FROM qdist),
+    adc AS MATERIALIZED (
+      SELECT t.query_id, k.vec_id AS neighbor_id,
+             CAST(SUM(t.dmicro) AS BIGINT) AS adc_micro
+      FROM codes k JOIN qtab t ON t.s = k.s AND t.code = k.code
+      WHERE t.query_id <> k.vec_id
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT query_id, neighbor_id, adc_micro FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_micro, neighbor_id) AS rn
+        FROM adc) WHERE rn <= {PQ_RERANK}),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             CAST(cand.adc_micro AS DOUBLE) / 1000000.0 AS adc_dist,
+             ROUND({_SQL_DOT.format(a='qe.embedding', b='ce.embedding')}
+                   / ({_SQL_NORM.format(a='qe.embedding')}
+                      * {_SQL_NORM.format(a='ce.embedding')}), 6) AS cosine
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
+    SELECT query_id, neighbor_id, adc_dist, cosine, rn AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """
+
+
+def _leftfold_norms(vecs: "np.ndarray") -> "np.ndarray":
+    """Row norms accumulated dim-by-dim — the same left-fold order as
+    the SQL `+` chains and DuckDB's list_sum, so the normalized
+    components divide by bit-identical norms in both engines (numpy's
+    own .sum() is pairwise and can differ in the last ulp)."""
+    acc = np.zeros(vecs.shape[0])
+    for i in range(vecs.shape[1]):
+        acc += vecs[:, i] * vecs[:, i]
+    return np.sqrt(acc)
+
+
+def _pq_encode_factory(cbn: "np.ndarray"):
+    """mapInPandas factory: PQ-encode each vector — L2-normalize (left-
+    fold norm), then per subspace the argmin over {PQ_K} NORMALIZED
+    codebook subvectors with per-dim left-fold distances (bit-matches
+    the oracle's explicit `+` chains), first-min tiebreak = lowest
+    code. One pass computes all {PQ_M} codes."""
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
+            vn = vecs / _leftfold_norms(vecs)[:, None]
+            out = {"vec_id": pdf["vec_id"], "embedding": pdf["embedding"]}
+            for s in range(PQ_M):
+                acc = np.zeros((vecs.shape[0], cbn.shape[0]))
+                for i in range(s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM):
+                    d = vn[:, i : i + 1] - cbn[None, :, i]
+                    acc += d * d
+                out[f"c{s}"] = acc.argmin(axis=1).astype("int32")
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+@query("sim_ann_pq_adc", oracle=_pq_oracle())
+def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance (ADC) scan —
+    the MEMORY-COMPRESSED search path (Jegou et al.'s PQ, the layout
+    inside FAISS IVF-PQ), oracle-exact end to end: encode every vector
+    as {PQ_M} x 4-bit codes against a fixed {PQ_K}-entry-per-subspace
+    codebook (vec_ids {PQ_CB_LO}-{PQ_CB_HI}, the sim_ann_ivf_fixed
+    convention — a TRAINED per-subspace codebook is the
+    cluster_kmeans_lloyd machinery applied per subspace), build each
+    query's 8x16 distance table, approximate distance = table-lookup
+    sum over the codes, take the {PQ_RERANK} best per query, exact
+    cosine rerank, top 3.
+
+    Determinism is the whole design: ADC table entries are quantized
+    to INTEGER micro-units (FLOOR(d*1e6+0.5)) before summing, so the
+    8-term per-candidate sum is order-free integer arithmetic — an
+    unquantized double sum across a hash aggregate would be
+    summation-order-dependent and could never hash-match. Encoding
+    argmins and candidate ranks tie-break on (d, code) / (adc, vec_id).
+
+    Scale shape (100 TB): encoding is one mapInPandas pass (the
+    sim_knn_matmul closure pattern, 16x64 doubles in the closure) run
+    ONCE at ingest — after it the scan never touches float vectors:
+    codes are {PQ_M} ints (4 bits each in a real bit-packed layout =
+    32x memory compression vs 256-byte float32 vectors). The ADC scan
+    here is explode + broadcast-join + integer-sum — whole-stage
+    codegen, zero Python per candidate — linear in n like
+    sim_knn_matmul but over 8 int lookups instead of 64 float
+    multiplies per pair; compose with the IVF cell prune
+    (sim_ann_ivf_lloyd) for the sublinear candidate set, exactly as
+    FAISS composes IVF+PQ. Exact vectors are read back only for the
+    {PQ_RERANK}-row-per-query rerank.
+
+    Reference: completes the ANN ladder (SURVEY.md §2b north-star):
+    brute-force (exact) -> LSH (hash prune) -> IVF (partition prune)
+    -> PQ (compressed scan), each oracle-checked."""
+    emb = _valid_vectors(Catalog(spark, sf_dir).embeddings)
+    corpus = emb.select("vec_id", "embedding")
+
+    cb_rows = (
+        Catalog(spark, sf_dir)
+        .embeddings.filter(
+            (F.col("vec_id") >= PQ_CB_LO) & (F.col("vec_id") <= PQ_CB_HI)
+        )
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    cb = np.array([r["embedding"] for r in cb_rows], dtype=np.float64)
+    cbn = cb / _leftfold_norms(cb)[:, None]
+
+    schema = "vec_id long, embedding array<float>, " + ", ".join(
+        f"c{s} int" for s in range(PQ_M)
+    )
+    codes = corpus.mapInPandas(_pq_encode_factory(cbn), schema=schema)
+
+    # query ADC tables: 20 bounded query vectors x 8 subspaces x 16
+    # codes, micro-int entries — driver-built, broadcast (2,560 rows)
+    import math
+
+    q_rows = (
+        corpus.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    tab_rows = []
+    for r in q_rows:
+        v = np.array([r["embedding"]], dtype=np.float64)
+        vq = (v / _leftfold_norms(v)[:, None])[0]
+        for s in range(PQ_M):
+            acc = np.zeros(cbn.shape[0])
+            for i in range(s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM):
+                d = vq[i] - cbn[:, i]
+                acc += d * d
+            tab_rows += [
+                (int(r["vec_id"]), s, code, int(math.floor(acc[code] * 1e6 + 0.5)))
+                for code in range(PQ_K)
+            ]
+    tab = F.broadcast(
+        spark.createDataFrame(
+            tab_rows, "query_id long, s int, code int, dmicro long"
+        )
+    )
+
+    stack = ", ".join(f"{s}, c{s}" for s in range(PQ_M))
+    exploded = codes.select(
+        "vec_id", F.expr(f"stack({PQ_M}, {stack}) AS (s, code)")
+    )
+    adc = (
+        exploded.join(tab, ["s", "code"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dmicro").alias("adc_micro"))
+    )
+    wa = Window.partitionBy("query_id").orderBy("adc_micro", "vec_id")
+    cand = (
+        adc.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= PQ_RERANK)
+        .drop("rn")
+    )
+
+    q_emb = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = (
+        cand.join(
+            corpus.select("vec_id", F.col("embedding").alias("c_emb")),
+            "vec_id",
+        )
+        .join(F.broadcast(q_emb), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.col("adc_micro").cast("double") / F.lit(1000000.0)).alias(
+                "adc_dist"
+            ),
+            "cosine",
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )

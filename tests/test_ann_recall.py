@@ -41,3 +41,16 @@ def test_ann_recall_floor(spark):
     # 0.02 here — this test exists to keep that from coming back.
     assert lsh_recall >= 0.60, f"LSH recall collapsed: {lsh_recall:.2f}"
     assert ivf_recall >= 0.50, f"IVF recall collapsed: {ivf_recall:.2f}"
+
+
+def test_pq_adc_recall_floor(spark):
+    """PQ compresses 64 float dims to 8 4-bit codes — a 32x memory cut
+    that must still FIND the neighbors after the exact rerank. Floor
+    measured on the fixture (deterministic: fixed codebook + integer
+    ADC); below it means the encoding or table lookup broke."""
+    exact = _top3(QUERIES["sim_knn_cosine"](spark, SF))
+    pq_recall = _recall(_top3(QUERIES["sim_ann_pq_adc"](spark, SF)), exact)
+    # measured 0.65 on the fixture (normalized PQ, 16 codes/subspace,
+    # 50-candidate rerank); unnormalized L2 ADC measured 0.27 — the
+    # floor keeps the normalize-before-encode design from regressing
+    assert pq_recall >= 0.55, f"PQ-ADC recall collapsed: {pq_recall:.2f}"

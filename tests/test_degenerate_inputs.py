@@ -169,6 +169,9 @@ NULL_PARITY = [
     # in a grid bucket on either engine)
     "agg_percentile_grid_sketch",
     "stream_percentile_grid",
+    # PQ abstains on NULL/ragged vectors via the shared valid-vector
+    # predicate (encode kernel + both oracle CTEs filter identically)
+    "sim_ann_pq_adc",
 ]
 
 
