@@ -1341,3 +1341,146 @@ def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DOUBLE) / 1000000.0"
         ).alias("twap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Marketing attribution: first/last-touch conversion credit.
+# ---------------------------------------------------------------------------
+_ATTR_TOUCH_TYPES = "('click', 'view', 'signup')"
+_ATTR_WINDOW_H = 24
+
+
+@query(
+    "events_attribution_touch",
+    oracle=f"""
+    WITH conv AS (
+      SELECT user_id, ts AS cts, event_id AS conv_id, value
+      FROM events WHERE event_type = 'purchase'),
+    touch AS (
+      SELECT user_id, ts AS tts, event_id AS tid, event_type AS channel
+      FROM events WHERE event_type IN {_ATTR_TOUCH_TYPES}),
+    j AS (
+      SELECT c.conv_id, c.value, t.tts, t.tid, t.channel
+      FROM conv c LEFT JOIN touch t
+        ON t.user_id = c.user_id
+       AND t.tts <= c.cts
+       AND t.tts >= c.cts - INTERVAL {_ATTR_WINDOW_H} HOUR),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY conv_id
+                ORDER BY tts DESC NULLS LAST, tid DESC NULLS LAST) AS rl,
+             row_number() OVER (PARTITION BY conv_id
+                ORDER BY tts ASC NULLS LAST, tid ASC NULLS LAST) AS rf
+      FROM j),
+    last_c AS (
+      SELECT COALESCE(channel, '(direct)') AS channel,
+             CAST(COUNT(*) AS BIGINT) AS last_conversions,
+             ROUND(CAST(COALESCE(SUM(CAST(value AS DECIMAL(38,6))), 0)
+                        AS DOUBLE), 4) AS last_revenue
+      FROM ranked WHERE rl = 1 GROUP BY 1),
+    first_c AS (
+      SELECT COALESCE(channel, '(direct)') AS channel,
+             CAST(COUNT(*) AS BIGINT) AS first_conversions,
+             ROUND(CAST(COALESCE(SUM(CAST(value AS DECIMAL(38,6))), 0)
+                        AS DOUBLE), 4) AS first_revenue
+      FROM ranked WHERE rf = 1 GROUP BY 1)
+    SELECT COALESCE(l.channel, f.channel) AS channel,
+           COALESCE(l.last_conversions, 0) AS last_conversions,
+           COALESCE(l.last_revenue, 0.0) AS last_revenue,
+           COALESCE(f.first_conversions, 0) AS first_conversions,
+           COALESCE(f.first_revenue, 0.0) AS first_revenue
+    FROM last_c l FULL OUTER JOIN first_c f USING (channel)
+    """,
+)
+def events_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion attribution — the canonical marketing-analytics
+    reduction: every purchase credits the LAST and the FIRST qualifying
+    touch (click/view/signup by the same user within the prior
+    {_ATTR_WINDOW_H} h); a purchase with no touch in window lands in
+    '(direct)'. One row per channel with both credit models side by
+    side (conversions + exact-decimal revenue), so the two models'
+    disagreement — the thing attribution analyses actually look at —
+    is a single-frame diff.
+
+    Determinism: credit picks are max/min over (ts, event_id) structs
+    (total order, no arbitrary-row max_by); Spark's ASC=nulls-first
+    default differs from DuckDB's nulls-last, so the oracle says NULLS
+    LAST explicitly and the Spark side uses struct extremes over
+    non-null rows only (a no-touch conversion joins to nothing and
+    coalesces to '(direct)'). Revenue follows the DECIMAL(38,6)
+    convention.
+
+    Scale shape (100 TB): conversions and touches hash-partition on
+    user_id (the events table's natural key); the window join is
+    per-user — candidate pairs are bounded by per-user activity, and a
+    skewed power user is exactly the asof_join salting case. The
+    credit reduction is two hash aggregates over one row per
+    conversion. No global sort, no driver data.
+
+    Reference: extends the KPI family (events_funnel,
+    events_retention_cohorts — SURVEY.md §2b north-star); the
+    reference vendor's dashboard domain is exactly this query."""
+    ev = Catalog(spark, sf_dir).events
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("cts"),
+        F.col("event_id").alias("conv_id"),
+        "value",
+    )
+    touch = ev.filter(
+        F.col("event_type").isin("click", "view", "signup")
+    ).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("tts"),
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("channel"),
+    )
+    j = conv.join(
+        touch,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("tts") <= F.col("cts"))
+        & (
+            F.col("tts")
+            >= F.col("cts") - F.expr(f"INTERVAL {_ATTR_WINDOW_H} HOUR")
+        ),
+        "left",
+    )
+    per_conv = j.groupBy("conv_id", "value").agg(
+        F.max(F.struct("tts", "tid", "channel")).alias("last_t"),
+        F.min(F.struct("tts", "tid", "channel")).alias("first_t"),
+    )
+
+    def credit(pick: str, n_alias: str, rev_alias: str) -> DataFrame:
+        return (
+            per_conv.select(
+                F.coalesce(F.col(f"{pick}.channel"), F.lit("(direct)")).alias(
+                    "channel"
+                ),
+                "value",
+            )
+            .groupBy("channel")
+            .agg(
+                F.count(F.lit(1)).alias(n_alias),
+                F.round(
+                    F.coalesce(
+                        F.sum(F.col("value").cast("decimal(38,6)")),
+                        F.lit(0).cast("decimal(38,6)"),
+                    ).cast("double"),
+                    4,
+                ).alias(rev_alias),
+            )
+        )
+
+    last_c = credit("last_t", "last_conversions", "last_revenue")
+    first_c = credit("first_t", "first_conversions", "first_revenue")
+    return last_c.join(first_c, "channel", "full").select(
+        "channel",
+        F.coalesce(F.col("last_conversions"), F.lit(0)).alias(
+            "last_conversions"
+        ),
+        F.coalesce(F.col("last_revenue"), F.lit(0.0)).alias("last_revenue"),
+        F.coalesce(F.col("first_conversions"), F.lit(0)).alias(
+            "first_conversions"
+        ),
+        F.coalesce(F.col("first_revenue"), F.lit(0.0)).alias("first_revenue"),
+    )
