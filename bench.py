@@ -117,6 +117,11 @@ BENCH_QUERIES = [
     "events_twap_daily",
     "agg_distinct_kmv",
     "stream_distinct_kmv",
+    # round-8 additions: the grid-sketch pair, PQ-ADC, attribution
+    "agg_percentile_grid_sketch",
+    "stream_percentile_grid",
+    "sim_ann_pq_adc",
+    "events_attribution_touch",
 ]
 
 # Sub-noise-width timings at sf0.1: best-of-2 left three ambiguous
