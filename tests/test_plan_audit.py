@@ -667,3 +667,39 @@ def test_distributed_ntile_runtime_guard_in_plan(spark):
         for r in out.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
     )
     assert sizes == [25, 25, 25, 25]
+
+
+def test_grid_sketch_partial_aggregation(spark):
+    """agg_percentile_grid_sketch: the per-(flag, bucket) count must be
+    a two-phase hash aggregate (map-side partial combine) so only
+    groups x 1024 counter rows cross the shuffle — the mergeability
+    that makes the sketch a sketch."""
+    plan = _plan(spark, "agg_percentile_grid_sketch")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    # the grid expression stays codegen'd integer arithmetic, no UDF
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pq_adc_broadcasts_tables_and_queries(spark):
+    """sim_ann_pq_adc: the ADC lookup table (2,560 rows) and the query
+    vectors (20 rows) must BROADCAST — shuffling the n-row code table
+    against them would be the wrong plan at any scale. The per-
+    candidate path (explode + join + integer sum) stays JVM-side; the
+    only Python is the one encode pass."""
+    import re
+
+    plan = _plan(spark, "sim_ann_pq_adc")
+    assert plan.count("BroadcastExchange") >= 2
+    # exactly ONE MapInPandas node (formatted explain prints each node
+    # in both the tree and the details section — count distinct ids)
+    assert len(set(re.findall(r"\((\d+)\) MapInPandas", plan))) == 1
+
+
+def test_attribution_single_user_key_exchange(spark):
+    """events_attribution_touch: conversions and touches meet in ONE
+    user-keyed join (SortMergeJoin or shuffled hash — either is the
+    per-user shape); credit picks are hash aggregates, not windows, so
+    no global sort anywhere."""
+    plan = _plan(spark, "events_attribution_touch")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "Window" not in plan  # struct extremes, not row_number
