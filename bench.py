@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "agg_percentile_grid_sketch",
     "stream_percentile_grid",
     "sim_ann_pq_adc",
+    "sim_ann_pq_lloyd",
     "events_attribution_touch",
 ]
 

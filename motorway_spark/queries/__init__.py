@@ -60,6 +60,7 @@ _SWEEP_PRIORITY = [
     "agg_percentile_grid_sketch",  # deterministic mergeable quantile sketch
     "stream_percentile_grid",  # its streaming twin: bounded state, WAL-exact
     "sim_ann_pq_adc",  # product quantization + ADC scan, oracle-exact
+    "sim_ann_pq_lloyd",  # trained per-subspace PQ codebooks (Lloyd), full oracle
     "events_attribution_touch",  # first/last-touch conversion credit
     # -- latest driver row is ROUND 3 (28 queries: the full remaining cohort) --
     "sessionize_native",

@@ -1731,6 +1731,14 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (int(r["vec_id"]), s, code, int(math.floor(acc[code] * 1e6 + 0.5)))
                 for code in range(PQ_K)
             ]
+    return _pq_adc_rerank(spark, corpus, codes, tab_rows)
+
+
+def _pq_adc_rerank(spark, corpus, codes, tab_rows) -> DataFrame:
+    """Shared PQ tail: ADC scan (explode + broadcast table join +
+    order-free integer sums) -> top-{PQ_RERANK} per query -> exact
+    cosine rerank -> top 3. Used by the fixed-codebook and the trained
+    (Lloyd) variants."""
     tab = F.broadcast(
         spark.createDataFrame(
             tab_rows, "query_id long, s int, code int, dmicro long"
@@ -1783,3 +1791,254 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained PQ: per-subspace quantized-Lloyd codebooks (one iteration),
+# then the same ADC scan — FAISS's actual IVF-PQ training step,
+# oracle-exact.
+# ---------------------------------------------------------------------------
+def _pq_trained_mean_sql(s: int, j: int) -> str:
+    """Trained centroid component j (1..8) of subspace s: the
+    integer-exact half-up mean (_km_mean_sql) over NORMALIZED
+    components of the vectors assigned to the code."""
+    return _km_mean_sql(
+        f"(CAST(e.embedding[{s * PQ_SUBDIM + j}] AS DOUBLE) / e.nrm)"
+    )
+
+
+def _pq_lloyd_oracle() -> str:
+    nrm = _SQL_NORM.format(a="embedding")
+    enc_blocks = "\n      UNION ALL\n      ".join(
+        f"SELECT v.vec_id, {s} AS s, c.code,"
+        f" {_pq_sub_dist_sql('v.embedding', 'v.nrm', 'c.embedding', 'c.nrm', s)} AS d"
+        " FROM valid v CROSS JOIN cb c"
+        for s in range(PQ_M)
+    )
+    cb1_blocks = "\n      UNION ALL\n      ".join(
+        f"SELECT {s} AS s, k.code, "
+        + ", ".join(
+            f"{_pq_trained_mean_sql(s, j)} AS m{j}"
+            for j in range(1, PQ_SUBDIM + 1)
+        )
+        + f" FROM codes1 k JOIN valid e USING (vec_id) WHERE k.s = {s}"
+        " GROUP BY k.code"
+        for s in range(PQ_M)
+    )
+
+    def dist2(v: str, vn: str, s: int) -> str:
+        return " + ".join(
+            f"(CAST({v}[{s * PQ_SUBDIM + j}] AS DOUBLE) / {vn} - c.m{j})"
+            f" * (CAST({v}[{s * PQ_SUBDIM + j}] AS DOUBLE) / {vn} - c.m{j})"
+            for j in range(1, PQ_SUBDIM + 1)
+        )
+
+    enc2_blocks = "\n      UNION ALL\n      ".join(
+        f"SELECT v.vec_id, {s} AS s, c.code,"
+        f" {dist2('v.embedding', 'v.nrm', s)} AS d"
+        f" FROM valid v CROSS JOIN (SELECT * FROM cb1 WHERE s = {s}) c"
+        for s in range(PQ_M)
+    )
+    qdist_blocks = "\n      UNION ALL\n      ".join(
+        f"SELECT q.vec_id AS query_id, {s} AS s, c.code,"
+        f" {dist2('q.embedding', 'q.nrm', s)} AS d"
+        f" FROM queries q CROSS JOIN (SELECT * FROM cb1 WHERE s = {s}) c"
+        for s in range(PQ_M)
+    )
+    return f"""
+    WITH valid AS MATERIALIZED (
+      SELECT vec_id, embedding, {nrm} AS nrm
+      FROM embeddings WHERE {_VALID_VEC_SQL}),
+    queries AS MATERIALIZED (
+      SELECT vec_id, embedding, nrm FROM valid WHERE vec_id < {N_QUERIES}),
+    cb AS MATERIALIZED (
+      SELECT vec_id - {PQ_CB_LO} AS code, embedding, {nrm} AS nrm
+      FROM embeddings
+      WHERE vec_id BETWEEN {PQ_CB_LO} AND {PQ_CB_HI}),
+    cdist1 AS MATERIALIZED (
+      {enc_blocks}),
+    codes1 AS MATERIALIZED (
+      SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d, code) AS rn
+        FROM cdist1) WHERE rn = 1),
+    cb1 AS MATERIALIZED (
+      {cb1_blocks}),
+    cdist2 AS MATERIALIZED (
+      {enc2_blocks}),
+    codes2 AS MATERIALIZED (
+      SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d, code) AS rn
+        FROM cdist2) WHERE rn = 1),
+    qdist AS (
+      {qdist_blocks}),
+    qtab AS MATERIALIZED (
+      SELECT query_id, s, code,
+             CAST(FLOOR(d * 1000000.0 + 0.5) AS BIGINT) AS dmicro
+      FROM qdist),
+    adc AS MATERIALIZED (
+      SELECT t.query_id, k.vec_id AS neighbor_id,
+             CAST(SUM(t.dmicro) AS BIGINT) AS adc_micro
+      FROM codes2 k JOIN qtab t ON t.s = k.s AND t.code = k.code
+      WHERE t.query_id <> k.vec_id
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT query_id, neighbor_id, adc_micro FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_micro, neighbor_id) AS rn
+        FROM adc) WHERE rn <= {PQ_RERANK}),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             CAST(cand.adc_micro AS DOUBLE) / 1000000.0 AS adc_dist,
+             ROUND({_SQL_DOT.format(a='qe.embedding', b='ce.embedding')}
+                   / ({_SQL_NORM.format(a='qe.embedding')}
+                      * {_SQL_NORM.format(a='ce.embedding')}), 6) AS cosine
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
+    SELECT query_id, neighbor_id, adc_dist, cosine, rn AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """
+
+
+def _pq_encode_trained_factory(trained: dict):
+    """mapInPandas factory for the TRAINED codebooks: per subspace s,
+    ``trained[s]`` is (codes list, k_s x 8 centroid matrix over that
+    subspace's dims). Same left-fold distances and (d, code) tiebreak
+    as pass 1 (codes are listed ascending, argmin takes the first
+    min)."""
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
+            vn = vecs / _leftfold_norms(vecs)[:, None]
+            out = {"vec_id": pdf["vec_id"], "embedding": pdf["embedding"]}
+            for s in range(PQ_M):
+                codes_s, cents_s = trained[s]
+                acc = np.zeros((vecs.shape[0], cents_s.shape[0]))
+                for j in range(PQ_SUBDIM):
+                    d = vn[:, s * PQ_SUBDIM + j : s * PQ_SUBDIM + j + 1] - cents_s[None, :, j]
+                    acc += d * d
+                pos = acc.argmin(axis=1)
+                out[f"c{s}"] = np.array([codes_s[p] for p in pos], dtype="int32")
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+@query("sim_ann_pq_lloyd", oracle=_pq_lloyd_oracle())
+def sim_ann_pq_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED product quantization — the complete PQ pipeline the way
+    FAISS actually builds it: one quantized-Lloyd iteration PER
+    SUBSPACE refines the fixed init codebook (assign subvectors, take
+    integer-exact half-up means of the NORMALIZED components — the
+    cluster_kmeans_lloyd playbook applied 8 times in parallel), then
+    re-encode against the trained centroids and run the same ADC scan +
+    exact rerank as sim_ann_pq_adc. The full train -> encode -> search
+    sequence replays bit-for-bit in DuckDB.
+
+    Scale shape (100 TB): pass-1 encode and pass-2 encode are each one
+    mapInPandas pass; the per-subspace centroid update is ONE hash
+    aggregate per subspace over (code, 8 decimal sums) — map-side
+    combinable, 16-row outputs; the only collects are the 8x16
+    codebook rollups and 20 query vectors. Training cost is K x
+    (map + agg) like the IVF fit; a production run iterates the same
+    two steps to convergence.
+
+    Reference: completes the ANN ladder's training story — fixed
+    codebooks proved the search path (sim_ann_pq_adc), this proves the
+    trainer, mirroring how sim_ann_ivf_fixed -> sim_ann_ivf_lloyd
+    proved the coarse quantizer."""
+    import math
+
+    from motorway_spark.maintenance import CACHES
+
+    emb = _valid_vectors(Catalog(spark, sf_dir).embeddings)
+    par = spark.sparkContext.defaultParallelism
+    corpus = CACHES.persist_swap(
+        "pq_lloyd.corpus", emb.repartition(par).select("vec_id", "embedding")
+    )
+
+    cb_rows = (
+        Catalog(spark, sf_dir)
+        .embeddings.filter(
+            (F.col("vec_id") >= PQ_CB_LO) & (F.col("vec_id") <= PQ_CB_HI)
+        )
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    cb = np.array([r["embedding"] for r in cb_rows], dtype=np.float64)
+    cbn0 = cb / _leftfold_norms(cb)[:, None]
+
+    schema = "vec_id long, embedding array<float>, " + ", ".join(
+        f"c{s} int" for s in range(PQ_M)
+    )
+    codes1 = corpus.mapInPandas(_pq_encode_factory(cbn0), schema=schema)
+    with_nrm = codes1.withColumn("nrm", _norm("embedding"))
+
+    # per-subspace trained codebooks: 8 sixteen-row aggregates (the
+    # only collects besides the queries)
+    trained: dict[int, tuple[list[int], "np.ndarray"]] = {}
+    for s in range(PQ_M):
+        mean_aggs = [
+            F.expr(
+                _km_mean_sql(
+                    f"(CAST(element_at(embedding, {s * PQ_SUBDIM + j}) AS DOUBLE)"
+                    " / nrm)"
+                )
+            ).alias(f"m{j}")
+            for j in range(1, PQ_SUBDIM + 1)
+        ]
+        rows = sorted(
+            with_nrm.groupBy(F.col(f"c{s}").alias("code"))
+            .agg(*mean_aggs)
+            .collect(),
+            key=lambda r: r["code"],
+        )
+        trained[s] = (
+            [r["code"] for r in rows],
+            np.array(
+                [[r[f"m{j}"] for j in range(1, PQ_SUBDIM + 1)] for r in rows],
+                dtype=np.float64,
+            ),
+        )
+
+    codes2 = corpus.mapInPandas(
+        _pq_encode_trained_factory(trained), schema=schema
+    )
+
+    q_rows = (
+        corpus.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    tab_rows = []
+    for r in q_rows:
+        v = np.array([r["embedding"]], dtype=np.float64)
+        vq = (v / _leftfold_norms(v)[:, None])[0]
+        for s in range(PQ_M):
+            codes_s, cents_s = trained[s]
+            acc = np.zeros(cents_s.shape[0])
+            for j in range(PQ_SUBDIM):
+                d = vq[s * PQ_SUBDIM + j] - cents_s[:, j]
+                acc += d * d
+            tab_rows += [
+                (
+                    int(r["vec_id"]),
+                    s,
+                    int(codes_s[p]),
+                    int(math.floor(acc[p] * 1e6 + 0.5)),
+                )
+                for p in range(len(codes_s))
+            ]
+    return _pq_adc_rerank(spark, corpus, codes2, tab_rows)

@@ -172,6 +172,7 @@ NULL_PARITY = [
     # PQ abstains on NULL/ragged vectors via the shared valid-vector
     # predicate (encode kernel + both oracle CTEs filter identically)
     "sim_ann_pq_adc",
+    "sim_ann_pq_lloyd",
     # attribution: NULL purchase values still count as conversions
     # (COUNT(*)) and drop out of both decimal revenue sums; explicit
     # NULLS LAST keeps the credit pick aligned with Spark's struct max
