@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "stream_percentile_grid",
     "sim_ann_pq_adc",
     "sim_ann_pq_lloyd",
+    "sim_ann_ivfpq",
     "events_attribution_touch",
 ]
 

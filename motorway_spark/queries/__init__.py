@@ -61,6 +61,7 @@ _SWEEP_PRIORITY = [
     "stream_percentile_grid",  # its streaming twin: bounded state, WAL-exact
     "sim_ann_pq_adc",  # product quantization + ADC scan, oracle-exact
     "sim_ann_pq_lloyd",  # trained per-subspace PQ codebooks (Lloyd), full oracle
+    "sim_ann_ivfpq",  # IVF coarse prune x PQ compressed scan, composed
     "events_attribution_touch",  # first/last-touch conversion credit
     # -- latest driver row is ROUND 3 (28 queries: the full remaining cohort) --
     "sessionize_native",

@@ -2042,3 +2042,267 @@ def sim_ann_pq_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for p in range(len(codes_s))
             ]
     return _pq_adc_rerank(spark, corpus, codes2, tab_rows)
+
+
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ composed — FAISS's flagship index layout: TRAINED coarse
+# cells (the sim_ann_ivf_lloyd quantizer) prune candidates, PQ codes
+# score them (ADC), floats only at the rerank. Oracle-exact.
+# ---------------------------------------------------------------------------
+IVFPQ_PROBE = 4  # composed indexes need a higher nprobe than IVF-alone:
+# the coarse prune's misses MULTIPLY with the code quantization's.
+# Measured on the fixture: fixed-codebook coarse at probe 2 composed to
+# 0.23 recall; trained coarse at probe 4 reaches 0.50 — about the
+# product of the stage recalls (IVF ~0.6-0.7 x PQ 0.65), the standard
+# IVF-PQ trade you buy back with nprobe/rerank at a fraction of
+# brute-force cost
+
+
+def _ivfpq_oracle() -> str:
+    """Trained coarse quantizer (the _km_cte_prefix Lloyd chain -> C2
+    -> inverted file a3 -> probe) composed with the fixed-codebook PQ
+    ADC scan. ``valid`` (raw, from the km prefix) and ``validn``
+    (normalized view for PQ) are separate CTEs on purpose."""
+    nrm = _SQL_NORM.format(a="embedding")
+    mean_cols = ", ".join(
+        f"{_km_mean_sql(f'e.embedding[{i}]')} AS m{i}" for i in range(1, DIM + 1)
+    )
+    cent_list = "list_value(" + ", ".join(f"m{i}" for i in range(1, DIM + 1)) + ")"
+    dist = " + ".join(
+        f"(CAST(e.embedding[{i}] AS DOUBLE) - c.cent[{i}])"
+        f" * (CAST(e.embedding[{i}] AS DOUBLE) - c.cent[{i}])"
+        for i in range(1, DIM + 1)
+    )
+    enc_blocks = "\n      UNION ALL\n      ".join(
+        f"SELECT v.vec_id, {s} AS s, c.code,"
+        f" {_pq_sub_dist_sql('v.embedding', 'v.nrm', 'c.embedding', 'c.nrm', s)} AS d"
+        " FROM validn v CROSS JOIN cb c"
+        for s in range(PQ_M)
+    )
+    tab_blocks = "\n      UNION ALL\n      ".join(
+        f"SELECT q.vec_id AS query_id, {s} AS s, c.code,"
+        f" {_pq_sub_dist_sql('q.embedding', 'q.nrm', 'c.embedding', 'c.nrm', s)} AS d"
+        " FROM queriesn q CROSS JOIN cb c"
+        for s in range(PQ_M)
+    )
+    return f"""{_km_cte_prefix()},
+    c2 AS MATERIALIZED (
+      SELECT cell, {cent_list} AS cent FROM (
+        SELECT a2.cell, {mean_cols}
+        FROM a2 JOIN valid e USING (vec_id) GROUP BY a2.cell)),
+    d3 AS MATERIALIZED (
+      SELECT e.vec_id, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {dist}, c.cell) AS rn
+      FROM valid e CROSS JOIN c2 c),
+    a3 AS MATERIALIZED (SELECT vec_id, cell FROM d3 WHERE rn = 1),
+    probe AS (
+      SELECT vec_id AS query_id, cell FROM d3
+      WHERE vec_id < {N_QUERIES} AND rn <= {IVFPQ_PROBE}),
+    validn AS MATERIALIZED (
+      SELECT vec_id, embedding, {nrm} AS nrm
+      FROM embeddings WHERE {_VALID_VEC_SQL}),
+    queriesn AS MATERIALIZED (
+      SELECT vec_id, embedding, nrm FROM validn WHERE vec_id < {N_QUERIES}),
+    cb AS MATERIALIZED (
+      SELECT vec_id - {PQ_CB_LO} AS code, embedding, {nrm} AS nrm
+      FROM embeddings
+      WHERE vec_id BETWEEN {PQ_CB_LO} AND {PQ_CB_HI}),
+    cdist AS MATERIALIZED (
+      {enc_blocks}),
+    codes AS MATERIALIZED (
+      SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d, code) AS rn
+        FROM cdist) WHERE rn = 1),
+    qdist AS (
+      {tab_blocks}),
+    qtab AS MATERIALIZED (
+      SELECT query_id, s, code,
+             CAST(FLOOR(d * 1000000.0 + 0.5) AS BIGINT) AS dmicro
+      FROM qdist),
+    cand0 AS MATERIALIZED (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probe p JOIN a3 a USING (cell)
+      WHERE p.query_id <> a.vec_id),
+    adc AS MATERIALIZED (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(SUM(t.dmicro) AS BIGINT) AS adc_micro
+      FROM cand0 c
+      JOIN codes k ON k.vec_id = c.neighbor_id
+      JOIN qtab t ON t.query_id = c.query_id
+                 AND t.s = k.s AND t.code = k.code
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT query_id, neighbor_id, adc_micro FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_micro, neighbor_id) AS rn
+        FROM adc) WHERE rn <= {PQ_RERANK}),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             CAST(cand.adc_micro AS DOUBLE) / 1000000.0 AS adc_dist,
+             ROUND({_SQL_DOT.format(a='qe.embedding', b='ce.embedding')}
+                   / ({_SQL_NORM.format(a='qe.embedding')}
+                      * {_SQL_NORM.format(a='ce.embedding')}), 6) AS cosine
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
+    SELECT query_id, neighbor_id, adc_dist, cosine, rn AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """
+
+
+@query("sim_ann_ivfpq", oracle=_ivfpq_oracle())
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed — the index layout FAISS ships as its default
+    billion-scale configuration, oracle-exact end to end: the TRAINED
+    coarse quantizer (cluster_kmeans_lloyd's two-iteration fit, exactly
+    sim_ann_ivf_lloyd's C2 cells) prunes candidates to {IVFPQ_PROBE}
+    probed cells per query (composed indexes need a higher nprobe than
+    IVF-alone — quantization misses multiply), and within them the ADC
+    scan of sim_ann_pq_adc scores candidates from 4-bit codes alone —
+    float vectors are touched only at the {PQ_RERANK}-row exact rerank.
+
+    Scale shape (100 TB): training is the Lloyd fit (K x (map + agg));
+    ingest is one assignment pass + one encode pass (mapInPandas,
+    codebooks in closures); per query the candidate set is
+    {IVFPQ_PROBE}/{IVF_CELLS} of the corpus, each candidate costing
+    {PQ_M} integer lookups via broadcast table join (whole-stage
+    codegen, no Python); the rerank reads {PQ_RERANK} float vectors.
+    Sub-linear candidates x 32x-compressed scoring x constant rerank —
+    the composition the ANN ladder was built toward, with every stage's
+    arithmetic replayable in DuckDB."""
+    import math
+
+    # trained coarse quantizer: C1 from the shared Lloyd prefix, one
+    # more assignment pass -> C2, inverted file over C2
+    corpus, cells1, c1 = _lloyd_c1(spark, sf_dir)
+    a2 = corpus.mapInPandas(
+        _km_assign_factory(c1, cells1), schema=_KM_ASSIGN_SCHEMA
+    )
+    c2_rows = sorted(
+        a2.groupBy("cell").agg(*_km_mean_aggs()).collect(),  # <= 8 rows
+        key=lambda r: r["cell"],
+    )
+    cells2 = [r["cell"] for r in c2_rows]
+    c2 = np.array(
+        [[r[f"m{i}"] for i in range(1, DIM + 1)] for r in c2_rows],
+        dtype=np.float64,
+    )
+    inv = corpus.mapInPandas(
+        _km_assign_factory(c2, cells2), schema=_KM_ASSIGN_SCHEMA
+    ).select("vec_id", "cell")
+
+    # PQ codebook: normalized fixed codebook (the sim_ann_pq_adc path)
+    cb_rows = (
+        Catalog(spark, sf_dir)
+        .embeddings.filter(
+            (F.col("vec_id") >= PQ_CB_LO) & (F.col("vec_id") <= PQ_CB_HI)
+        )
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    cb = np.array([r["embedding"] for r in cb_rows], dtype=np.float64)
+    cbn = cb / _leftfold_norms(cb)[:, None]
+    schema = "vec_id long, embedding array<float>, " + ", ".join(
+        f"c{s} int" for s in range(PQ_M)
+    )
+    codes = corpus.mapInPandas(_pq_encode_factory(cbn), schema=schema)
+
+    # driver-side: probe lists vs C2 + PQ ADC tables (20 queries)
+    q_rows = (
+        corpus.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    probe_pairs = []
+    tab_rows = []
+    for r in q_rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        acc = np.zeros(c2.shape[0])
+        for i in range(DIM):
+            d = v[i] - c2[:, i]
+            acc += d * d
+        order = sorted(range(len(cells2)), key=lambda p: (acc[p], cells2[p]))
+        probe_pairs += [
+            (int(r["vec_id"]), cells2[p]) for p in order[:IVFPQ_PROBE]
+        ]
+
+        vq = np.array([r["embedding"]], dtype=np.float64)
+        vq = (vq / _leftfold_norms(vq)[:, None])[0]
+        for s in range(PQ_M):
+            acc2 = np.zeros(cbn.shape[0])
+            for i in range(s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM):
+                d = vq[i] - cbn[:, i]
+                acc2 += d * d
+            tab_rows += [
+                (int(r["vec_id"]), s, code, int(math.floor(acc2[code] * 1e6 + 0.5)))
+                for code in range(PQ_K)
+            ]
+
+    probe = F.broadcast(
+        spark.createDataFrame(probe_pairs, "query_id long, cell int")
+    )
+    tab = F.broadcast(
+        spark.createDataFrame(
+            tab_rows, "query_id long, s int, code int, dmicro long"
+        )
+    )
+
+    cand0 = (
+        probe.join(inv, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+    )
+    stack = ", ".join(f"{s}, c{s}" for s in range(PQ_M))
+    exploded = codes.select(
+        "vec_id", F.expr(f"stack({PQ_M}, {stack}) AS (s, code)")
+    )
+    adc = (
+        cand0.join(exploded, "vec_id")
+        .join(tab, ["query_id", "s", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dmicro").alias("adc_micro"))
+    )
+    wa = Window.partitionBy("query_id").orderBy("adc_micro", "vec_id")
+    cand = (
+        adc.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= PQ_RERANK)
+        .drop("rn")
+    )
+    q_emb = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = (
+        cand.join(
+            corpus.select("vec_id", F.col("embedding").alias("c_emb")),
+            "vec_id",
+        )
+        .join(F.broadcast(q_emb), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.col("adc_micro").cast("double") / F.lit(1000000.0)).alias(
+                "adc_dist"
+            ),
+            "cosine",
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )

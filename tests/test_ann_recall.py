@@ -64,3 +64,14 @@ def test_pq_lloyd_training_improves_recall(spark):
     exact = _top3(QUERIES["sim_knn_cosine"](spark, SF))
     pq_recall = _recall(_top3(QUERIES["sim_ann_pq_lloyd"](spark, SF)), exact)
     assert pq_recall >= 0.65, f"trained-PQ recall collapsed: {pq_recall:.2f}"
+
+
+def test_ivfpq_composed_recall_floor(spark):
+    """IVF-PQ composed: recall is roughly the PRODUCT of the stage
+    recalls (measured 0.50 = trained-coarse probe-4 x PQ codes, vs
+    0.65 PQ-alone and 0.60 IVF-alone) — the standard trade that buys a
+    probe-bounded candidate set AND a 32x-compressed scan. Floor keeps
+    the composition from silently degrading below its measured level."""
+    exact = _top3(QUERIES["sim_knn_cosine"](spark, SF))
+    r = _recall(_top3(QUERIES["sim_ann_ivfpq"](spark, SF)), exact)
+    assert r >= 0.40, f"IVF-PQ recall collapsed: {r:.2f}"

@@ -173,6 +173,7 @@ NULL_PARITY = [
     # predicate (encode kernel + both oracle CTEs filter identically)
     "sim_ann_pq_adc",
     "sim_ann_pq_lloyd",
+    "sim_ann_ivfpq",
     # attribution: NULL purchase values still count as conversions
     # (COUNT(*)) and drop out of both decimal revenue sums; explicit
     # NULLS LAST keeps the credit pick aligned with Spark's struct max
