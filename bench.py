@@ -143,6 +143,13 @@ BENCH_FIXED_N = 46  # q1..sample_importance_weighted (rounds 1-5 core)
 # Standing measurement notes, copied into every bench_results.json so
 # they survive regeneration (the artifact is rewritten per run).
 BENCH_NOTES = {
+    "fixed46_variance": (
+        "three same-code full runs in one round-8 session measured "
+        "fixed46 = 32.7 / 37.9 / 41.6s under rising background load — "
+        "absolute totals swing ~1.3x with host conditions; compare "
+        "per-query ratios within ONE run, and prefer the driver's "
+        "clean-state BENCH_r{N} for round-over-round reads."
+    ),
     "dedup_minhash_capped": (
         "r5->r7 'drift' (1.42->2.09s) root-caused round 8: best-of-5 solo "
         "run gives [6.9, 2.33, 2.17, 1.84, 1.87] -> best 1.84s. The op is "

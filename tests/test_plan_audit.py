@@ -703,3 +703,13 @@ def test_attribution_single_user_key_exchange(spark):
     plan = _plan(spark, "events_attribution_touch")
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "Window" not in plan  # struct extremes, not row_number
+
+
+def test_ivfpq_broadcasts_probe_and_tables_no_cartesian(spark):
+    """sim_ann_ivfpq: the probe list, ADC table, and query vectors all
+    BROADCAST (candidate generation must never shuffle the corpus
+    against 20-row sides), and nothing in the composed plan degenerates
+    into a cartesian product."""
+    plan = _plan(spark, "sim_ann_ivfpq")
+    assert plan.count("BroadcastExchange") >= 3
+    assert "CartesianProduct" not in plan
