@@ -91,9 +91,15 @@ def distributed_ntile(df, n_tiles: int, sort_cols: list, out_col: str):
     s-side size, whose last row trips the guard — or (b) every
     partition's count is identical, in which case the offsets are
     exactly what the s-side's own counts would give and every rank is
-    correct. So a silent wrong bucket is impossible: any divergent
-    re-execution either changes no answer or raises. Cost: one
-    codegen'd integer compare per row. New call sites should still add
+    correct. The join with the counts side is a LEFT join: an s-side
+    row in a partition the counts-side execution never saw (no counts
+    row at all — the one shape an inner join would silently DROP,
+    shifting other partitions' ranks without tripping the compare)
+    surfaces as ``__c IS NULL``, and ``__pos < NULL`` is NULL, so the
+    same ``otherwise`` branch raises. Every s-side row is therefore
+    either guarded or errors — a silent wrong bucket is impossible:
+    any divergent re-execution either changes no answer or raises.
+    Cost: one codegen'd integer compare per row. New call sites should still add
     a ReusedExchange plan audit (tests/test_plan_audit.py) so the
     single-execution FAST path is pinned, not just the safety net.
 
@@ -127,20 +133,29 @@ def distributed_ntile(df, n_tiles: int, sort_cols: list, out_col: str):
             )
         ).alias("__total"),
     )
-    ranked = s.join(F.broadcast(offsets), "__pid")
+    # LEFT join (not inner): an s-side partition absent from the counts
+    # side must RAISE via the null-__c guard below, never be dropped.
+    ranked = s.join(F.broadcast(offsets), "__pid", "left")
     # runtime reuse guard (see docstring): a divergent re-execution of
     # the range exchange that could change any bucket necessarily puts
-    # some row's position at or past its partition's counts-side size.
-    pos_guarded = F.when(F.col("__pos") < F.col("__c"), F.col("__pos")).otherwise(
+    # some row's position at or past its partition's counts-side size —
+    # or leaves the row with no counts row at all (__c null; the
+    # comparison is then NULL and falls through to the same raise).
+    pos_guarded = F.when(
+        F.col("__c").isNull() | (F.col("__pos") >= F.col("__c")),
         F.raise_error(
             F.lit(
                 "distributed_ntile: range exchange re-executed with "
                 "divergent boundaries (in-partition position >= counted "
-                "partition size); offsets are unsafe"
+                "partition size, or the partition is missing from the "
+                "counts side); offsets are unsafe"
             )
-        )
-    )
-    rank = F.col("__off") + pos_guarded + 1
+        ),
+    ).otherwise(F.col("__pos"))
+    # pos_guarded LEFTMOST: binary-op codegen evaluates the left operand
+    # first and skips the right when it is NULL, so `__off + guard`
+    # would never evaluate the guard on a missing counts row.
+    rank = pos_guarded + F.col("__off") + 1
     # SQL-standard ntile from (rank, total): q = total div n, m = total
     # mod n; the first m buckets carry q+1 rows. Guard q = 0 (fewer
     # rows than tiles: one bucket per row) inside the expression.

@@ -802,3 +802,31 @@ def test_distributed_ntile_guard_raises_on_count_mismatch(spark):
 
     with _pytest.raises(Exception, match="range exchange re-executed"):
         joined.select((F.col("__off") + guarded + 1).alias("rank")).collect()
+
+
+def test_distributed_ntile_guard_raises_on_missing_counts_partition(
+    spark, monkeypatch
+):
+    """The other divergence shape (round-8 advice): an s-side partition
+    the counts-side execution never saw has NO counts row at all. The
+    old INNER join silently dropped those rows — equal totals then
+    shifted other partitions' ranks without tripping the __pos < __c
+    compare. The join is now LEFT, so the row surfaces with __c NULL
+    and the same guard raises. Exercised through the REAL helper by
+    corrupting the broadcast counts side to empty."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from motorway_spark.queries import helpers
+
+    import pyspark.sql.functions as _Fmod
+
+    real_broadcast = _Fmod.broadcast
+    # the helper re-imports functions locally, so patch the module itself
+    monkeypatch.setattr(
+        _Fmod, "broadcast", lambda df: real_broadcast(df.limit(0))
+    )
+    df = spark.range(50).withColumn("v", F.col("id") * 7 % 31)
+    out = helpers.distributed_ntile(df, 4, ["v", "id"], "bucket")
+    with _pytest.raises(Exception, match="missing from the\\s+counts side"):
+        out.collect()
