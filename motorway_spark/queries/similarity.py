@@ -1986,24 +1986,37 @@ def sim_ann_pq_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes1 = corpus.mapInPandas(_pq_encode_factory(cbn0), schema=schema)
     with_nrm = codes1.withColumn("nrm", _norm("embedding"))
 
-    # per-subspace trained codebooks: 8 sixteen-row aggregates (the
-    # only collects besides the queries)
-    trained: dict[int, tuple[list[int], "np.ndarray"]] = {}
+    # ALL 8 subspaces train in ONE job: unpivot each row's 8
+    # (code, normalized-subvector) pairs with stack, then one
+    # map-side-combinable hash aggregate over (s, code) — 128 output
+    # rows. The round-8 shape ran 8 separate groupBy(c{s}) collects,
+    # and since the encode output was never persisted each one re-ran
+    # the full mapInPandas pass-1 encode (~9 encode executions where 2
+    # do; measured 8.1 s -> ~2.8 s at sf0.1). Now pass-1 executes
+    # exactly once (inside this aggregate) and pass-2 once (the ADC
+    # scan below) — pinned by tests/test_plan_audit.py's job audit.
+    stack_args: list[str] = []
     for s in range(PQ_M):
-        mean_aggs = [
-            F.expr(
-                _km_mean_sql(
-                    f"(CAST(element_at(embedding, {s * PQ_SUBDIM + j}) AS DOUBLE)"
-                    " / nrm)"
-                )
-            ).alias(f"m{j}")
+        stack_args.append(str(s))
+        stack_args.append(f"c{s}")
+        stack_args += [
+            f"(CAST(element_at(embedding, {s * PQ_SUBDIM + j}) AS DOUBLE)"
+            " / nrm)"
             for j in range(1, PQ_SUBDIM + 1)
         ]
+    xcols = ", ".join(f"x{j}" for j in range(1, PQ_SUBDIM + 1))
+    unpivoted = with_nrm.selectExpr(
+        f"stack({PQ_M}, {', '.join(stack_args)}) AS (s, code, {xcols})"
+    )
+    mean_aggs = [
+        F.expr(_km_mean_sql(f"x{j}")).alias(f"m{j}")
+        for j in range(1, PQ_SUBDIM + 1)
+    ]
+    all_rows = unpivoted.groupBy("s", "code").agg(*mean_aggs).collect()
+    trained: dict[int, tuple[list[int], "np.ndarray"]] = {}
+    for s in range(PQ_M):
         rows = sorted(
-            with_nrm.groupBy(F.col(f"c{s}").alias("code"))
-            .agg(*mean_aggs)
-            .collect(),
-            key=lambda r: r["code"],
+            (r for r in all_rows if r["s"] == s), key=lambda r: r["code"]
         )
         trained[s] = (
             [r["code"] for r in rows],

@@ -14,66 +14,116 @@ PARTITION-PRUNED the way those formats prune it:
 - the table lives as ``data/bucket=K/`` with K = pmod(hash(key), N) —
   a hash-bucketed layout;
 - a micro-batch only ever touches the buckets its keys hash into, so
-  the merge reads and rewrites ONLY those buckets (partition-pruned
-  scan + per-bucket atomic directory swap); untouched buckets are not
-  read, not written, not renamed;
+  the merge reads and rewrites ONLY those buckets' rows; untouched
+  buckets are not read and their files are never touched;
 - merge algebra per affected bucket, one pass:
       merged = target ⟗ batch ON key; take batch-side else target-side
 
-Replay safety: processed (epoch) batch ids are recorded in a sidecar;
-a replayed batch id is a no-op. A crash mid-swap leaves some buckets
-new and some old with the batch id unrecorded — the replay re-merges,
-and merging the same batch into an already-merged bucket is a fixpoint,
-so recovery is idempotent per bucket.
-
 Scale notes: per-batch work is O(|touched buckets|), not O(|table|).
 At 100 TB you size N so a bucket ≈ a few GB and hot-key batches touch
-a handful; Delta/Iceberg replace the directory swaps with metadata
-commits but the pruning story is identical.
+a handful.
+
+Commit protocol — the Delta transaction-log shape, including its
+OPTIMISTIC CONCURRENCY rung:
+
+- **Data files are additive and uniquely named.** A writer stages its
+  new version of each touched bucket as fresh ``part-<uuid>-N.parquet``
+  files moved into the live ``bucket=K/`` dir. It never renames or
+  deletes a file any committed manifest entry lists until AFTER it has
+  won its own commit; files not listed by the manifest are invisible
+  garbage (a crashed writer's orphans), removed by ``vacuum()``.
+- **The commit point is a numbered log record**, created atomically
+  AND exclusively: ``_mlog/<seq>.delta.json`` is written to a temp
+  name and ``os.link``ed into place — link fails loudly (EEXIST) if
+  another writer took that sequence number first. One record per
+  commit, O(|touched|) bytes: the touched buckets' new entries (file
+  list + footer stats), the files they replaced, the batch id, and the
+  schema when it changed. Torn log lines are structurally impossible:
+  a record is either fully linked into the log or absent.
+- **The manifest view** = newest ``_mlog/<seq>.ckpt.json`` checkpoint
+  + the ordered replay of delta records above its seq. Checkpoints are
+  written every ``_LOG_COMPACT_EVERY`` commits (and at bootstrap) and
+  fold in the processed-batch-id set; older records are then removed.
+  Readers that race a compaction re-scan on a sequence gap.
+- **Conflict resolution (the documented loser's retry path):** a
+  writer that loses the race for seq N reloads and
+    1. returns as a no-op if its OWN batch id was committed by the
+       winner (exactly-once: one commit per batch id ever wins) — its
+       staged files are deleted as orphans;
+    2. REDOES the merge from the fresh snapshot if any winning record
+       touched one of its buckets (or a compaction folded past its
+       read snapshot) — its staged files are deleted first;
+    3. otherwise (disjoint buckets) simply re-attempts the link at the
+       next sequence number with the same record — its staged files
+       and entries are still valid, no Spark work is repeated.
+  A conflict can also surface EARLIER than the link: the winner's
+  post-commit cleanup may delete a replaced file while the loser's
+  staging job is still scanning its (stale) snapshot — that
+  FileNotFoundException is caught and resolved identically to case 2.
+  Crash windows are benign by construction: a crash before the link
+  leaves only invisible orphan files; a crash after the link leaves a
+  fully committed batch (the batch id travels IN the record, so data
+  and replay-marker commit atomically).
 
 Manifest metadata (the lakehouse rung): bucket -> {file names, row
 count, per-column min/max} plus the table schema — the same role as
-Delta's transaction-log add-file stats. Stats come from parquet
-FOOTERS via pyarrow (driver-side, touched buckets only, no Spark job).
-With a manifest, readers hand Spark explicit FILE paths — no directory
-listing anywhere: a full read, a pruned merge read, and delete_keys'
-schema lookup are all O(manifest), where the pre-manifest design paid
-an O(|table dirs|) LIST per full read and an O(|table|) schema
-inference per delete.
-
-The manifest is LOG-STRUCTURED, like the transaction logs it mirrors:
-``_manifest.json`` is the compacted base checkpoint and
-``_manifest.log`` an append-only JSONL of per-batch entry deltas
-(touched buckets only). A batch commit appends one O(|touched|) line —
-never rewrites the O(|buckets|) base (measured: a monolithic rewrite
-put the third registry decade at 1.48x/decade; the log form is flat).
-The log compacts into the base after ``_LOG_COMPACT_EVERY`` records; a
-torn tail line (crash mid-append) is ignored on load; replaying the
-log over a freshly-compacted base is idempotent. The parsed manifest
-is cached on the sink instance and revalidated by file stat, so a
-long-lived foreachBatch sink parses nothing per batch.
-
-The swap->manifest crash window is closed by detection, not
-prevention: each read stat()s the listed files of the buckets it
-touches (HEAD-class calls, not LISTs) and re-lists ONLY a bucket whose
-entry went stale, healing the manifest in place. Tables written before
-the manifest existed (or with a deleted manifest) fall back to
-directory listing and heal themselves on the next write.
+Delta's add-file stats. Stats come from parquet FOOTERS via pyarrow
+(driver-side, touched buckets only, no Spark job). Readers hand Spark
+explicit FILE paths — no directory listing anywhere: full reads,
+pruned merge reads, and delete_keys' schema lookup are all
+O(manifest) (the _mlog dir itself is listed, but it is bounded by the
+compaction window, never by table size). Externally mutilated buckets
+(listed files missing from disk) are detected per-read by stat()
+(HEAD-class) and healed by re-listing ONLY that bucket. Tables written
+before manifests existed (legacy ``_manifest.json`` +
+``_manifest.log`` JSONL, or no manifest at all) are adopted by a
+one-time full-listing bootstrap checkpoint; the legacy log is replayed
+read-only (a torn tail line is ignored — nothing ever appends to it
+again) and absorbed into the first checkpoint.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import tempfile
+import uuid
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+_BUCKET_DIR_RE = re.compile(r"^bucket=(\d+)$")
+_MLOG_RE = re.compile(r"^(\d{20})\.(delta|ckpt)\.json$")
+
+
+def _is_vanished_file_error(exc: Exception) -> bool:
+    """True when a Spark job died because an input file disappeared
+    mid-scan — the signature of racing a concurrent winner's
+    post-commit cleanup of the files our snapshot listed. The caller
+    redoes against the fresh snapshot (whose heal path also covers the
+    other cause, genuine external deletion)."""
+    s = str(exc)
+    return "FileNotFoundException" in s or "does not exist" in s
+
+
+class _MlogGap(Exception):
+    """A sequence hole in the delta chain — the signature of racing a
+    compaction's cleanup; the caller re-scans for the newer checkpoint."""
+
+
+class CommitConflict(Exception):
+    """Raised when a writer exhausts its optimistic-concurrency retries."""
+
 
 class UpsertParquetSink:
+    # commits between checkpoints (instance-overridable in tests)
+    _LOG_COMPACT_EVERY = 256
+    # merge redo attempts under bucket-overlap conflicts
+    _MAX_COMMIT_RETRIES = 8
+
     def __init__(
         self,
         spark: SparkSession,
@@ -90,27 +140,29 @@ class UpsertParquetSink:
         self.table_dir = table_dir.rstrip("/")
         self.key_cols = key_cols
         self.num_buckets = num_buckets
-        self._meta = f"{self.table_dir}/_upsert_meta.json"
-        self._manifest_path = f"{self.table_dir}/_manifest.json"
-        self._manifest_log = f"{self.table_dir}/_manifest.log"
-        # parsed-manifest cache: (manifest dict, (base stat, log stat))
+        self._meta = f"{self.table_dir}/_upsert_meta.json"  # legacy, read-only
+        self._manifest_path = f"{self.table_dir}/_manifest.json"  # legacy base
+        self._manifest_log = f"{self.table_dir}/_manifest.log"  # legacy JSONL
+        self._mlog_dir = f"{self.table_dir}/_mlog"
+        # parsed-manifest cache, revalidated against the log listing
         self._m_cache: dict | None = None
         self._m_stat = ("unset",)
-        self._log_records = 0
+        self._head_seq = -1  # highest committed record seq
+        self._ckpt_seq = -1  # seq of the checkpoint the view is based on
+        self._delta_touch: dict[int, frozenset[str]] = {}  # seq -> bucket keys
 
-    # -- state ---------------------------------------------------------
-    def _processed_batches(self) -> set[int]:
+    # -- replay state ----------------------------------------------------
+    def _legacy_meta_batches(self) -> set[int]:
         try:
             with open(self._meta) as fh:
                 return set(json.load(fh)["batches"])
         except (OSError, json.JSONDecodeError, KeyError):
             return set()
 
-    def _record_batch(self, batch_id: int) -> None:
-        os.makedirs(self.table_dir, exist_ok=True)
-        batches = sorted(self._processed_batches() | {batch_id})
-        with open(self._meta, "w") as fh:
-            json.dump({"batches": batches, "num_buckets": self.num_buckets}, fh)
+    def _processed_batches(self) -> set[int]:
+        m = self._load_manifest()
+        committed = set(m["batches"]) if m else set()
+        return committed | self._legacy_meta_batches()
 
     def _data_dir(self) -> str:
         return f"{self.table_dir}/data"
@@ -118,10 +170,32 @@ class UpsertParquetSink:
     def _bucket_expr(self):
         return F.pmod(F.hash(*self.key_cols), F.lit(self.num_buckets))
 
-    # -- manifest metadata (bucket -> files + stats, Delta-log style) ----
-    _LOG_COMPACT_EVERY = 256  # log records before folding into the base
+    # -- manifest log (numbered records, Delta-log style) -----------------
+    def _list_mlog(self):
+        """(ckpts, deltas) as sorted [(seq, path)] from one listing of
+        the bounded-size log dir."""
+        ckpts, deltas = [], []
+        try:
+            names = os.listdir(self._mlog_dir)
+        except OSError:
+            return ckpts, deltas
+        for n in names:
+            mt = _MLOG_RE.match(n)
+            if not mt:
+                continue
+            seq = int(mt.group(1))
+            (ckpts if mt.group(2) == "ckpt" else deltas).append(
+                (seq, os.path.join(self._mlog_dir, n))
+            )
+        ckpts.sort()
+        deltas.sort()
+        return ckpts, deltas
 
     def _fs_stat(self):
+        """Cache validity token: legacy file stats + the log dir's
+        entry listing (tiny — bounded by the compaction window — and
+        immune to mtime granularity, unlike a dir mtime)."""
+
         def st(p):
             try:
                 s = os.stat(p)
@@ -129,82 +203,297 @@ class UpsertParquetSink:
             except OSError:
                 return None
 
-        return (st(self._manifest_path), st(self._manifest_log))
-
-    def _load_manifest(self) -> dict | None:
-        """Base checkpoint + log replay, cached on the instance and
-        revalidated by file stat (another process's commit changes the
-        stats and forces a reload; a warm single-writer pays two
-        stat() calls per batch, no parsing)."""
-        cur = self._fs_stat()
-        if self._m_stat == cur:
-            return self._m_cache
-        base_stat, log_stat = cur
-        m: dict | None = None
-        if base_stat is not None:
-            try:
-                with open(self._manifest_path) as fh:
-                    loaded = json.load(fh)
-                if loaded.get("version") == 1:
-                    m = loaded
-            except (OSError, json.JSONDecodeError):
-                m = None
-        n_log = 0
-        if m is not None and log_stat is not None:
-            try:
-                with open(self._manifest_log) as fh:
-                    for line in fh:
-                        line = line.strip()
-                        if not line:
-                            continue
-                        try:
-                            rec = json.loads(line)
-                        except json.JSONDecodeError:
-                            break  # torn tail from a crash mid-append
-                        n_log += 1
-                        if rec.get("schema"):
-                            m["schema"] = rec["schema"]
-                        for k, ent in rec.get("buckets", {}).items():
-                            if ent is None:
-                                m["buckets"].pop(k, None)
-                            else:
-                                m["buckets"][k] = ent
-            except OSError:
-                pass
-        self._m_cache, self._m_stat = m, cur
-        self._log_records = n_log
-        return m
-
-    def _write_manifest_base(self, m: dict) -> None:
-        """Atomic base checkpoint write; removes the replayed log (a
-        crash between the two leaves a log whose replay over the new
-        base rewrites identical entries — idempotent)."""
-        os.makedirs(self.table_dir, exist_ok=True)
-        tmp = f"{self._manifest_path}.tmp"
-        with open(tmp, "w") as fh:
-            json.dump(m, fh)
-        os.replace(tmp, self._manifest_path)  # atomic on POSIX
         try:
-            os.remove(self._manifest_log)
+            log_names = tuple(sorted(os.listdir(self._mlog_dir)))
+        except OSError:
+            log_names = None
+        return (st(self._manifest_path), st(self._manifest_log), log_names)
+
+    def _load_legacy_base(self) -> dict | None:
+        """Pre-_mlog tables: `_manifest.json` base + `_manifest.log`
+        JSONL replay, READ-ONLY (nothing appends to these anymore, so
+        the historical torn-tail-append fusion hazard is gone; a torn
+        tail line left by an old crash is still skipped on replay)."""
+        try:
+            with open(self._manifest_path) as fh:
+                loaded = json.load(fh)
+            if loaded.get("version") != 1:
+                return None
+        except (OSError, json.JSONDecodeError):
+            return None
+        m = loaded
+        m.setdefault("batches", [])
+        try:
+            with open(self._manifest_log) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        break  # torn tail from an old crash mid-append
+                    if rec.get("schema"):
+                        m["schema"] = rec["schema"]
+                    for k, ent in rec.get("buckets", {}).items():
+                        if ent is None:
+                            m["buckets"].pop(k, None)
+                        else:
+                            m["buckets"][k] = ent
         except OSError:
             pass
-        self._log_records = 0
-        self._m_cache, self._m_stat = m, self._fs_stat()
+        return m
 
-    def _append_manifest_delta(self, m: dict, rec: dict) -> None:
-        """O(|touched|) commit: one JSONL record of just the changed
-        entries. ``m`` must already reflect the record (the in-memory
-        manifest is the write-through authority). Compacts every
-        ``_LOG_COMPACT_EVERY`` records so load cost stays amortized."""
-        os.makedirs(self.table_dir, exist_ok=True)
-        with open(self._manifest_log, "a") as fh:
-            fh.write(json.dumps(rec, separators=(",", ":")) + "\n")
-        self._log_records += 1
-        if self._log_records >= self._LOG_COMPACT_EVERY:
-            self._write_manifest_base(m)
+    def _read_state(self):
+        """One coherent manifest view: newest checkpoint + ordered
+        delta replay. Raises _MlogGap when the chain has a hole (a
+        compaction's cleanup raced this read; the re-scan finds the
+        newer checkpoint that covers the removed records)."""
+        ckpts, deltas = self._list_mlog()
+        touch: dict[int, frozenset[str]] = {}
+        if ckpts:
+            ckpt_seq, path = ckpts[-1]
+            with open(path) as fh:
+                m = json.load(fh)
         else:
-            self._m_cache, self._m_stat = m, self._fs_stat()
+            m = self._load_legacy_base()
+            ckpt_seq = 0 if m is not None else -1
+            if m is None and deltas:
+                # deltas can only exist above a bootstrap checkpoint;
+                # its absence from this listing means cleanup raced us
+                raise _MlogGap(self._mlog_dir)
+        if m is None:
+            return None, -1, -1, touch
+        batches = set(m.get("batches", []))
+        head = ckpt_seq
+        for seq, path in deltas:
+            if seq <= ckpt_seq:
+                continue  # folded into the checkpoint, not yet cleaned
+            if seq != head + 1:
+                raise _MlogGap(f"missing seq {head + 1} in {self._mlog_dir}")
+            with open(path) as fh:
+                rec = json.load(fh)
+            if rec.get("schema"):
+                m["schema"] = rec["schema"]
+            for k, ent in rec.get("buckets", {}).items():
+                if ent is None:
+                    m["buckets"].pop(k, None)
+                else:
+                    m["buckets"][k] = ent
+            if rec.get("batch_id") is not None:
+                batches.add(rec["batch_id"])
+            touch[seq] = frozenset(rec.get("buckets", {}))
+            head = seq
+        m["batches"] = batches
+        return m, ckpt_seq, head, touch
 
+    def _load_manifest(self, force: bool = False) -> dict | None:
+        """Cached manifest view, revalidated against the log listing
+        (another writer's commit changes the listing and forces a
+        reload; a warm single-writer pays one tiny-dir listdir per
+        call, no parsing). ``force`` bypasses the cache — required
+        after losing a commit race, where the listing is known stale."""
+        cur = self._fs_stat()
+        if not force and self._m_stat == cur:
+            return self._m_cache
+        last: Exception | None = None
+        for _ in range(3):
+            try:
+                m, ckpt_seq, head, touch = self._read_state()
+                break
+            except _MlogGap as exc:  # raced a compaction; re-scan
+                last = exc
+                cur = self._fs_stat()
+        else:
+            raise RuntimeError(
+                f"manifest log chain has a persistent gap: {last}"
+            )
+        if m is not None and m.get("num_buckets") != self.num_buckets:
+            raise ValueError(
+                f"sink constructed with num_buckets={self.num_buckets} over "
+                f"a table whose manifest records num_buckets="
+                f"{m.get('num_buckets')}; keys would hash to the wrong "
+                "buckets — use the table's own bucket count"
+            )
+        self._m_cache, self._m_stat = m, cur
+        self._ckpt_seq, self._head_seq, self._delta_touch = ckpt_seq, head, touch
+        return m
+
+    def _link_record(self, seq: int, kind: str, payload: dict) -> bool:
+        """Atomically-and-exclusively publish a log record: write a
+        temp file, then hard-link it to its numbered name. Returns
+        False when another writer took the name first (EEXIST). A
+        record is therefore all-or-nothing — no torn tails, ever."""
+        os.makedirs(self._mlog_dir, exist_ok=True)
+        dst = os.path.join(self._mlog_dir, f"{seq:020d}.{kind}.json")
+        tmp = os.path.join(
+            self._mlog_dir, f".tmp-{uuid.uuid4().hex[:12]}.json"
+        )
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh, separators=(",", ":"))
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, dst)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
+
+    def _apply_to_cache(self, seq: int, rec: dict) -> None:
+        m = self._m_cache
+        if rec.get("schema"):
+            m["schema"] = rec["schema"]
+        for k, ent in rec.get("buckets", {}).items():
+            if ent is None:
+                m["buckets"].pop(k, None)
+            else:
+                m["buckets"][k] = ent
+        if rec.get("batch_id") is not None:
+            m["batches"].add(rec["batch_id"])
+        self._delta_touch[seq] = frozenset(rec.get("buckets", {}))
+        self._head_seq = seq
+        # Cache token = our snapshot's listing + the file we just
+        # linked — NOT a fresh _fs_stat(): a concurrent writer landing
+        # seq+1 between our link and a fresh stat would be absorbed
+        # into the token while missing from the cached view, leaving
+        # the cache stale forever. With the constructed token, their
+        # file makes the token mismatch and forces a reload.
+        base_st, log_st, names = self._m_stat
+        ours = f"{seq:020d}.delta.json"
+        self._m_stat = (
+            base_st,
+            log_st,
+            tuple(sorted((names or ()) + (ours,))),
+        )
+
+    def _try_commit(
+        self,
+        rec: dict,
+        read_seq: int,
+        touched: set[str],
+        batch_id: int | None,
+    ) -> str:
+        """Optimistic commit of one delta record. Returns:
+        'ok'       — committed (cache updated in place);
+        'batch'    — OUR batch id was committed by another writer
+                     (caller deletes its staged files and no-ops);
+        'conflict' — a winning commit overlapped our buckets or a
+                     compaction folded past our snapshot (caller
+                     deletes its staged files and redoes the merge)."""
+        while True:
+            seq = self._head_seq + 1
+            rec["seq"] = seq
+            if self._link_record(seq, "delta", rec):
+                self._apply_to_cache(seq, rec)
+                return "ok"
+            m2 = self._load_manifest(force=True)
+            if (
+                batch_id is not None
+                and m2 is not None
+                and batch_id in m2["batches"]
+            ):
+                return "batch"
+            if self._ckpt_seq > read_seq:
+                return "conflict"  # compaction hid the interval; redo
+            if any(
+                seq > read_seq and (keys & touched)
+                for seq, keys in self._delta_touch.items()
+            ):
+                return "conflict"
+            # disjoint winners only: our staged files and entries are
+            # still a valid next version — retry at the new head
+
+    def _maybe_compact(self) -> None:
+        if self._head_seq - self._ckpt_seq < self._LOG_COMPACT_EVERY:
+            return
+        self._write_checkpoint()
+
+    def _write_checkpoint(self) -> None:
+        """Fold the current view into `_mlog/<head>.ckpt.json`, then
+        remove the records it covers (and any legacy base/log). Two
+        writers checkpointing the same head race benignly: same seq =
+        same folded state, either link wins, loser skips. A reader
+        holding the OLD checkpoint that sees records vanish re-scans
+        and finds this one (the _MlogGap path)."""
+        m = self._m_cache
+        head = self._head_seq
+        snap = {
+            "version": 1,
+            "seq": head,
+            "num_buckets": self.num_buckets,
+            "schema": m.get("schema"),
+            "buckets": m["buckets"],
+            "batches": sorted(m["batches"] | self._legacy_meta_batches()),
+        }
+        self._link_record(head, "ckpt", snap)
+        ckpts, deltas = self._list_mlog()
+        for seq, path in deltas:
+            if seq <= head:
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
+        for seq, path in ckpts:
+            if seq < head:
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
+        for legacy in (self._manifest_path, self._manifest_log, self._meta):
+            try:
+                os.remove(legacy)
+            except OSError:
+                pass
+        self._ckpt_seq = head
+        self._delta_touch = {}
+        m["batches"] = set(snap["batches"])
+        # a concurrent commit may land during our cleanup; poison the
+        # token so the next access reparses (once per compaction)
+        self._m_stat = ("ckpt-dirty",)
+
+    def _bootstrap_manifest(self) -> dict:
+        """First manifest for this table: checkpoint 0 adopting every
+        live bucket (one full listing, once per table lifetime — a
+        pre-manifest table upgraded mid-life must not lose its
+        untouched buckets). Raced bootstraps collapse: seq 0 is
+        exclusively linked, the loser loads the winner's (equivalent)
+        checkpoint."""
+        try:
+            with open(self._meta) as fh:
+                legacy_n = json.load(fh).get("num_buckets")
+        except (OSError, json.JSONDecodeError):
+            legacy_n = None
+        if legacy_n is not None and legacy_n != self.num_buckets:
+            raise ValueError(
+                f"sink constructed with num_buckets={self.num_buckets} over "
+                f"a legacy table written with num_buckets={legacy_n}; keys "
+                "would hash to the wrong buckets"
+            )
+        buckets = {}
+        schema = None
+        ks = sorted(self._bucket_dirs_ids())
+        if ks:
+            schema = self.spark.read.parquet(self._data_dir()).schema.json()
+        for k in ks:
+            ent = self._bucket_entry(k)
+            if ent is not None:
+                buckets[str(k)] = ent
+        snap = {
+            "version": 1,
+            "seq": 0,
+            "num_buckets": self.num_buckets,
+            "schema": schema,
+            "buckets": buckets,
+            "batches": sorted(self._legacy_meta_batches()),
+        }
+        self._link_record(0, "ckpt", snap)
+        m = self._load_manifest(force=True)
+        assert m is not None
+        return m
+
+    # -- footer stats ------------------------------------------------------
     @staticmethod
     def _json_stat(v):
         """Footer min/max as a JSON-storable value, or None if the type
@@ -224,19 +513,25 @@ class UpsertParquetSink:
             return v.isoformat()
         return None
 
-    def _bucket_entry(self, k: int) -> dict | None:
-        """Manifest entry for one LIVE bucket dir: file names plus
-        footer-derived row count and per-column min/max. Pure driver
-        metadata work — pyarrow footer reads, no Spark job, and only
-        ever called for touched buckets."""
+    def _bucket_entry(self, k: int, files: list[str] | None = None) -> dict | None:
+        """Manifest entry for one bucket: file names plus footer-derived
+        row count and per-column min/max. Pure driver metadata work —
+        pyarrow footer reads, no Spark job, touched buckets only.
+        ``files`` pins the exact committed file set (the additive-write
+        path must NOT list the dir: it may hold replaced files pending
+        cleanup and crashed writers' orphans); None re-lists the dir
+        (bootstrap/heal)."""
         import pyarrow.parquet as pq
 
         live = os.path.join(self._data_dir(), f"bucket={k}")
-        if not os.path.isdir(live):
-            return None
-        files = sorted(
-            f for f in os.listdir(live) if f.endswith(".parquet")
-        )
+        if files is None:
+            if not os.path.isdir(live):
+                return None
+            files = sorted(
+                f for f in os.listdir(live) if f.endswith(".parquet")
+            )
+        else:
+            files = sorted(files)
         rows = 0
         mins: dict[str, object] = {}
         maxs: dict[str, object] = {}
@@ -263,70 +558,44 @@ class UpsertParquetSink:
                     maxs[name] = hi if name not in maxs else max(maxs[name], hi)
         return {"files": files, "rows": rows, "min": mins, "max": maxs}
 
-    def _update_manifest(self, affected: list[int], schema_json: str) -> None:
-        """Refresh the affected buckets' entries (two-phase commit tail:
-        runs after the per-bucket swaps). O(|touched|): one log delta,
-        except the one-time bootstrap which writes a full base."""
-        m = self._load_manifest()
-        if m is None:
-            # first manifest for this table: bootstrap entries for EVERY
-            # live bucket (one full listing, once — a pre-manifest table
-            # upgraded mid-life must not lose its untouched buckets)
-            m = {
-                "version": 1,
-                "num_buckets": self.num_buckets,
-                "schema": schema_json,
-                "buckets": {},
-            }
-            existing = [
-                int(d.split("=", 1)[1])
-                for d in self._bucket_dirs()
-            ]
-            for k in sorted(set(affected) | set(existing)):
-                ent = self._bucket_entry(k)
-                if ent is not None:
-                    m["buckets"][str(k)] = ent
-            self._write_manifest_base(m)
-            return
-        rec: dict = {"buckets": {}}
-        if m.get("schema") != schema_json:
-            rec["schema"] = schema_json
-            m["schema"] = schema_json
-        for k in affected:
-            ent = self._bucket_entry(k)
-            rec["buckets"][str(k)] = ent  # None = deletion marker
-            if ent is None:
-                m["buckets"].pop(str(k), None)
-            else:
-                m["buckets"][str(k)] = ent
-        self._append_manifest_delta(m, rec)
-
+    # -- healing (external mutation only) ---------------------------------
     def _stale_in_manifest(self, m: dict, k: int) -> bool:
-        """True when bucket k's manifest entry disagrees with disk —
-        the signature of a crash between a swap and its manifest write.
-        Detection is stat()-based (HEAD-class), never a listing."""
+        """True when bucket k's LISTED files are missing from disk —
+        external interference (the commit protocol itself never removes
+        a listed file before its replacement is committed). Detection
+        is stat()-based (HEAD-class), never a listing. An unlisted dir
+        or extra files are NOT stale: they are crashed writers' orphans,
+        invisible by design."""
         ent = m["buckets"].get(str(k))
-        live = os.path.join(self._data_dir(), f"bucket={k}")
         if ent is None:
-            return os.path.isdir(live)
+            return False
+        live = os.path.join(self._data_dir(), f"bucket={k}")
         return not all(
             os.path.isfile(os.path.join(live, f)) for f in ent["files"]
         )
 
     def _heal_manifest(self, m: dict, buckets: list[int]) -> None:
-        """Re-list ONLY the stale buckets and rewrite their entries
-        (row/min-max stats rebuilt from footers); committed as one
-        O(|stale|) log delta."""
-        rec: dict = {"buckets": {}}
+        """Re-list ONLY the stale buckets and adopt what is live (best
+        effort under external mutation); committed as one O(|stale|)
+        record through the same optimistic path."""
+        rec: dict = {"op": "heal", "batch_id": None, "buckets": {}}
         for k in buckets:
-            ent = self._bucket_entry(k)
-            rec["buckets"][str(k)] = ent
-            if ent is None:
-                m["buckets"].pop(str(k), None)
-            else:
-                m["buckets"][str(k)] = ent
-        self._append_manifest_delta(m, rec)
+            rec["buckets"][str(k)] = self._bucket_entry(k)
+        read_seq = self._head_seq
+        status = self._try_commit(rec, read_seq, set(rec["buckets"]), None)
+        if status != "ok":
+            # another writer rewrote those buckets concurrently — its
+            # committed entries supersede our observation; nothing to do
+            self._load_manifest(force=True)
 
+    def _heal_if_stale(self, m: dict, buckets: list[int]) -> dict:
+        stale = [k for k in buckets if self._stale_in_manifest(m, k)]
+        if stale:
+            self._heal_manifest(m, stale)
+            m = self._load_manifest()
+        return m
+
+    # -- readers -----------------------------------------------------------
     def _manifest_paths(self, m: dict, buckets: list[int]) -> list[str]:
         out = []
         for k in buckets:
@@ -359,29 +628,21 @@ class UpsertParquetSink:
         listing (the lakehouse ``SELECT COUNT(*)`` fast path)."""
         m = self._load_manifest()
         if m is not None:
-            stale = [
-                int(k)
-                for k in m["buckets"]
-                if self._stale_in_manifest(m, int(k))
-            ]
-            if stale:
-                self._heal_manifest(m, stale)
+            m = self._heal_if_stale(m, [int(k) for k in m["buckets"]])
             return sum(e["rows"] for e in m["buckets"].values())
         df = self.read()
         return 0 if df is None else df.count()
 
     def read(self) -> DataFrame | None:
-        # A delete that removes the last row drops every bucket dir but
-        # leaves data/ itself; parquet schema inference on the empty
+        # A delete that removes the last row empties the manifest but
+        # may leave data/ itself; parquet schema inference on an empty
         # directory would raise, so an empty table reads as None.
         m = self._load_manifest()
         if m is not None:
-            ks = sorted(int(k) for k in m["buckets"])
-            stale = [k for k in ks if self._stale_in_manifest(m, k)]
-            if stale:
-                self._heal_manifest(m, stale)
-                ks = sorted(int(k) for k in m["buckets"])
-            paths = self._manifest_paths(m, ks)
+            m = self._heal_if_stale(m, [int(k) for k in m["buckets"]])
+            paths = self._manifest_paths(
+                m, sorted(int(k) for k in m["buckets"])
+            )
             if not paths:
                 return None
             return (
@@ -389,7 +650,7 @@ class UpsertParquetSink:
                 .parquet(*paths)
                 .drop("bucket")
             )
-        if not self._bucket_dirs():
+        if not self._bucket_dirs_ids():
             return None
         return self.spark.read.parquet(self._data_dir()).drop("bucket")
 
@@ -398,52 +659,174 @@ class UpsertParquetSink:
         m = self._load_manifest()
         if m is not None:
             return not m["buckets"]
-        return not self._bucket_dirs()
+        return not self._bucket_dirs_ids()
 
-    def _bucket_dirs(self) -> list[str]:
+    def _bucket_dirs_ids(self) -> list[int]:
+        """Live bucket ids from a directory listing (bootstrap/legacy
+        fallback only). Tolerates leftover junk like ``bucket=3.old``
+        from pre-rewrite crash windows: only exact ``bucket=<int>``
+        names are buckets."""
         try:
-            return [
-                d
-                for d in os.listdir(self._data_dir())
-                if d.startswith("bucket=")
-            ]
+            names = os.listdir(self._data_dir())
         except OSError:
             return []
+        out = []
+        for d in names:
+            mt = _BUCKET_DIR_RE.match(d)
+            if mt:
+                out.append(int(mt.group(1)))
+        return out
 
-    def _read_buckets(self, affected: list[int]) -> DataFrame | None:
-        """Read ONLY the affected buckets. With a manifest, the file
+    def _read_buckets(
+        self, m: dict, affected: list[int], *, heal: bool = True
+    ) -> DataFrame | None:
+        """Read ONLY the affected buckets of snapshot ``m``. The file
         paths come straight from metadata — the driver LISTS nothing
-        (it stat()s the listed files of the touched buckets and heals a
-        bucket whose entry went stale in a crash window). Pre-manifest
-        tables fall back to listing just the affected directories —
-        still O(|touched buckets|), never O(|table|). ``basePath``
-        preserves the ``bucket`` partition column."""
-        m = self._load_manifest()
-        if m is not None:
-            stale = [k for k in affected if self._stale_in_manifest(m, k)]
-            if stale:
-                self._heal_manifest(m, stale)
-            paths = self._manifest_paths(m, affected)
-            if not paths:
-                return None
-            return self.spark.read.option(
-                "basePath", self._data_dir()
-            ).parquet(*paths)
-        paths = [
-            f"{self._data_dir()}/bucket={k}"
-            for k in affected
-            if os.path.isdir(f"{self._data_dir()}/bucket={k}")
-        ]
+        (it stat()s the listed files and heals a bucket mutated
+        externally; pass ``heal=False`` when the caller already healed
+        and pinned its read snapshot). ``basePath`` preserves the
+        ``bucket`` partition column."""
+        if heal:
+            m = self._heal_if_stale(m, affected)
+        paths = self._manifest_paths(m, affected)
         if not paths:
             return None
-        return self.spark.read.option("basePath", self._data_dir()).parquet(
-            *paths
+        return self.spark.read.option(
+            "basePath", self._data_dir()
+        ).parquet(*paths)
+
+    # -- additive staging ---------------------------------------------------
+    def _stage(
+        self,
+        m: dict,
+        new_df: DataFrame,
+        affected: list[int],
+        *,
+        drop_missing: bool,
+    ):
+        """Write the new version of ``affected`` buckets as uniquely
+        named ADDITIVE files inside the live bucket dirs (invisible
+        until the commit record lands). ``drop_missing``: a bucket
+        absent from the write (all rows removed) gets a None entry —
+        the delete paths need this; the merge path never shrinks a
+        bucket to zero (merge output ⊇ batch).
+
+        Returns (entries, replaced, staged_paths): the new manifest
+        entries, the snapshot's file names they supersede (deleted only
+        after the commit wins), and the staged files' absolute paths
+        (deleted if the commit is abandoned)."""
+        data_dir = self._data_dir()
+        tmp = tempfile.mkdtemp(
+            prefix="upsert_", dir=os.path.dirname(self.table_dir) or "."
         )
+        try:
+            new_df.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        tag = uuid.uuid4().hex[:12]
+        entries: dict[str, dict | None] = {}
+        replaced: dict[str, list[str]] = {}
+        staged: list[str] = []
+        for k in affected:
+            src = os.path.join(tmp, f"bucket={k}")
+            live = os.path.join(data_dir, f"bucket={k}")
+            old = m["buckets"].get(str(k))
+            old_files = list(old["files"]) if old else []
+            if not os.path.isdir(src):
+                if drop_missing:
+                    entries[str(k)] = None
+                    replaced[str(k)] = old_files
+                continue
+            os.makedirs(live, exist_ok=True)
+            moved = []
+            for i, f in enumerate(
+                sorted(x for x in os.listdir(src) if x.endswith(".parquet"))
+            ):
+                name = f"part-{tag}-{i:05d}.parquet"
+                os.rename(os.path.join(src, f), os.path.join(live, name))
+                moved.append(name)
+                staged.append(os.path.join(live, name))
+            entries[str(k)] = self._bucket_entry(k, files=moved)
+            replaced[str(k)] = old_files
+        shutil.rmtree(tmp, ignore_errors=True)
+        return entries, replaced, staged
+
+    def _delete_staged(self, staged: list[str]) -> None:
+        for p in staged:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+
+    def _cleanup_replaced(
+        self, entries: dict, replaced: dict[str, list[str]]
+    ) -> None:
+        """Post-commit: delete the files our commit superseded; a
+        bucket we emptied (None entry) loses its dir too. A crash here
+        merely leaves orphans for vacuum()."""
+        for k, files in replaced.items():
+            live = os.path.join(self._data_dir(), f"bucket={k}")
+            for f in files:
+                try:
+                    os.remove(os.path.join(live, f))
+                except OSError:
+                    pass
+            if entries.get(k) is None:
+                try:
+                    os.rmdir(live)
+                except OSError:
+                    pass  # orphans keep it alive; they are invisible
+
+    def _commit_write(
+        self,
+        m: dict,
+        read_seq: int,
+        new_df: DataFrame,
+        affected: list[int],
+        *,
+        drop_missing: bool,
+        batch_id: int | None,
+        op: str,
+    ) -> str:
+        """Stage + optimistic commit of one write against snapshot
+        ``m``@``read_seq``. Returns 'ok' | 'batch' | 'conflict'
+        ('conflict' means: staged files were discarded, the caller
+        must redo from a fresh snapshot)."""
+        schema_json = new_df.schema.json()
+        try:
+            entries, replaced, staged = self._stage(
+                m, new_df, affected, drop_missing=drop_missing
+            )
+        except Exception as exc:  # noqa: BLE001 - narrowed below
+            if _is_vanished_file_error(exc):
+                # a concurrent winner's cleanup deleted a file our
+                # snapshot listed while our staging job was scanning it
+                # — same resolution as losing the link race on an
+                # overlapping bucket: redo from the fresh snapshot
+                self._load_manifest(force=True)
+                return "conflict"
+            raise
+        rec: dict = {"op": op, "batch_id": batch_id, "buckets": entries,
+                     "replaced": replaced}
+        if m.get("schema") != schema_json:
+            rec["schema"] = schema_json
+        status = self._try_commit(rec, read_seq, set(entries), batch_id)
+        if status == "ok":
+            self._cleanup_replaced(entries, replaced)
+            self._maybe_compact()
+        else:
+            self._delete_staged(staged)
+        return status
 
     # -- the sink ------------------------------------------------------
     def upsert_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch body: MERGE batch into target, idempotently,
-        rewriting only the key-hash buckets the batch touches."""
+        rewriting only the key-hash buckets the batch touches. Safe
+        under CONCURRENT writers (see the module docstring's commit
+        protocol): exactly one commit per batch id ever wins; disjoint
+        writers commit without repeating work; overlapping writers
+        redo the merge from the winner's snapshot."""
         if "bucket" in batch_df.columns:
             raise ValueError(
                 "column name 'bucket' is reserved for the sink's hash-"
@@ -484,58 +867,54 @@ class UpsertParquetSink:
             r["bucket"] for r in batch.select("bucket").distinct().collect()
         )
 
-        data_dir = self._data_dir()
-        target = self._read_buckets(affected)
-        if target is None:
-            merged = batch
-        else:
-            b = batch.alias("b")
-            t = target.alias("t")
-            cond = [F.col(f"b.{k}").eqNullSafe(F.col(f"t.{k}")) for k in self.key_cols]
-            merged = t.join(b, cond, "full").select(
-                *[
-                    F.coalesce(F.col(f"b.{c}"), F.col(f"t.{c}")).alias(c)
-                    for c in out_cols
-                ],
-                F.coalesce(F.col("b.bucket"), F.col("t.bucket")).alias("bucket"),
+        for _ in range(self._MAX_COMMIT_RETRIES):
+            m = self._load_manifest()
+            if m is None:
+                m = self._bootstrap_manifest()
+            if batch_id in m["batches"] | self._legacy_meta_batches():
+                batch_df.foreach(lambda _row: None)
+                return
+            # heal BEFORE pinning the read snapshot: a heal commits a
+            # record of its own, which would otherwise look like a
+            # conflicting writer and force a pointless redo
+            m = self._heal_if_stale(m, affected)
+            read_seq = self._head_seq
+            target = self._read_buckets(m, affected, heal=False)
+            if target is None:
+                merged = batch
+            else:
+                b = batch.alias("b")
+                t = target.alias("t")
+                cond = [
+                    F.col(f"b.{k}").eqNullSafe(F.col(f"t.{k}"))
+                    for k in self.key_cols
+                ]
+                merged = t.join(b, cond, "full").select(
+                    *[
+                        F.coalesce(F.col(f"b.{c}"), F.col(f"t.{c}")).alias(c)
+                        for c in out_cols
+                    ],
+                    F.coalesce(F.col("b.bucket"), F.col("t.bucket")).alias(
+                        "bucket"
+                    ),
+                )
+            status = self._commit_write(
+                m,
+                read_seq,
+                merged,
+                affected,
+                drop_missing=False,
+                batch_id=batch_id,
+                op="merge",
             )
-
-        self._write_and_swap(merged, affected, drop_missing=False)
-        self._record_batch(batch_id)
-
-    def _write_and_swap(
-        self, new_df: DataFrame, affected: list[int], *, drop_missing: bool
-    ) -> None:
-        """Write the new versions of ``affected`` buckets beside the
-        table, then swap PER BUCKET — unaffected buckets are never
-        rewritten or renamed. ``drop_missing``: a bucket absent from the
-        write (all its rows removed) is DELETED rather than kept — the
-        delete paths need this; the merge path never shrinks a bucket
-        to zero (merge output ⊇ batch)."""
-        data_dir = self._data_dir()
-        tmp = tempfile.mkdtemp(
-            prefix="upsert_", dir=os.path.dirname(self.table_dir) or "."
+            if status in ("ok", "batch"):
+                return
+            # 'conflict': a winner touched our buckets — redo the merge
+            # against the fresh snapshot (loop)
+        raise CommitConflict(
+            f"upsert_batch(batch_id={batch_id}): gave up after "
+            f"{self._MAX_COMMIT_RETRIES} overlapping-commit redos"
         )
-        new_df.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-        os.makedirs(data_dir, exist_ok=True)
-        for k in affected:
-            new_part = os.path.join(tmp, f"bucket={k}")
-            old_part = os.path.join(data_dir, f"bucket={k}")
-            if not os.path.isdir(new_part):
-                if drop_missing and os.path.isdir(old_part):
-                    shutil.rmtree(old_part, ignore_errors=True)
-                continue
-            bak = f"{old_part}.old"
-            if os.path.isdir(old_part):
-                os.rename(old_part, bak)
-            os.rename(new_part, old_part)
-            shutil.rmtree(bak, ignore_errors=True)
-        shutil.rmtree(tmp, ignore_errors=True)
-        # two-phase commit tail: refresh manifest entries for exactly
-        # the swapped buckets (footer stats, no Spark job). A crash
-        # before this line leaves those entries stale; every reader
-        # detects that per-bucket and heals.
-        self._update_manifest(affected, new_df.schema.json())
 
     # -- maintenance: bucket-pruned deletes ------------------------------
     def delete_keys(self, keys_df: DataFrame) -> int:
@@ -603,19 +982,46 @@ class UpsertParquetSink:
         )
         if not affected:
             return 0
-        target = self._read_buckets(affected)
-        if target is None:
-            return 0
-        t = target.alias("t")
-        k = keys.alias("k")
-        cond = [F.col(f"t.{c}").eqNullSafe(F.col(f"k.{c}")) for c in self.key_cols]
-        remaining = t.join(k, cond, "left_anti")
-        n_before = target.count()
-        n_after = remaining.count()
-        if n_after == n_before:
-            return 0
-        self._write_and_swap(remaining, affected, drop_missing=True)
-        return n_before - n_after
+        for _ in range(self._MAX_COMMIT_RETRIES):
+            m = self._load_manifest()
+            if m is None:
+                m = self._bootstrap_manifest()
+            m = self._heal_if_stale(m, affected)
+            read_seq = self._head_seq
+            target = self._read_buckets(m, affected, heal=False)
+            if target is None:
+                return 0
+            t = target.alias("t")
+            k = keys.alias("k")
+            cond = [
+                F.col(f"t.{c}").eqNullSafe(F.col(f"k.{c}"))
+                for c in self.key_cols
+            ]
+            remaining = t.join(k, cond, "left_anti")
+            try:
+                n_before = target.count()
+                n_after = remaining.count()
+            except Exception as exc:  # noqa: BLE001 - narrowed below
+                if _is_vanished_file_error(exc):
+                    self._load_manifest(force=True)
+                    continue  # raced a winner's cleanup; redo
+                raise
+            if n_after == n_before:
+                return 0
+            status = self._commit_write(
+                m,
+                read_seq,
+                remaining,
+                affected,
+                drop_missing=True,
+                batch_id=None,
+                op="delete",
+            )
+            if status == "ok":
+                return n_before - n_after
+        raise CommitConflict(
+            f"delete_keys: gave up after {self._MAX_COMMIT_RETRIES} redos"
+        )
 
     def delete_where(self, condition, bounds: dict | None = None) -> int:
         """Delete every row matching ``condition`` (a Column predicate)
@@ -636,13 +1042,15 @@ class UpsertParquetSink:
         are always scanned."""
         if self._table_empty():
             return 0
-        m = self._load_manifest()
-        if m is not None:
+        hit = F.coalesce(condition, F.lit(False))
+        for _ in range(self._MAX_COMMIT_RETRIES):
+            m = self._load_manifest()
+            if m is None:
+                m = self._bootstrap_manifest()
             ks = sorted(int(k) for k in m["buckets"])
-            stale = [k for k in ks if self._stale_in_manifest(m, k)]
-            if stale:
-                self._heal_manifest(m, stale)
-                ks = sorted(int(k) for k in m["buckets"])
+            m = self._heal_if_stale(m, ks)
+            read_seq = self._head_seq
+            ks = sorted(int(k) for k in m["buckets"])
             if bounds:
                 ks = [
                     k for k in ks if not self._bucket_skippable(m, k, bounds)
@@ -655,20 +1063,38 @@ class UpsertParquetSink:
             table = self.spark.read.option(
                 "basePath", self._data_dir()
             ).parquet(*paths)
-        else:
-            table = self.spark.read.parquet(self._data_dir())
-        hit = F.coalesce(condition, F.lit(False))
-        affected = sorted(
-            r["bucket"]
-            for r in table.filter(hit).select("bucket").distinct().collect()
+            try:
+                affected = sorted(
+                    r["bucket"]
+                    for r in table.filter(hit)
+                    .select("bucket")
+                    .distinct()
+                    .collect()
+                )
+                if not affected:
+                    return 0
+                target = table.filter(F.col("bucket").isin(affected))
+                remaining = target.filter(~hit)
+                n_deleted = target.count() - remaining.count()
+            except Exception as exc:  # noqa: BLE001 - narrowed below
+                if _is_vanished_file_error(exc):
+                    self._load_manifest(force=True)
+                    continue  # raced a winner's cleanup; redo
+                raise
+            status = self._commit_write(
+                m,
+                read_seq,
+                remaining,
+                affected,
+                drop_missing=True,
+                batch_id=None,
+                op="delete",
+            )
+            if status == "ok":
+                return n_deleted
+        raise CommitConflict(
+            f"delete_where: gave up after {self._MAX_COMMIT_RETRIES} redos"
         )
-        if not affected:
-            return 0
-        target = table.filter(F.col("bucket").isin(affected))
-        remaining = target.filter(~hit)
-        n_deleted = target.count() - remaining.count()
-        self._write_and_swap(remaining, affected, drop_missing=True)
-        return n_deleted
 
     @staticmethod
     def _bucket_skippable(m: dict, k: int, bounds: dict) -> bool:
@@ -687,6 +1113,47 @@ class UpsertParquetSink:
             ):
                 return True
         return False
+
+    def vacuum(self) -> int:
+        """Remove invisible garbage: data files no manifest entry
+        lists (crashed writers' orphans, replaced files whose cleanup
+        crashed) and leftover non-live dirs like ``bucket=3.old`` from
+        pre-rewrite crash windows. Returns the number of files removed.
+        Safe against committed state by construction — it deletes only
+        what no reader can reach; run it when no writer is mid-commit
+        (a writer's staged-but-uncommitted files look like orphans)."""
+        m = self._load_manifest()
+        if m is None:
+            return 0
+        removed = 0
+        data_dir = self._data_dir()
+        try:
+            names = os.listdir(data_dir)
+        except OSError:
+            return 0
+        for d in names:
+            mt = _BUCKET_DIR_RE.match(d)
+            full = os.path.join(data_dir, d)
+            if not mt:
+                if d.startswith("bucket=") and os.path.isdir(full):
+                    removed += sum(len(fs) for _, _, fs in os.walk(full))
+                    shutil.rmtree(full, ignore_errors=True)
+                continue
+            ent = m["buckets"].get(mt.group(1))
+            listed = set(ent["files"]) if ent else set()
+            for f in os.listdir(full):
+                if f.endswith(".parquet") and f not in listed:
+                    try:
+                        os.remove(os.path.join(full, f))
+                        removed += 1
+                    except OSError:
+                        pass
+            if not listed:
+                try:
+                    os.rmdir(full)
+                except OSError:
+                    pass
+        return removed
 
     def foreach_batch(self):
         """The callable to hand to ``writeStream.foreachBatch``."""

@@ -124,7 +124,7 @@ def test_pre_manifest_table_upgrades_with_full_bootstrap(spark, tmp_path):
     existed) must not lose untouched buckets: the first write after the
     upgrade bootstraps entries for EVERY live bucket."""
     sink, table = _mk(spark, tmp_path)
-    os.remove(f"{table}/_manifest.json")
+    shutil.rmtree(f"{table}/_mlog")
     # legacy read path still works
     assert sink.read().count() == 40
     # one small merge recreates the manifest covering the whole table
@@ -197,14 +197,27 @@ def test_manifest_untouched_buckets_byte_identical_across_merge(spark, tmp_path)
             assert fingerprint(k, ent) == before[k]
 
 
-def test_manifest_commits_are_log_deltas_not_base_rewrites(spark, tmp_path):
-    """Per-batch manifest commits append O(|touched|) JSONL deltas; the
-    O(|buckets|) base checkpoint is written once at bootstrap and only
-    rewritten by compaction. (A monolithic rewrite measured 1.48x/decade
-    on the third registry decade; the log form is what keeps per-batch
-    driver time flat.)"""
+def _mlog_records(table: str, kind: str) -> list[tuple[int, dict]]:
+    out = []
+    for name in sorted(os.listdir(f"{table}/_mlog")):
+        if name.endswith(f".{kind}.json"):
+            with open(f"{table}/_mlog/{name}") as fh:
+                out.append((int(name.split(".")[0]), json.load(fh)))
+    return out
+
+
+def test_manifest_commits_are_numbered_log_deltas(spark, tmp_path):
+    """Per-batch manifest commits are O(|touched|) NUMBERED records —
+    one exclusively-linked file each; the O(|buckets|) checkpoint is
+    written once at bootstrap and only rewritten by compaction. (A
+    monolithic rewrite measured 1.48x/decade on the third registry
+    decade; the log form is what keeps per-batch driver time flat.)
+    The batch id travels IN the record, so data visibility and the
+    replay marker commit atomically — and a torn record is structurally
+    impossible (a record is fully linked or absent)."""
     sink, table = _mk(spark, tmp_path)
-    base0 = os.path.getmtime(f"{table}/_manifest.json")
+    ckpts0 = _mlog_records(table, "ckpt")
+    assert [s for s, _ in ckpts0] == [0]  # bootstrap checkpoint only
     for b in range(1, 4):
         sink.upsert_batch(
             spark.createDataFrame(
@@ -212,38 +225,67 @@ def test_manifest_commits_are_log_deltas_not_base_rewrites(spark, tmp_path):
             ),
             batch_id=b,
         )
-    assert os.path.getmtime(f"{table}/_manifest.json") == base0  # untouched
-    with open(f"{table}/_manifest.log") as fh:
-        recs = [json.loads(line) for line in fh if line.strip()]
-    assert len(recs) == 3
-    assert all(len(r["buckets"]) == 1 for r in recs)  # one touched bucket
-    # merged view = base + replay: the touched bucket reflects the LAST
-    # delta (ts=3 won the within-batch sort), untouched buckets intact
+    assert _mlog_records(table, "ckpt") == ckpts0  # untouched by commits
+    deltas = _mlog_records(table, "delta")
+    assert [s for s, _ in deltas] == [1, 2, 3, 4]  # contiguous chain
+    merges = [r for _, r in deltas if r["op"] == "merge"]
+    assert [r["batch_id"] for r in merges] == [0, 1, 2, 3]
+    assert all(len(r["buckets"]) == 1 for _, r in deltas[1:])  # one bucket
+    # merged view = checkpoint + replay: the touched bucket reflects the
+    # LAST delta (ts=3 won the within-batch sort), untouched buckets intact
     m = _manifest(sink)
     assert sum(e["rows"] for e in m["buckets"].values()) == 40
     assert {r["ts"] for r in sink.read().filter("k = 0").collect()} == {3}
     assert sink.row_count() == 40
 
 
-def test_manifest_log_torn_tail_ignored(spark, tmp_path):
-    """A crash mid-append leaves a torn last line: load must replay the
-    complete records and ignore the tail (the batch it belonged to is
-    unrecorded and replays)."""
+def test_legacy_jsonl_manifest_replays_and_migrates(spark, tmp_path):
+    """Tables written by the pre-rewrite sink (`_manifest.json` base +
+    `_manifest.log` JSONL) still load: the legacy log is replayed
+    READ-ONLY — a torn tail line left by an old crash is skipped, and
+    since nothing ever appends to the file again, the historical
+    fused-line hazard (a new record gluing onto a torn tail and taking
+    every later record with it) is structurally gone. The next write
+    commits to the numbered log, and compaction absorbs and removes
+    the legacy files."""
     sink, table = _mk(spark, tmp_path)
-    sink.upsert_batch(
-        spark.createDataFrame(
-            [Row(k=0, ts=77, v="x")], "k bigint, ts bigint, v string"
-        ),
-        batch_id=1,
-    )
-    with open(f"{table}/_manifest.log", "a") as fh:
-        fh.write('{"buckets": {"3": {"files": ["TORN')  # no newline, cut
+    # transcribe the current state into the LEGACY on-disk format
     m = _manifest(sink)
-    assert sum(e["rows"] for e in m["buckets"].values()) == 40
+    shutil.rmtree(f"{table}/_mlog")
+    k_up = next(iter(m["buckets"]))
+    ent = dict(m["buckets"][k_up])
+    base = {
+        "version": 1,
+        "num_buckets": 8,
+        "schema": m["schema"],
+        "buckets": {k: e for k, e in m["buckets"].items() if k != k_up},
+    }
+    with open(f"{table}/_manifest.json", "w") as fh:
+        json.dump(base, fh)
+    with open(f"{table}/_manifest.log", "w") as fh:
+        fh.write(json.dumps({"buckets": {k_up: ent}}) + "\n")
+        fh.write('{"buckets": {"3": {"files": ["TORN')  # old crash tail
+    # cold load: base + complete log records, torn tail ignored
+    m2 = _manifest(sink)
+    assert sum(e["rows"] for e in m2["buckets"].values()) == 40
     assert {r["k"] for r in sink.read().collect()} == set(range(40))
+    # next write goes to the numbered log; a forced compaction absorbs
+    # and removes the legacy files without losing the log's record
+    fresh = UpsertParquetSink(spark, table, key_cols=["k"], num_buckets=8)
+    fresh._LOG_COMPACT_EVERY = 1
+    fresh.upsert_batch(
+        spark.createDataFrame(
+            [Row(k=0, ts=999, v="mig")], "k bigint, ts bigint, v string"
+        ),
+        batch_id=50,
+    )
+    assert not os.path.exists(f"{table}/_manifest.log")
+    assert not os.path.exists(f"{table}/_manifest.json")
+    assert fresh.row_count() == 40
+    assert {r["k"] for r in fresh.read().collect()} == set(range(40))
 
 
-def test_manifest_log_compacts_into_base(spark, tmp_path):
+def test_manifest_log_compacts_into_checkpoint(spark, tmp_path):
     sink, table = _mk(spark, tmp_path, n=10, buckets=4)
     sink._LOG_COMPACT_EVERY = 5  # instance-level override for the test
     for b in range(1, 7):
@@ -253,14 +295,14 @@ def test_manifest_log_compacts_into_base(spark, tmp_path):
             ),
             batch_id=b,
         )
-    # 6 deltas with threshold 5 -> one compaction happened: log gone or
-    # restarted short, base carries the merged state
-    assert not os.path.exists(f"{table}/_manifest.log") or sum(
-        1 for line in open(f"{table}/_manifest.log") if line.strip()
-    ) < 5
-    with open(f"{table}/_manifest.json") as fh:
-        base = json.load(fh)
+    # 6 deltas with threshold 5 -> one compaction happened: folded
+    # records removed, one checkpoint carries the merged state
+    ckpts = _mlog_records(table, "ckpt")
+    assert len(ckpts) == 1 and ckpts[0][0] >= 5
+    assert all(s > ckpts[0][0] for s, _ in _mlog_records(table, "delta"))
+    base = ckpts[0][1]
     assert sum(e["rows"] for e in base["buckets"].values()) >= 10
+    assert set(base["batches"]) >= {0, 1, 2, 3, 4}  # replay markers folded
     assert sink.row_count() == 10
     assert {r["ts"] for r in sink.read().filter("k = 1").collect()} == {1}
 

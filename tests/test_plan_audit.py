@@ -713,3 +713,47 @@ def test_ivfpq_broadcasts_probe_and_tables_no_cartesian(spark):
     plan = _plan(spark, "sim_ann_ivfpq")
     assert plan.count("BroadcastExchange") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_pq_lloyd_training_encodes_at_most_twice(spark, monkeypatch):
+    """sim_ann_pq_lloyd: the round-8 verdict's one weak entry — the
+    per-subspace trainer ran 8 separate collects over an UNPERSISTED
+    encode output, re-running the full pass-1 encode each time (~9
+    encode executions where 2 do). The trainer is now one unpivoted
+    (s, code) aggregate, so the whole query executes the Python encode
+    EXACTLY twice: pass 1 inside the training aggregate, pass 2 for
+    the ADC scan. Counted with an accumulator bumped once per
+    partition-task of either encode factory."""
+    from motorway_spark.queries import similarity as sim
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(real_factory):
+        def factory(*args, **kwargs):
+            fn = real_factory(*args, **kwargs)
+
+            def wrapper(batches):
+                acc.add(1)  # one per partition-task per execution
+                yield from fn(batches)
+
+            return wrapper
+
+        return factory
+
+    monkeypatch.setattr(
+        sim, "_pq_encode_factory", counting(sim._pq_encode_factory)
+    )
+    monkeypatch.setattr(
+        sim,
+        "_pq_encode_trained_factory",
+        counting(sim._pq_encode_trained_factory),
+    )
+    df = sim.sim_ann_pq_lloyd(spark, SF)
+    assert df.count() > 0
+    npart = spark.sparkContext.defaultParallelism
+    # 2 executions x npart partition-tasks (task retries could only
+    # push it over by a failure, which local runs don't have)
+    assert acc.value <= 2 * npart, (
+        f"encode ran {acc.value} partition-tasks; expected at most "
+        f"2 executions x {npart} partitions"
+    )
