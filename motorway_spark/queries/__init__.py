@@ -44,16 +44,82 @@ from motorway_spark.queries import joins  # noqa: F401,E402
 from motorway_spark.queries import relational  # noqa: F401,E402
 from motorway_spark.queries import windows  # noqa: F401,E402
 
-# Explicit sweep priority (round 8). The driver's per-round correctness
+# Explicit sweep priority (round 9). The driver's per-round correctness
 # budget is ~50 queries, taken in registration order. Merged latest-row
-# distribution after round 7: r07:50 / r06:50 / r05:50 / r04:47 / r03:28,
-# zero fails ever. This head = q15_top_supplier FIRST (its plan was
-# rewritten to a broadcast max join AFTER its last driver row — the one
-# round-7 process gap), then the entire 28-query r03-stale cohort, then
-# 21 of the r04 cohort (the "changed in round 4" tier — intrinsically the
-# most complex of that cohort) = exactly the ~50 budget. The remaining 26
-# r04 entries queue immediately after and retire in round 9.
+# distribution after round 8: r08:50 / r07:50 / r06:50 / r05:49 / r04:32,
+# zero fails ever. This head = the three queries whose PLANS changed in
+# round 9 after their latest driver row (sim_ann_pq_lloyd's trainer was
+# rewritten to one unpivoted aggregate; agg_histogram_equidepth and
+# orders_rfm_segments ride distributed_ntile, whose runtime reuse guard
+# flipped the counts join to LEFT) — the sweep-freshness discipline says
+# changed-after-sweep goes FIRST — then the ENTIRE 32-query r04-stale
+# cohort (the declared R8B tier plus the five it omitted:
+# agg_corr_regression, events_funnel, scan_schema_evolution,
+# sql_api_group_by_all, win_time_interval_frame), then the
+# changed-in-round-5 tier of the r05 cohort to fill the ~50 budget.
+# After this round NO query's latest driver row is older than r05.
 _SWEEP_PRIORITY = [
+    # -- plan changed in round 9 after the latest driver row: first --
+    "sim_ann_ivfpq",  # recall 0.50 -> 0.72: trained PQ codebook + probe 6
+    "sim_ann_pq_lloyd",  # trainer: 8 collects -> ONE unpivoted (s,code) agg
+    "agg_histogram_equidepth",  # distributed_ntile counts join INNER -> LEFT
+    "orders_rfm_segments",  # same distributed_ntile guard change
+    # -- latest driver row is ROUND 4 (all 32: retire the cohort) --
+    "asof_join_nearest",
+    "agg_mode_deterministic",
+    "scan_hive_partitioned",
+    "events_retention_cohorts",
+    "join_null_safe",
+    "agg_bool_logic",
+    "scan_csv_dead_letter",
+    "pipeline_entity_resolution",
+    "multimodal_dedup_hash",
+    "agg_skew_kurtosis",
+    "events_dau_wau",
+    "geo_radius_join",
+    "geo_knn_within_radius",
+    "events_markov_transitions",
+    "agg_gini",
+    "win_running_distinct",
+    "orders_rfm_segmentation",
+    "agg_weighted_avg",
+    "events_type_cooccurrence",
+    "events_gap_fill_lerp",
+    "events_seasonality_dow_hour",
+    "events_anomaly_seasonal",
+    "basket_brand_affinity",
+    "nation_revenue_yoy",
+    "fn_regex_extract_all",
+    "filter_project",
+    "case_when",
+    "agg_corr_regression",
+    "events_funnel",
+    "scan_schema_evolution",
+    "sql_api_group_by_all",
+    "win_time_interval_frame",
+    # -- r05 cohort: the changed-in-round-5 tier fills the budget --
+    "dedup_containment",
+    "stream_anomaly_zscore",
+    "dedup_minhash_mllib",
+    "range_join_interval_overlap",
+    "dedup_url_canonical",
+    "embedding_quality_stats",
+    "dedup_chunk_global",
+    "win_moving_median",
+    "events_path_topk",
+    "embedding_random_projection",
+    "dedup_semantic_semdedup",
+    "pipeline_corpus_curation",
+    "sample_importance_weighted",
+    "graph_pagerank_bipartite",
+    "events_changepoint_cusum",
+    "multimodal_decode_features",
+    "q1_pricing_summary",  # flagship: oldest driver row among q-series
+    "wordcount",
+]
+
+# Round-8 head kept below: everything here has an r8 driver row already.
+_SWEEP_PRIORITY_R8 = [
     # -- plan rewritten after its latest driver row (r5): re-verify first --
     "q15_top_supplier",
     # -- new in round 8 --
@@ -456,6 +522,7 @@ def _reorder_for_sweep() -> None:
         n: QUERIES[n]
         for n in (
             *_SWEEP_PRIORITY,
+            *_SWEEP_PRIORITY_R8,
             *_SWEEP_PRIORITY_R8B,
             *_SWEEP_PRIORITY_R7,
             *_SWEEP_PRIORITY_R7B,

@@ -1935,39 +1935,10 @@ def _pq_encode_trained_factory(trained: dict):
     return fn
 
 
-@query("sim_ann_pq_lloyd", oracle=_pq_lloyd_oracle())
-def sim_ann_pq_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRAINED product quantization — the complete PQ pipeline the way
-    FAISS actually builds it: one quantized-Lloyd iteration PER
-    SUBSPACE refines the fixed init codebook (assign subvectors, take
-    integer-exact half-up means of the NORMALIZED components — the
-    cluster_kmeans_lloyd playbook applied 8 times in parallel), then
-    re-encode against the trained centroids and run the same ADC scan +
-    exact rerank as sim_ann_pq_adc. The full train -> encode -> search
-    sequence replays bit-for-bit in DuckDB.
-
-    Scale shape (100 TB): pass-1 encode and pass-2 encode are each one
-    mapInPandas pass; the per-subspace centroid update is ONE hash
-    aggregate per subspace over (code, 8 decimal sums) — map-side
-    combinable, 16-row outputs; the only collects are the 8x16
-    codebook rollups and 20 query vectors. Training cost is K x
-    (map + agg) like the IVF fit; a production run iterates the same
-    two steps to convergence.
-
-    Reference: completes the ANN ladder's training story — fixed
-    codebooks proved the search path (sim_ann_pq_adc), this proves the
-    trainer, mirroring how sim_ann_ivf_fixed -> sim_ann_ivf_lloyd
-    proved the coarse quantizer."""
-    import math
-
-    from motorway_spark.maintenance import CACHES
-
-    emb = _valid_vectors(Catalog(spark, sf_dir).embeddings)
-    par = spark.sparkContext.defaultParallelism
-    corpus = CACHES.persist_swap(
-        "pq_lloyd.corpus", emb.repartition(par).select("vec_id", "embedding")
-    )
-
+def _pq_fixed_cbn(spark: SparkSession, sf_dir: str) -> "np.ndarray":
+    """The normalized fixed init codebook (vec_ids {PQ_CB_LO}..{PQ_CB_HI})
+    as a {PQ_K} x {DIM} float64 matrix — the shared pass-1 starting point
+    for every trained-PQ consumer."""
     cb_rows = (
         Catalog(spark, sf_dir)
         .embeddings.filter(
@@ -1978,23 +1949,29 @@ def sim_ann_pq_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     cb = np.array([r["embedding"] for r in cb_rows], dtype=np.float64)
-    cbn0 = cb / _leftfold_norms(cb)[:, None]
+    return cb / _leftfold_norms(cb)[:, None]
 
-    schema = "vec_id long, embedding array<float>, " + ", ".join(
-        f"c{s} int" for s in range(PQ_M)
-    )
-    codes1 = corpus.mapInPandas(_pq_encode_factory(cbn0), schema=schema)
+
+_PQ_CODES_SCHEMA = "vec_id long, embedding array<float>, " + ", ".join(
+    f"c{s} int" for s in range(PQ_M)
+)
+
+
+def _pq_train(
+    spark: SparkSession, sf_dir: str, corpus: DataFrame
+) -> dict[int, tuple[list[int], "np.ndarray"]]:
+    """One quantized-Lloyd iteration for ALL {PQ_M} subspaces in ONE
+    job: pass-1 encode against the fixed codebook, unpivot each row's
+    (code, normalized-subvector) pairs with stack, then one
+    map-side-combinable hash aggregate over (s, code) — 128 output
+    rows and exactly one execution of the encode pass (the round-8
+    shape ran 8 separate collects re-running the unpersisted encode
+    each time; pinned by tests/test_plan_audit.py's job audit).
+    Returns {s: (codes ascending, k_s x {PQ_SUBDIM} centroid matrix)}."""
+    cbn0 = _pq_fixed_cbn(spark, sf_dir)
+    codes1 = corpus.mapInPandas(_pq_encode_factory(cbn0), schema=_PQ_CODES_SCHEMA)
     with_nrm = codes1.withColumn("nrm", _norm("embedding"))
 
-    # ALL 8 subspaces train in ONE job: unpivot each row's 8
-    # (code, normalized-subvector) pairs with stack, then one
-    # map-side-combinable hash aggregate over (s, code) — 128 output
-    # rows. The round-8 shape ran 8 separate groupBy(c{s}) collects,
-    # and since the encode output was never persisted each one re-ran
-    # the full mapInPandas pass-1 encode (~9 encode executions where 2
-    # do; measured 8.1 s -> ~2.8 s at sf0.1). Now pass-1 executes
-    # exactly once (inside this aggregate) and pass-2 once (the ADC
-    # scan below) — pinned by tests/test_plan_audit.py's job audit.
     stack_args: list[str] = []
     for s in range(PQ_M):
         stack_args.append(str(s))
@@ -2025,16 +2002,16 @@ def sim_ann_pq_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dtype=np.float64,
             ),
         )
+    return trained
 
-    codes2 = corpus.mapInPandas(
-        _pq_encode_trained_factory(trained), schema=schema
-    )
 
-    q_rows = (
-        corpus.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding")
-        .collect()
-    )
+def _pq_trained_tab_rows(q_rows, trained) -> list[tuple]:
+    """ADC distance tables for the trained codebooks: per (query,
+    subspace, code) the squared L2 between the NORMALIZED query
+    subvector and the trained sub-centroid, on the integer micro grid.
+    Bounded: {N_QUERIES} x {PQ_M} x {PQ_K} rows."""
+    import math
+
     tab_rows = []
     for r in q_rows:
         v = np.array([r["embedding"]], dtype=np.float64)
@@ -2054,6 +2031,51 @@ def sim_ann_pq_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 for p in range(len(codes_s))
             ]
+    return tab_rows
+
+
+@query("sim_ann_pq_lloyd", oracle=_pq_lloyd_oracle())
+def sim_ann_pq_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED product quantization — the complete PQ pipeline the way
+    FAISS actually builds it: one quantized-Lloyd iteration PER
+    SUBSPACE refines the fixed init codebook (assign subvectors, take
+    integer-exact half-up means of the NORMALIZED components — the
+    cluster_kmeans_lloyd playbook applied 8 times in parallel), then
+    re-encode against the trained centroids and run the same ADC scan +
+    exact rerank as sim_ann_pq_adc. The full train -> encode -> search
+    sequence replays bit-for-bit in DuckDB.
+
+    Scale shape (100 TB): pass-1 encode and pass-2 encode are each one
+    mapInPandas pass; the per-subspace centroid update is ONE hash
+    aggregate per subspace over (code, 8 decimal sums) — map-side
+    combinable, 16-row outputs; the only collects are the 8x16
+    codebook rollups and 20 query vectors. Training cost is K x
+    (map + agg) like the IVF fit; a production run iterates the same
+    two steps to convergence.
+
+    Reference: completes the ANN ladder's training story — fixed
+    codebooks proved the search path (sim_ann_pq_adc), this proves the
+    trainer, mirroring how sim_ann_ivf_fixed -> sim_ann_ivf_lloyd
+    proved the coarse quantizer."""
+    from motorway_spark.maintenance import CACHES
+
+    emb = _valid_vectors(Catalog(spark, sf_dir).embeddings)
+    par = spark.sparkContext.defaultParallelism
+    corpus = CACHES.persist_swap(
+        "pq_lloyd.corpus", emb.repartition(par).select("vec_id", "embedding")
+    )
+
+    trained = _pq_train(spark, sf_dir, corpus)
+    codes2 = corpus.mapInPandas(
+        _pq_encode_trained_factory(trained), schema=_PQ_CODES_SCHEMA
+    )
+
+    q_rows = (
+        corpus.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    tab_rows = _pq_trained_tab_rows(q_rows, trained)
     return _pq_adc_rerank(spark, corpus, codes2, tab_rows)
 
 
@@ -2064,20 +2086,28 @@ def sim_ann_pq_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cells (the sim_ann_ivf_lloyd quantizer) prune candidates, PQ codes
 # score them (ADC), floats only at the rerank. Oracle-exact.
 # ---------------------------------------------------------------------------
-IVFPQ_PROBE = 4  # composed indexes need a higher nprobe than IVF-alone:
+IVFPQ_PROBE = 6  # composed indexes need a higher nprobe than IVF-alone:
 # the coarse prune's misses MULTIPLY with the code quantization's.
-# Measured on the fixture: fixed-codebook coarse at probe 2 composed to
-# 0.23 recall; trained coarse at probe 4 reaches 0.50 — about the
-# product of the stage recalls (IVF ~0.6-0.7 x PQ 0.65), the standard
-# IVF-PQ trade you buy back with nprobe/rerank at a fraction of
-# brute-force cost
+# Round-9 knee search (full grid: coarse Lloyd iters {2,3,4} x nprobe
+# {4,6,8} x PQ codebook {fixed,trained}, recall@3 on the fixture):
+#   fixed PQ:   probe4 0.50, probe6 0.58-0.65, probe8 0.65 (= PQ alone)
+#   trained PQ: probe4 0.58-0.65, probe6 0.70-0.75, probe8 0.75
+#   extra coarse iterations beyond 2: +-0.02 at every probe (flat)
+# The big lever is CODEBOOK QUALITY (trained PQ, now one cheap job),
+# the second is nprobe; probe 6 + trained = 0.72 measured, the knee —
+# probe 8 scans every cell (no pruning left on an 8-cell fixture;
+# production IVF_CELLS grows ~sqrt(n) and nprobe stays a small
+# fraction, so the fixture's 6/8 ratio is fixture-bound, not the
+# design point).
 
 
 def _ivfpq_oracle() -> str:
     """Trained coarse quantizer (the _km_cte_prefix Lloyd chain -> C2
-    -> inverted file a3 -> probe) composed with the fixed-codebook PQ
-    ADC scan. ``valid`` (raw, from the km prefix) and ``validn``
-    (normalized view for PQ) are separate CTEs on purpose."""
+    -> inverted file a3 -> probe) composed with the TRAINED-codebook PQ
+    ADC scan (the _pq_lloyd_oracle chain: pass-1 encode -> one
+    quantized-Lloyd sub-centroid update -> pass-2 encode). ``valid``
+    (raw, from the km prefix) and ``validn`` (normalized view for PQ)
+    are separate CTEs on purpose."""
     nrm = _SQL_NORM.format(a="embedding")
     mean_cols = ", ".join(
         f"{_km_mean_sql(f'e.embedding[{i}]')} AS m{i}" for i in range(1, DIM + 1)
@@ -2094,10 +2124,34 @@ def _ivfpq_oracle() -> str:
         " FROM validn v CROSS JOIN cb c"
         for s in range(PQ_M)
     )
+    cb1_blocks = "\n      UNION ALL\n      ".join(
+        f"SELECT {s} AS s, k.code, "
+        + ", ".join(
+            f"{_pq_trained_mean_sql(s, j)} AS m{j}"
+            for j in range(1, PQ_SUBDIM + 1)
+        )
+        + f" FROM codes1 k JOIN validn e USING (vec_id) WHERE k.s = {s}"
+        " GROUP BY k.code"
+        for s in range(PQ_M)
+    )
+
+    def dist2(v: str, vn: str, s: int) -> str:
+        return " + ".join(
+            f"(CAST({v}[{s * PQ_SUBDIM + j}] AS DOUBLE) / {vn} - c.m{j})"
+            f" * (CAST({v}[{s * PQ_SUBDIM + j}] AS DOUBLE) / {vn} - c.m{j})"
+            for j in range(1, PQ_SUBDIM + 1)
+        )
+
+    enc2_blocks = "\n      UNION ALL\n      ".join(
+        f"SELECT v.vec_id, {s} AS s, c.code,"
+        f" {dist2('v.embedding', 'v.nrm', s)} AS d"
+        f" FROM validn v CROSS JOIN (SELECT * FROM cb1 WHERE s = {s}) c"
+        for s in range(PQ_M)
+    )
     tab_blocks = "\n      UNION ALL\n      ".join(
         f"SELECT q.vec_id AS query_id, {s} AS s, c.code,"
-        f" {_pq_sub_dist_sql('q.embedding', 'q.nrm', 'c.embedding', 'c.nrm', s)} AS d"
-        " FROM queriesn q CROSS JOIN cb c"
+        f" {dist2('q.embedding', 'q.nrm', s)} AS d"
+        f" FROM queriesn q CROSS JOIN (SELECT * FROM cb1 WHERE s = {s}) c"
         for s in range(PQ_M)
     )
     return f"""{_km_cte_prefix()},
@@ -2123,14 +2177,24 @@ def _ivfpq_oracle() -> str:
       SELECT vec_id - {PQ_CB_LO} AS code, embedding, {nrm} AS nrm
       FROM embeddings
       WHERE vec_id BETWEEN {PQ_CB_LO} AND {PQ_CB_HI}),
-    cdist AS MATERIALIZED (
+    cdist1 AS MATERIALIZED (
       {enc_blocks}),
-    codes AS MATERIALIZED (
+    codes1 AS MATERIALIZED (
       SELECT vec_id, s, code FROM (
         SELECT vec_id, s, code,
                row_number() OVER (PARTITION BY vec_id, s
                                   ORDER BY d, code) AS rn
-        FROM cdist) WHERE rn = 1),
+        FROM cdist1) WHERE rn = 1),
+    cb1 AS MATERIALIZED (
+      {cb1_blocks}),
+    cdist2 AS MATERIALIZED (
+      {enc2_blocks}),
+    codes2 AS MATERIALIZED (
+      SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d, code) AS rn
+        FROM cdist2) WHERE rn = 1),
     qdist AS (
       {tab_blocks}),
     qtab AS MATERIALIZED (
@@ -2145,7 +2209,7 @@ def _ivfpq_oracle() -> str:
       SELECT c.query_id, c.neighbor_id,
              CAST(SUM(t.dmicro) AS BIGINT) AS adc_micro
       FROM cand0 c
-      JOIN codes k ON k.vec_id = c.neighbor_id
+      JOIN codes2 k ON k.vec_id = c.neighbor_id
       JOIN qtab t ON t.query_id = c.query_id
                  AND t.s = k.s AND t.code = k.code
       GROUP BY 1, 2),
@@ -2178,21 +2242,24 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse quantizer (cluster_kmeans_lloyd's two-iteration fit, exactly
     sim_ann_ivf_lloyd's C2 cells) prunes candidates to {IVFPQ_PROBE}
     probed cells per query (composed indexes need a higher nprobe than
-    IVF-alone — quantization misses multiply), and within them the ADC
-    scan of sim_ann_pq_adc scores candidates from 4-bit codes alone —
-    float vectors are touched only at the {PQ_RERANK}-row exact rerank.
+    IVF-alone — quantization misses multiply), and within them the
+    TRAINED-codebook ADC scan of sim_ann_pq_lloyd scores candidates
+    from 4-bit codes alone — float vectors are touched only at the
+    {PQ_RERANK}-row exact rerank. Round 9 lifted composed recall@3
+    0.50 -> 0.72 on the fixture by swapping the fixed PQ codebook for
+    the trained one (the big measured lever) and probe 4 -> 6 (the
+    knee; full grid at IVFPQ_PROBE).
 
-    Scale shape (100 TB): training is the Lloyd fit (K x (map + agg));
-    ingest is one assignment pass + one encode pass (mapInPandas,
-    codebooks in closures); per query the candidate set is
-    {IVFPQ_PROBE}/{IVF_CELLS} of the corpus, each candidate costing
+    Scale shape (100 TB): training is the Lloyd fit (K x (map + agg))
+    plus the PQ sub-centroid update (ONE unpivoted hash aggregate, 128
+    rows out); ingest is one assignment pass + two encode passes
+    (mapInPandas, codebooks in closures); per query the candidate set
+    is {IVFPQ_PROBE}/{IVF_CELLS} of the corpus, each candidate costing
     {PQ_M} integer lookups via broadcast table join (whole-stage
     codegen, no Python); the rerank reads {PQ_RERANK} float vectors.
     Sub-linear candidates x 32x-compressed scoring x constant rerank —
     the composition the ANN ladder was built toward, with every stage's
     arithmetic replayable in DuckDB."""
-    import math
-
     # trained coarse quantizer: C1 from the shared Lloyd prefix, one
     # more assignment pass -> C2, inverted file over C2
     corpus, cells1, c1 = _lloyd_c1(spark, sf_dir)
@@ -2212,31 +2279,21 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         _km_assign_factory(c2, cells2), schema=_KM_ASSIGN_SCHEMA
     ).select("vec_id", "cell")
 
-    # PQ codebook: normalized fixed codebook (the sim_ann_pq_adc path)
-    cb_rows = (
-        Catalog(spark, sf_dir)
-        .embeddings.filter(
-            (F.col("vec_id") >= PQ_CB_LO) & (F.col("vec_id") <= PQ_CB_HI)
-        )
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
+    # PQ codebook: TRAINED sub-centroids (the sim_ann_pq_lloyd trainer,
+    # one unpivoted job) — codebook quality is the measured big recall
+    # lever for the composition (see the IVFPQ_PROBE grid above)
+    trained = _pq_train(spark, sf_dir, corpus)
+    codes = corpus.mapInPandas(
+        _pq_encode_trained_factory(trained), schema=_PQ_CODES_SCHEMA
     )
-    cb = np.array([r["embedding"] for r in cb_rows], dtype=np.float64)
-    cbn = cb / _leftfold_norms(cb)[:, None]
-    schema = "vec_id long, embedding array<float>, " + ", ".join(
-        f"c{s} int" for s in range(PQ_M)
-    )
-    codes = corpus.mapInPandas(_pq_encode_factory(cbn), schema=schema)
 
-    # driver-side: probe lists vs C2 + PQ ADC tables (20 queries)
+    # driver-side: probe lists vs C2 + trained PQ ADC tables (20 queries)
     q_rows = (
         corpus.filter(F.col("vec_id") < N_QUERIES)
         .select("vec_id", "embedding")
         .collect()
     )
     probe_pairs = []
-    tab_rows = []
     for r in q_rows:
         v = np.array(r["embedding"], dtype=np.float64)
         acc = np.zeros(c2.shape[0])
@@ -2247,18 +2304,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_pairs += [
             (int(r["vec_id"]), cells2[p]) for p in order[:IVFPQ_PROBE]
         ]
-
-        vq = np.array([r["embedding"]], dtype=np.float64)
-        vq = (vq / _leftfold_norms(vq)[:, None])[0]
-        for s in range(PQ_M):
-            acc2 = np.zeros(cbn.shape[0])
-            for i in range(s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM):
-                d = vq[i] - cbn[:, i]
-                acc2 += d * d
-            tab_rows += [
-                (int(r["vec_id"]), s, code, int(math.floor(acc2[code] * 1e6 + 0.5)))
-                for code in range(PQ_K)
-            ]
+    tab_rows = _pq_trained_tab_rows(q_rows, trained)
 
     probe = F.broadcast(
         spark.createDataFrame(probe_pairs, "query_id long, cell int")

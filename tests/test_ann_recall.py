@@ -68,10 +68,11 @@ def test_pq_lloyd_training_improves_recall(spark):
 
 def test_ivfpq_composed_recall_floor(spark):
     """IVF-PQ composed: recall is roughly the PRODUCT of the stage
-    recalls (measured 0.50 = trained-coarse probe-4 x PQ codes, vs
-    0.65 PQ-alone and 0.60 IVF-alone) — the standard trade that buys a
-    probe-bounded candidate set AND a 32x-compressed scan. Floor keeps
-    the composition from silently degrading below its measured level."""
+    recalls — round 9's knee search (coarse iters x nprobe x codebook
+    grid at similarity.IVFPQ_PROBE) lifted it 0.50 -> 0.72 measured by
+    swapping the fixed PQ codebook for the TRAINED one and probe 4 -> 6.
+    Floor keeps the composition from silently degrading below its
+    measured level (margin for fixture regeneration)."""
     exact = _top3(QUERIES["sim_knn_cosine"](spark, SF))
     r = _recall(_top3(QUERIES["sim_ann_ivfpq"](spark, SF)), exact)
-    assert r >= 0.40, f"IVF-PQ recall collapsed: {r:.2f}"
+    assert r >= 0.60, f"IVF-PQ recall collapsed: {r:.2f}"
