@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "sim_ann_pq_lloyd",
     "sim_ann_ivfpq",
     "events_attribution_touch",
+    # round-9 addition: convergence-looped Lloyd (trace output)
+    "cluster_kmeans_converged",
 ]
 
 # Sub-noise-width timings at sf0.1: best-of-2 left three ambiguous

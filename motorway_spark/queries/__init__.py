@@ -59,6 +59,8 @@ from motorway_spark.queries import windows  # noqa: F401,E402
 # changed-in-round-5 tier of the r05 cohort to fill the ~50 budget.
 # After this round NO query's latest driver row is older than r05.
 _SWEEP_PRIORITY = [
+    # -- new in round 9 --
+    "cluster_kmeans_converged",  # convergence-looped Lloyd, trace output
     # -- plan changed in round 9 after the latest driver row: first --
     "sim_ann_ivfpq",  # recall 0.50 -> 0.72: trained PQ codebook + probe 6
     "sim_ann_pq_lloyd",  # trainer: 8 collects -> ONE unpivoted (s,code) agg

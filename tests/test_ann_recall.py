@@ -66,6 +66,27 @@ def test_pq_lloyd_training_improves_recall(spark):
     assert pq_recall >= 0.65, f"trained-PQ recall collapsed: {pq_recall:.2f}"
 
 
+def test_kmeans_converged_trace_invariants(spark):
+    """cluster_kmeans_converged: the trace must show Lloyd actually
+    descending and stopping by its own criterion — iterations are
+    1..k contiguous, inertia never increases after iteration 1 (Lloyd
+    monotonicity holds up to the micro-grid quantization; give it one
+    grid step of slack), exactly the last row may be converged, and if
+    the cap wasn't hit the last row IS converged."""
+    from motorway_spark.queries.similarity import KM_MAX_ITERS, KM_TOL_MICRO
+
+    rows = QUERIES["cluster_kmeans_converged"](spark, SF).collect()
+    assert [r["iter"] for r in rows] == list(range(1, len(rows) + 1))
+    assert all(not r["converged"] for r in rows[:-1])
+    last = rows[-1]
+    assert last["converged"] == (last["movement_micro"] <= KM_TOL_MICRO)
+    if last["iter"] < KM_MAX_ITERS:
+        assert last["converged"], "early exit without meeting the criterion"
+    inert = [r["inertia"] for r in rows]
+    for a, b in zip(inert, inert[1:]):
+        assert b <= a + 1e-3, f"inertia rose: {a} -> {b}"
+
+
 def test_ivfpq_composed_recall_floor(spark):
     """IVF-PQ composed: recall is roughly the PRODUCT of the stage
     recalls — round 9's knee search (coarse iters x nprobe x codebook

@@ -173,6 +173,9 @@ NULL_PARITY = [
     # predicate (encode kernel + both oracle CTEs filter identically)
     "sim_ann_pq_adc",
     "sim_ann_pq_lloyd",
+    # round-9: the convergence loop runs over the same valid-vector
+    # corpus; NULL vectors never reach an assignment pass
+    "cluster_kmeans_converged",
     "sim_ann_ivfpq",
     # attribution: NULL purchase values still count as conversions
     # (COUNT(*)) and drop out of both decimal revenue sums; explicit
