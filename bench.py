@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -194,28 +195,34 @@ def main() -> None:
     # Failures are recorded per-query in "errors" and excluded from the
     # total; the JSON line is ALWAYS emitted.
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in bench_queries:
-        best = float("inf")
+        samples: list[float] = []
         try:
             # inside the try: an unknown name (subset typo) must land in
             # "errors", not crash before the JSON line is emitted
             fn = QUERIES[name]
-            attempt = 0
             # best-of-2, widened to best-of-3 when the result is small
             # enough for scheduler jitter to dominate the delta
-            while attempt < 2 or (attempt < 3 and best < EXTRA_RUN_UNDER_SEC):
+            while len(samples) < 2 or (
+                len(samples) < 3 and min(samples) < EXTRA_RUN_UNDER_SEC
+            ):
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-                attempt += 1
+                samples.append(time.perf_counter() - t0)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:300]}"
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
         else:
-            timings[name] = round(best, 3)
+            timings[name] = round(min(samples), 3)
+            # medians ride along in the full artifact only: on a noisy
+            # host the per-query best can swing run-to-run, so
+            # round-over-round reads get a second, load-robust column
+            # (round-8 note: three same-code runs spanned 32.7-41.6s)
+            medians[name] = round(statistics.median(samples), 3)
             print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
         finally:
             # isolation between queries: operators that persist a frame
@@ -254,6 +261,7 @@ def main() -> None:
             "sec": round(sum(fixed_timed.values()), 3),
         },
         "queries": timings,
+        "medians": medians,
         "sf": sf_val,
         "notes": BENCH_NOTES,
     }

@@ -106,3 +106,33 @@ def test_real_repo_hashes_cover_every_query_module():
     hashes = hash_query_files(REPO_ROOT)
     assert "motorway_spark/queries/__init__.py" in hashes
     assert all(len(h) == 64 for h in hashes.values())
+
+
+def test_cli_red_run_on_stale_edit(tmp_path):
+    """The CI gate end-to-end: the exact CLI the workflow runs must
+    exit 0 on a freshly-stamped tree and exit 1 (naming the module)
+    after a post-sweep edit — the red run that proves the gate bites."""
+    import shutil
+    import subprocess
+    import sys
+
+    from motorway_spark.queries import QUERIES
+
+    root = tmp_path
+    dst = root / QUERIES_SUBDIR
+    shutil.copytree(REPO_ROOT / QUERIES_SUBDIR, dst)
+    write_stamp(root, list(QUERIES), "sf0.01")
+
+    cli = str(REPO_ROOT / "tools" / "check_sweep_freshness.py")
+    fresh = subprocess.run(
+        [sys.executable, cli, str(root)], capture_output=True, text=True
+    )
+    assert fresh.returncode == 0, fresh.stdout + fresh.stderr
+
+    with open(dst / "relational.py", "a") as f:
+        f.write("\n# post-sweep edit\n")
+    stale = subprocess.run(
+        [sys.executable, cli, str(root)], capture_output=True, text=True
+    )
+    assert stale.returncode == 1, stale.stdout + stale.stderr
+    assert "relational.py" in stale.stdout
