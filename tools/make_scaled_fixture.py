@@ -42,7 +42,11 @@ TABLES = [
 FIXED = {"region", "nation"}
 
 
-def scale(src: str, dst: str, n: int) -> None:
+def scale(src: str, dst: str, n: int, only: set[str] | None = None) -> None:
+    """``only`` restricts replication to the named tables; the rest are
+    copied verbatim (one copy). Used for family-targeted scale points —
+    e.g. the ANN ladder's third decade replicates embeddings x1000
+    without dragging a 600M-row lineitem along."""
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     counts = {
@@ -103,7 +107,8 @@ def scale(src: str, dst: str, n: int) -> None:
 
     for t in TABLES:
         out = f"{dst}/{t}.parquet"
-        if t in FIXED:
+        replicate = t not in FIXED and (only is None or t in only)
+        if not replicate:
             con.sql(
                 f"COPY (SELECT * FROM '{src}/{t}.parquet') TO '{out}' (FORMAT PARQUET)"
             )
@@ -114,7 +119,7 @@ def scale(src: str, dst: str, n: int) -> None:
                 f"ORDER BY i) TO '{out}' (FORMAT PARQUET)"
             )
         got = con.sql(f"SELECT COUNT(*) FROM '{out}'").fetchone()[0]
-        want = counts[t] if t in FIXED else counts[t] * n
+        want = counts[t] * n if replicate else counts[t]
         assert got == want, (t, got, want)
         print(f"{t}: {got} rows -> {out}", flush=True)
 
@@ -123,4 +128,5 @@ if __name__ == "__main__":
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/motorway_sf1"
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    scale(src, dst, n)
+    only_arg = sys.argv[4] if len(sys.argv) > 4 else ""
+    scale(src, dst, n, only={s for s in only_arg.split(",") if s} or None)
