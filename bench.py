@@ -146,6 +146,15 @@ BENCH_FIXED_N = 46  # q1..sample_importance_weighted (rounds 1-5 core)
 # Standing measurement notes, copied into every bench_results.json so
 # they survive regeneration (the artifact is rewritten per run).
 BENCH_NOTES = {
+    "fixed46_variance_r9": (
+        "three same-code full runs during round 9 read fixed46 = "
+        "33.8 / 42.9 / 42.6s with DIFFERENT queries spiking 2-5x each "
+        "run (ivf_fixed 1.3->7.3->1.3, containment 1.7->3.7->1.9, "
+        "minhash 1.7->2.8->3.7) — noisy-neighbor host, not code drift "
+        "(none of those modules changed in round 9). Read "
+        "round-over-round deltas from the per-query MEDIANS of the "
+        "quietest run; a lone 2x move on an untouched query is load."
+    ),
     "fixed46_variance": (
         "three same-code full runs in one round-8 session measured "
         "fixed46 = 32.7 / 37.9 / 41.6s under rising background load — "
