@@ -125,8 +125,11 @@ BENCH_QUERIES = [
     "sim_ann_pq_lloyd",
     "sim_ann_ivfpq",
     "events_attribution_touch",
-    # round-9 addition: convergence-looped Lloyd (trace output)
+    # round-9 additions: convergence-looped Lloyd (trace output),
+    # streaming PQ index ingest, reciprocal-rank fusion
     "cluster_kmeans_converged",
+    "stream_ann_ingest",
+    "sim_rank_fusion_rrf",
 ]
 
 # Sub-noise-width timings at sf0.1: best-of-2 left three ambiguous

@@ -61,6 +61,8 @@ from motorway_spark.queries import windows  # noqa: F401,E402
 _SWEEP_PRIORITY = [
     # -- new in round 9 --
     "cluster_kmeans_converged",  # convergence-looped Lloyd, trace output
+    "stream_ann_ingest",  # streaming PQ index build, = batch bit-for-bit
+    "sim_rank_fusion_rrf",  # reciprocal-rank fusion of LSH + IVF branches
     # -- plan changed in round 9 after the latest driver row: first --
     "sim_ann_ivfpq",  # recall 0.50 -> 0.72: trained PQ codebook + probe 6
     "sim_ann_pq_lloyd",  # trainer: 8 collects -> ONE unpivoted (s,code) agg

@@ -1895,13 +1895,22 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # query ADC tables: 20 bounded query vectors x 8 subspaces x 16
     # codes, micro-int entries — driver-built, broadcast (2,560 rows)
-    import math
-
     q_rows = (
         corpus.filter(F.col("vec_id") < N_QUERIES)
         .select("vec_id", "embedding")
         .collect()
     )
+    return _pq_adc_rerank(spark, corpus, codes, _pq_fixed_tab_rows(q_rows, cbn))
+
+
+def _pq_fixed_tab_rows(q_rows, cbn: "np.ndarray") -> list[tuple]:
+    """ADC distance tables for the FIXED (normalized) codebook: per
+    (query, subspace, code) the squared L2 between the NORMALIZED query
+    subvector and the codebook subvector, integer micro grid. Bounded:
+    {N_QUERIES} x {PQ_M} x {PQ_K} rows. Shared by sim_ann_pq_adc and
+    the streaming ingest twin."""
+    import math
+
     tab_rows = []
     for r in q_rows:
         v = np.array([r["embedding"]], dtype=np.float64)
@@ -1915,7 +1924,7 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (int(r["vec_id"]), s, code, int(math.floor(acc[code] * 1e6 + 0.5)))
                 for code in range(PQ_K)
             ]
-    return _pq_adc_rerank(spark, corpus, codes, tab_rows)
+    return tab_rows
 
 
 def _pq_adc_rerank(spark, corpus, codes, tab_rows) -> DataFrame:
@@ -2548,4 +2557,94 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
         .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion — the standard retrieval ensemble (Cormack et
+# al., SIGIR'09): fuse two independent ANN rankings into a consensus
+# ranking without score calibration, using only the ranks.
+# ---------------------------------------------------------------------------
+RRF_K = 60  # the canonical smoothing constant from the RRF paper
+
+
+def _rrf_oracle() -> str:
+    """Compose the two branch oracles verbatim as CTEs (a CTE body may
+    itself start with WITH), then fuse: score = sum over branches of
+    1/(RRF_K + rank) — two exact double terms added left-to-right,
+    identical IEEE arithmetic in both engines."""
+    from motorway_spark.queries.registry import ORACLES
+
+    lsh = ORACLES["sim_ann_lsh"]
+    ivf = ORACLES["sim_ann_ivf_fixed"]
+    return f"""
+    WITH lsh AS MATERIALIZED ({lsh}),
+    ivf AS MATERIALIZED ({ivf}),
+    pairs AS (
+      SELECT COALESCE(l.query_id, i.query_id) AS query_id,
+             COALESCE(l.neighbor_id, i.neighbor_id) AS neighbor_id,
+             l.rank AS lsh_rank, i.rank AS ivf_rank
+      FROM lsh l FULL JOIN ivf i
+        ON l.query_id = i.query_id AND l.neighbor_id = i.neighbor_id),
+    scored AS (
+      SELECT query_id, neighbor_id, lsh_rank, ivf_rank,
+             COALESCE(1.0 / ({RRF_K} + lsh_rank), 0.0)
+             + COALESCE(1.0 / ({RRF_K} + ivf_rank), 0.0) AS rrf_score
+      FROM pairs)
+    SELECT query_id, neighbor_id, lsh_rank, ivf_rank, rrf_score,
+           rn AS fused_rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rrf_score DESC, neighbor_id)
+                 AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """
+
+
+@query("sim_rank_fusion_rrf", oracle=_rrf_oracle())
+def sim_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion over two independent ANN branches — the
+    retrieval ensemble a production vector-search stack runs when no
+    single index is trusted alone: LSH (hash prune) and IVF (partition
+    prune) each produce a top-3 ranking per query from DIFFERENT
+    candidate geometries; RRF scores every (query, neighbor) with
+    sum(1 / ({RRF_K} + rank)) over the branches that returned it and
+    reranks — no score calibration, only ranks, which is why RRF
+    survives heterogeneous retrievers (BM25 + vectors in a full RAG
+    stack; two ANN layouts here, where both branches carry full
+    oracles). Agreement rises: a neighbor both branches rank floats to
+    the top even when neither ranked it first.
+
+    Scale shape (100 TB): the branches ARE the scale story (each is
+    its own audited operator); the fusion itself is a full outer join
+    on (query_id, neighbor_id) over two tiny top-k frames (20 x 3 rows
+    each) and a per-query window over <= 6 rows — constant work per
+    query regardless of corpus size.
+
+    Reference: motorway has no retrieval surface; this extends the
+    north-star ANN family (SURVEY.md §2b) with the ensemble layer,
+    composing two registered operators the way pipeline_dedup_funnel
+    composes the dedup stages. The oracle embeds both branch oracles
+    verbatim as CTEs and replays the fusion arithmetic."""
+    l = sim_ann_lsh(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("lsh_rank")
+    )
+    i = sim_ann_ivf_fixed(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("ivf_rank")
+    )
+    pairs = l.join(i, ["query_id", "neighbor_id"], "full")
+    score = (
+        F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("lsh_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("ivf_rank")), F.lit(0.0))
+    ).alias("rrf_score")
+    scored = pairs.select(
+        "query_id", "neighbor_id", "lsh_rank", "ivf_rank", score
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), "neighbor_id"
+    )
+    return (
+        scored.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= 3)
+        .orderBy("query_id", "fused_rank")
     )

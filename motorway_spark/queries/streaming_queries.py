@@ -1588,3 +1588,133 @@ def stream_percentile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # survives the next invocation's rmtree of this run's table dir
     return out.localCheckpoint(eager=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming ANN ingest — the index-build side of the PQ family as a
+# stream: each arriving embedding shard is PQ-encoded and MERGEd into
+# a manifest-backed code registry; the drained registry answers the
+# same ADC search as the batch operator, bit-for-bit.
+# ---------------------------------------------------------------------------
+_LAST_ANN_INGEST_DIR: str | None = None
+
+
+def _ann_ingest_oracle() -> str:
+    # the final registry + search must equal the batch PQ-ADC operator
+    # exactly (stream/batch parity on the whole ingest->search pipeline)
+    from motorway_spark.queries.similarity import _pq_oracle
+
+    return _pq_oracle()
+
+
+@query("stream_ann_ingest", oracle=_ann_ingest_oracle())
+def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vector-index ingest — how a production ANN index is
+    actually built: embedding shards arrive as micro-batches (4 here,
+    maxFilesPerTrigger=1), each batch is PQ-encoded (one mapInPandas
+    pass, fixed codebook in the closure) and MERGEd into a
+    manifest-backed UpsertParquetSink registry keyed on vec_id — the
+    compressed FAISS layout, 8 int codes per vector, floats never
+    stored in the index. After the drain the registry serves the same
+    ADC scan + exact rerank as sim_ann_pq_adc, and the answer equals
+    the batch operator BIT-FOR-BIT — that equality (ingest order and
+    batching must not matter) IS the oracle, the stream/batch parity
+    statement applied to index construction.
+
+    Exactly-once: the per-row codes are deterministic, so the keyed
+    MERGE is idempotent at the row level AND the sink's batch-id WAL
+    makes a replayed batch a table no-op — belt and suspenders, the
+    same double guarantee a re-sharded production backfill needs. The
+    registry rides the round-9 Delta-shape manifest: concurrent
+    shard writers would conflict loudly at the numbered log, not
+    corrupt the index (tests/test_manifest_concurrency.py).
+
+    Scale shape (100 TB): per batch one Arrow-batched encode pass over
+    the shard + one MERGE that is O(touched buckets) in scan, listing,
+    and metadata; registry size is corpus x 8 ints (32x smaller than
+    the floats); the search cost is the sim_ann_pq_adc analysis
+    unchanged. Nothing about the stream accumulates driver state —
+    the only collects are the 16-row codebook and 20 query vectors.
+
+    Reference: motorway's ramps feed sinks incrementally with
+    at-least-once delivery + dedup (SURVEY §2a R5); this is that
+    contract applied to an ANN index, with the search result as the
+    verification surface."""
+    import shutil
+    import tempfile
+
+    from motorway_spark.catalog import Catalog
+    from motorway_spark.queries.similarity import (
+        _PQ_CODES_SCHEMA,
+        _pq_adc_rerank,
+        _pq_encode_factory,
+        _pq_fixed_cbn,
+        _pq_fixed_tab_rows,
+        _valid_vectors,
+        N_QUERIES,
+        PQ_M,
+    )
+    from motorway_spark.sinks.upsert import UpsertParquetSink
+    from motorway_spark.streaming.runner import stream_embeddings
+
+    global _LAST_ANN_INGEST_DIR
+    if _LAST_ANN_INGEST_DIR is not None:
+        shutil.rmtree(_LAST_ANN_INGEST_DIR, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="stream_ann_ingest_")
+    _LAST_ANN_INGEST_DIR = root
+
+    cbn = _pq_fixed_cbn(spark, sf_dir)
+    code_cols = [f"c{s}" for s in range(PQ_M)]
+    sink = UpsertParquetSink(
+        spark, f"{root}/codes", key_cols=["vec_id"], num_buckets=8
+    )
+
+    def process_batch(bdf: DataFrame, batch_id: int) -> None:
+        codes = (
+            _valid_vectors(bdf)
+            .mapInPandas(_pq_encode_factory(cbn), schema=_PQ_CODES_SCHEMA)
+            .select("vec_id", *code_cols)
+        )
+        sink.upsert_batch(codes, batch_id)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        # WAL + idempotent keyed MERGE: the flake retry needs no wipe
+        for attempt in (1, 2):
+            q = (
+                stream_embeddings(spark, sf_dir)
+                .writeStream.outputMode("append")
+                .trigger(availableNow=True)
+                .foreachBatch(process_batch)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise TimeoutError("stream did not drain within 300s")
+                break
+            except Exception as exc:  # noqa: BLE001
+                if attempt == 1 and "Python worker" in str(exc):
+                    continue
+                raise
+            finally:
+                if q.isActive:
+                    q.stop()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+
+    codes = sink.read()
+    corpus = _valid_vectors(Catalog(spark, sf_dir).embeddings).select(
+        "vec_id", "embedding"
+    )
+    q_rows = (
+        corpus.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    out = _pq_adc_rerank(spark, corpus, codes, _pq_fixed_tab_rows(q_rows, cbn))
+    # survives the next invocation's rmtree of this run's table dir
+    return out.localCheckpoint(eager=True)

@@ -85,6 +85,43 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_embeddings(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    """embeddings fixture as a streaming DataFrame SPLIT into
+    ``n_files`` parquet files with ``maxFilesPerTrigger=1``, so the
+    drain runs ``n_files`` real micro-batches — the ingest shape of an
+    embedding pipeline (each arriving shard = one incremental index
+    MERGE), not a single-batch replay. The split is staged once per
+    (fixture, n_files) under /tmp and reused; HOW rows split across
+    batches is irrelevant to consumers by design (keyed MERGEs of
+    deterministic per-row values converge to the same table under any
+    batching)."""
+    import os
+
+    from motorway_spark.catalog import sf_tag
+
+    src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    stage = f"/tmp/motorway_stream/{sf_tag(sf_dir)}/embeddings_split{n_files}"
+    done = f"{stage}/_STAGED"
+    if not os.path.exists(done):
+        (
+            spark.read.parquet(src)
+            .repartition(n_files)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        with open(done, "w") as fh:
+            fh.write("ok\n")
+    schema = spark.read.parquet(src).schema
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(stage)
+    )
+
+
 def start_and_drain(start_query, attempts: int = 2):
     """Start a StreamingQuery via ``start_query()`` (a zero-arg factory
     that must generate a FRESH sink/query name per call) and drain it

@@ -97,3 +97,47 @@ def test_ivfpq_composed_recall_floor(spark):
     exact = _top3(QUERIES["sim_knn_cosine"](spark, SF))
     r = _recall(_top3(QUERIES["sim_ann_ivfpq"](spark, SF)), exact)
     assert r >= 0.60, f"IVF-PQ recall collapsed: {r:.2f}"
+
+
+def test_rrf_fusion_consensus_and_recall(spark):
+    """sim_rank_fusion_rrf: (1) every fused neighbor must come from at
+    least one branch (RRF invents nothing); (2) a neighbor BOTH
+    branches rank in their top 3 must out-score one only a single
+    branch returned at its worst rank (the consensus property —
+    2/(k+3) > 1/(k+1) for k=60); (3) fused recall must not collapse
+    below the weaker branch's floor (measured fused 0.70 vs LSH 0.73 /
+    IVF 0.60 — consensus beats the weaker branch and approaches the
+    stronger, the RRF selling point)."""
+    fused_rows = QUERIES["sim_rank_fusion_rrf"](spark, SF).collect()
+    lsh = _top3(QUERIES["sim_ann_lsh"](spark, SF))
+    ivf = _top3(QUERIES["sim_ann_ivf_fixed"](spark, SF))
+    for r in fused_rows:
+        q, n = r["query_id"], r["neighbor_id"]
+        assert n in lsh.get(q, set()) | ivf.get(q, set()), (q, n)
+        both = r["lsh_rank"] is not None and r["ivf_rank"] is not None
+        if both:
+            assert r["rrf_score"] > 1.0 / 61.0
+    exact = _top3(QUERIES["sim_knn_cosine"](spark, SF))
+    fused = {}
+    for r in fused_rows:
+        fused.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert _recall(fused, exact) >= 0.50
+
+
+def test_stream_ann_ingest_is_multi_batch(spark):
+    """The ingest must be a REAL incremental build: the registry's
+    manifest records one committed batch per arriving shard (4-file
+    split x maxFilesPerTrigger=1), not a single-batch replay — and the
+    drained search equals the batch operator (the oracle covers that;
+    this pins the multi-batch mechanics the oracle can't see)."""
+    from motorway_spark.queries import streaming_queries as sq
+    from motorway_spark.sinks.upsert import UpsertParquetSink
+
+    df = QUERIES["stream_ann_ingest"](spark, SF)
+    assert df.count() > 0
+    root = sq._LAST_ANN_INGEST_DIR
+    sink = UpsertParquetSink(
+        spark, f"{root}/codes", key_cols=["vec_id"], num_buckets=8
+    )
+    batches = sink._processed_batches()
+    assert len(batches) >= 2, f"single-batch drain: {batches}"

@@ -176,6 +176,11 @@ NULL_PARITY = [
     # round-9: the convergence loop runs over the same valid-vector
     # corpus; NULL vectors never reach an assignment pass
     "cluster_kmeans_converged",
+    # round-9: the streaming ingest filters each micro-batch with the
+    # same valid-vector predicate before encoding; the fusion's
+    # branches abstain identically so fused ranks agree
+    "stream_ann_ingest",
+    "sim_rank_fusion_rrf",
     "sim_ann_ivfpq",
     # attribution: NULL purchase values still count as conversions
     # (COUNT(*)) and drop out of both decimal revenue sums; explicit
