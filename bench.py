@@ -126,10 +126,13 @@ BENCH_QUERIES = [
     "sim_ann_ivfpq",
     "events_attribution_touch",
     # round-9 additions: convergence-looped Lloyd (trace output),
-    # streaming PQ index ingest, reciprocal-rank fusion
+    # streaming PQ index ingest, reciprocal-rank fusion, streaming
+    # bottom-k sample, embedding drift monitor
     "cluster_kmeans_converged",
     "stream_ann_ingest",
     "sim_rank_fusion_rrf",
+    "stream_sample_reservoir",
+    "dq_embedding_drift",
 ]
 
 # Sub-noise-width timings at sf0.1: best-of-2 left three ambiguous

