@@ -183,6 +183,63 @@ for name in ("cluster_kmeans_lloyd", "sim_ann_ivf_lloyd"):
 """
 
 
+_R9_SCRIPT = _PRELUDE + r"""
+# Round-9 operators across REAL executor JVMs: the convergence loop's
+# per-iteration collected codebooks (driver control flow over bounded
+# data), the composed IVFPQ's trained chain (two encode closures + the
+# unpivoted trainer aggregate across a cross-process shuffle), and the
+# streaming ingest's manifest MERGE (foreachBatch writing through the
+# numbered-log commit protocol from out-of-process tasks). Oracle-exact
+# here = the whole pipeline replays bit-for-bit even when every stage
+# crosses process boundaries.
+#
+# Two deployment realities this scenario surfaces that the Lloyd pair
+# didn't: (1) the PQ encode closures reference the module-level
+# _leftfold_norms, so cloudpickle ships them BY REFERENCE — executor
+# Python workers must be able to import motorway_spark, exactly what
+# spark-submit --py-files / a cluster pip install provides; the repo
+# root on executorEnv.PYTHONPATH is that rung here (the Lloyd assign
+# closure is self-contained by value, which is why it never needed it —
+# without it, executors crash-loop on ModuleNotFoundError until the
+# master removes the app). (2) 2 GiB executors: the trained chain's
+# Arrow encode workers + broadcast ADC tables exceed the harness
+# default 1 GiB.
+def cluster_session_2g(app):
+    b = (
+        SparkSession.builder.master("local-cluster[2,2,2048]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.executor.memory", "2g")
+        .config("spark.executorEnv.PYTHONPATH", os.getcwd())
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()
+    import time
+    for _ in range(60):
+        n = len(spark.sparkContext._jsc.sc().statusTracker().getExecutorInfos())
+        if n >= 3:
+            break
+        time.sleep(1)
+    assert n >= 3, n
+    return spark
+
+spark = cluster_session_2g("lc-round9")
+from motorway_spark.queries import QUERIES, ORACLES
+from motorway_spark.oracle import _duckdb_con, compare_frames
+
+SF = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata").rstrip("/") + "/sf0.01"
+con = _duckdb_con(SF)
+for name in ("cluster_kmeans_converged", "sim_ann_ivfpq", "stream_ann_ingest"):
+    spark_pdf = QUERIES[name](spark, SF).toPandas()
+    problems = compare_frames(spark_pdf, con.sql(ORACLES[name]).df())
+    assert not problems, (name, problems[:3])
+    print("LC_R9_OK", name, len(spark_pdf))
+"""
+
+
 def _run(script: str, *args: str) -> str:
     proc = subprocess.run(
         [sys.executable, "-c", script, *args],
@@ -214,3 +271,8 @@ def test_local_cluster_forced_spill_oracle_exact():
 def test_local_cluster_lloyd_pair_oracle_exact():
     out = _run(_LLOYD_SCRIPT)
     assert out.count("LC_LLOYD_OK") == 2
+
+
+def test_local_cluster_round9_trio_oracle_exact():
+    out = _run(_R9_SCRIPT)
+    assert out.count("LC_R9_OK") == 3
