@@ -153,11 +153,13 @@ BENCH_FIXED_N = 46  # q1..sample_importance_weighted (rounds 1-5 core)
 # they survive regeneration (the artifact is rewritten per run).
 BENCH_NOTES = {
     "fixed46_variance_r9": (
-        "three same-code full runs during round 9 read fixed46 = "
-        "33.8 / 42.9 / 42.6s with DIFFERENT queries spiking 2-5x each "
-        "run (ivf_fixed 1.3->7.3->1.3, containment 1.7->3.7->1.9, "
-        "minhash 1.7->2.8->3.7) — noisy-neighbor host, not code drift "
-        "(none of those modules changed in round 9). Read "
+        "five same-code full runs during round 9 read fixed46 = "
+        "33.8 / 42.9 / 42.6 / 35.8 / 33.1s with DIFFERENT queries "
+        "spiking 2-5x each loaded run (ivf_fixed 1.3->7.3->1.3, "
+        "pagerank 2.5->6.7->2.7, containment 1.7->3.7->2.0) — "
+        "noisy-neighbor host, not code drift (none of those modules "
+        "changed in round 9; the closing quiet run put every spike "
+        "back at its r8 level, 0.992x on the 67 shared queries). Read "
         "round-over-round deltas from the per-query MEDIANS of the "
         "quietest run; a lone 2x move on an untouched query is load."
     ),
