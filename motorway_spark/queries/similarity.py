@@ -1374,23 +1374,37 @@ def _lloyd_fit(
             dtype=np.float64,
         )
         prev = {c: cents[k] for k, c in enumerate(cells)}
-        movement = 0
+        # Degenerate corpus (zero valid vectors) or total cell turnover:
+        # no surviving cell to measure movement over. Movement is then
+        # UNDEFINED (None), which never satisfies the tolerance, so the
+        # loop runs to the cap — matching the oracle, whose MAX over an
+        # empty c{i} JOIN c{i-1} is NULL and whose MIN-converged filter
+        # therefore falls through to KM_MAX_ITERS. (A movement=0 default
+        # here would fake convergence at iteration 1 and diverge.)
+        movement: int | None = None
         for k, c in enumerate(new_cells):
             if c in prev:
                 for j in range(DIM):
                     dm = int(math.floor(abs(new_cents[k, j] - prev[c][j]) * 1e6 + 0.5))
-                    if dm > movement:
+                    if movement is None or dm > movement:
                         movement = dm
         trace.append(
             {
                 "iter": it,
                 "n_cells": len(new_cells),
                 "movement_micro": movement,
-                "inertia_micro": sum(r["dmicro"] for r in rows),
+                # SUM over an empty assignment is NULL in the oracle
+                "inertia_micro": (
+                    sum(r["dmicro"] for r in rows) if rows else None
+                ),
             }
         )
         cells, cents = new_cells, new_cents
-        if tol_micro is not None and movement <= tol_micro:
+        if (
+            tol_micro is not None
+            and movement is not None
+            and movement <= tol_micro
+        ):
             break
     return corpus, trace, cells, cents
 
@@ -1565,8 +1579,12 @@ def cluster_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             t["iter"],
             t["n_cells"],
             t["movement_micro"],
-            t["inertia_micro"] / 1e6,
-            t["movement_micro"] <= KM_TOL_MICRO,
+            None if t["inertia_micro"] is None else t["inertia_micro"] / 1e6,
+            # NULL movement (degenerate input) -> NULL converged, like
+            # the oracle's NULL <= tol
+            None
+            if t["movement_micro"] is None
+            else t["movement_micro"] <= KM_TOL_MICRO,
         )
         for t in trace
     ]
@@ -2626,11 +2644,22 @@ def sim_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     composing two registered operators the way pipeline_dedup_funnel
     composes the dedup stages. The oracle embeds both branch oracles
     verbatim as CTEs and replays the fusion arithmetic."""
-    l = sim_ann_lsh(spark, sf_dir).select(
-        "query_id", "neighbor_id", F.col("rank").alias("lsh_rank")
+    # Materialize each branch's tiny top-k (20 x 3 rows) EAGERLY before
+    # invoking the next branch: both branches ride the exclusive
+    # CACHES.persist_swap, so building sim_ann_ivf_fixed releases
+    # sim_ann_lsh's cached corpus — a lazy LSH frame would then fully
+    # recompute from scan at action time. localCheckpoint truncates the
+    # lineage while the branch's cache is still live, so the fused join
+    # reads two materialized k-row frames.
+    l = (
+        sim_ann_lsh(spark, sf_dir)
+        .select("query_id", "neighbor_id", F.col("rank").alias("lsh_rank"))
+        .localCheckpoint(eager=True)
     )
-    i = sim_ann_ivf_fixed(spark, sf_dir).select(
-        "query_id", "neighbor_id", F.col("rank").alias("ivf_rank")
+    i = (
+        sim_ann_ivf_fixed(spark, sf_dir)
+        .select("query_id", "neighbor_id", F.col("rank").alias("ivf_rank"))
+        .localCheckpoint(eager=True)
     )
     pairs = l.join(i, ["query_id", "neighbor_id"], "full")
     score = (

@@ -1680,11 +1680,22 @@ def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.shuffle.partitions", None)
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        # WAL + idempotent keyed MERGE: the flake retry needs no wipe
+        # The flake retry reuses a DURABLE checkpoint so batch ids stay
+        # consistent across attempts: with a fresh temp checkpoint,
+        # attempt 2's ids restart at 0 while the sink's batch-id WAL
+        # still holds attempt 1's committed ids, and FileStreamSource's
+        # mtime-ordered file->batch assignment is not guaranteed stable
+        # between attempts — a not-yet-ingested shard could land in a
+        # WAL-skipped id and silently drop from the index. Resuming the
+        # same checkpoint replays exactly the uncommitted tail with its
+        # original ids (a sink-committed-but-checkpoint-torn batch
+        # replays under the SAME id and the WAL no-ops it — the keyed
+        # MERGE of deterministic codes is row-idempotent anyway).
         for attempt in (1, 2):
             q = (
                 stream_embeddings(spark, sf_dir)
                 .writeStream.outputMode("append")
+                .option("checkpointLocation", f"{root}/ckpt")
                 .trigger(availableNow=True)
                 .foreachBatch(process_batch)
                 .start()

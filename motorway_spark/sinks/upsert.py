@@ -410,13 +410,32 @@ class UpsertParquetSink:
             return
         self._write_checkpoint()
 
+    # Folded log records are RETAINED on disk for this long before a
+    # later checkpoint's cleanup removes them. Retention is what makes
+    # a fold safe under concurrent writers: a stale writer whose
+    # snapshot predates the fold will attempt to link its delta at a
+    # seq the fold covered — if that numbered name still exists, the
+    # link fails (EEXIST) and the writer takes the documented conflict
+    # path ("compaction hid the interval" -> redo from the fresh
+    # snapshot). If the name had been removed, the link would SUCCEED
+    # at a seq every reader skips (seq <= ckpt_seq): a silently lost
+    # write. Retention turns that window into the standard Delta-log
+    # contract — a writer's transaction must be shorter than log
+    # retention. Readers never replay retained folded records (they
+    # are skipped as seq <= ckpt_seq), so this is purely a namespace
+    # reservation. 0 restores immediate cleanup (single-writer only).
+    LOG_RETENTION_SEC = 24 * 3600.0
+
     def _write_checkpoint(self) -> None:
-        """Fold the current view into `_mlog/<head>.ckpt.json`, then
-        remove the records it covers (and any legacy base/log). Two
-        writers checkpointing the same head race benignly: same seq =
-        same folded state, either link wins, loser skips. A reader
-        holding the OLD checkpoint that sees records vanish re-scans
-        and finds this one (the _MlogGap path)."""
+        """Fold the current view into `_mlog/<head>.ckpt.json`; remove
+        the records it covers only once they are older than
+        ``LOG_RETENTION_SEC`` (see above), plus any legacy base/log.
+        Two writers checkpointing the same head race benignly: same
+        seq = same folded state, either link wins, loser skips. A
+        reader holding the OLD checkpoint that sees aged records
+        vanish re-scans and finds this one (the _MlogGap path)."""
+        import time
+
         m = self._m_cache
         head = self._head_seq
         snap = {
@@ -428,15 +447,23 @@ class UpsertParquetSink:
             "batches": sorted(m["batches"] | self._legacy_meta_batches()),
         }
         self._link_record(head, "ckpt", snap)
+        horizon = time.time() - self.LOG_RETENTION_SEC
+
+        def _aged(path: str) -> bool:
+            try:
+                return os.path.getmtime(path) <= horizon
+            except OSError:
+                return False
+
         ckpts, deltas = self._list_mlog()
         for seq, path in deltas:
-            if seq <= head:
+            if seq <= head and _aged(path):
                 try:
                     os.remove(path)
                 except OSError:
                     pass
         for seq, path in ckpts:
-            if seq < head:
+            if seq < head and _aged(path):
                 try:
                     os.remove(path)
                 except OSError:
@@ -1114,14 +1141,44 @@ class UpsertParquetSink:
                 return True
         return False
 
-    def vacuum(self) -> int:
+    # Unlisted files younger than this are presumed to be a LIVE
+    # writer's staged-but-uncommitted files and left alone (the Delta
+    # retention-window answer). A day dwarfs any real stage-to-link
+    # window (staging is one Spark write + a metadata link) while
+    # still collecting crashed writers' orphans on the next day's run.
+    VACUUM_RETENTION_SEC = 24 * 3600.0
+
+    def vacuum(self, retention_sec: float | None = None) -> int:
         """Remove invisible garbage: data files no manifest entry
         lists (crashed writers' orphans, replaced files whose cleanup
         crashed) and leftover non-live dirs like ``bucket=3.old`` from
         pre-rewrite crash windows. Returns the number of files removed.
+
         Safe against committed state by construction — it deletes only
-        what no reader can reach; run it when no writer is mid-commit
-        (a writer's staged-but-uncommitted files look like orphans)."""
+        what no reader can reach. Safe against CONCURRENT writers by
+        the retention window: a mid-commit writer's staged files are
+        unlisted and would look exactly like orphans, but they are
+        seconds old, and vacuum only deletes unlisted files whose
+        mtime is older than ``retention_sec`` (default
+        ``VACUUM_RETENTION_SEC``). Pass ``retention_sec=0`` for the
+        old delete-everything-unlisted behavior — correct only when no
+        writer can be mid-commit (e.g. single-writer maintenance
+        windows). Mirrors Delta's ``VACUUM ... RETAIN`` contract
+        (reference durable sink: contrib/sql_alchemy/intersections.py
+        :57-98 has no concurrent story at all — this is the Spark-
+        lakehouse completion of it)."""
+        import time
+
+        if retention_sec is None:
+            retention_sec = self.VACUUM_RETENTION_SEC
+        horizon = time.time() - retention_sec
+
+        def _expired(path: str) -> bool:
+            try:
+                return os.path.getmtime(path) <= horizon
+            except OSError:
+                return False  # vanished mid-scan: a writer owns it
+
         m = self._load_manifest()
         if m is None:
             return 0
@@ -1136,15 +1193,24 @@ class UpsertParquetSink:
             full = os.path.join(data_dir, d)
             if not mt:
                 if d.startswith("bucket=") and os.path.isdir(full):
-                    removed += sum(len(fs) for _, _, fs in os.walk(full))
-                    shutil.rmtree(full, ignore_errors=True)
+                    # pre-rewrite crash leftovers (bucket=K.old): gone
+                    # wholesale once every file inside has aged out
+                    inner = [
+                        os.path.join(r, f)
+                        for r, _, fs in os.walk(full)
+                        for f in fs
+                    ]
+                    if all(_expired(p) for p in inner):
+                        removed += len(inner)
+                        shutil.rmtree(full, ignore_errors=True)
                 continue
             ent = m["buckets"].get(mt.group(1))
             listed = set(ent["files"]) if ent else set()
             for f in os.listdir(full):
-                if f.endswith(".parquet") and f not in listed:
+                p = os.path.join(full, f)
+                if f.endswith(".parquet") and f not in listed and _expired(p):
                     try:
-                        os.remove(os.path.join(full, f))
+                        os.remove(p)
                         removed += 1
                     except OSError:
                         pass

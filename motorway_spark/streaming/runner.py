@@ -19,6 +19,19 @@ from pyspark.sql import DataFrame, SparkSession
 from motorway_spark.catalog import normalize_events_ts
 
 
+def _staging_root() -> str:
+    """Per-user staging root: multi-user hosts must not collide on the
+    ownership (or contents) of a world-shared /tmp path."""
+    import getpass
+    import os
+
+    try:
+        user = getpass.getuser()
+    except Exception:  # noqa: BLE001 - no passwd entry in some containers
+        user = str(os.getuid()) if hasattr(os, "getuid") else "anon"
+    return f"/tmp/motorway_stream_{user}"
+
+
 def _staging_dir(sf_dir: str, table: str = "events") -> str:
     """File-stream sources require a *directory*; the fixtures are bare
     files. Stage a directory with a symlink to the table's parquet
@@ -29,7 +42,7 @@ def _staging_dir(sf_dir: str, table: str = "events") -> str:
 
     from motorway_spark.catalog import sf_tag
 
-    stage = f"/tmp/motorway_stream/{sf_tag(sf_dir)}/{table}"
+    stage = f"{_staging_root()}/{sf_tag(sf_dir)}/{table}"
     os.makedirs(stage, exist_ok=True)
     target = f"{sf_dir}/{table}.parquet"
     if os.path.isdir(target):
@@ -101,18 +114,31 @@ def stream_embeddings(
 
     from motorway_spark.catalog import sf_tag
 
+    import uuid
+
     src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
-    stage = f"/tmp/motorway_stream/{sf_tag(sf_dir)}/embeddings_split{n_files}"
-    done = f"{stage}/_STAGED"
-    if not os.path.exists(done):
+    stage = f"{_staging_root()}/{sf_tag(sf_dir)}/embeddings_split{n_files}"
+    if not os.path.isdir(stage):
+        # Stage into a unique temp dir, then atomically rename into
+        # place: a second session racing this one either wins the
+        # rename (first mover) or sees the complete staged dir — never
+        # a half-written split, and never part files mutating under an
+        # ACTIVE reader (the overwrite-in-place it replaces could
+        # delete files while another session's stream was mid-drain).
+        tmp = f"{stage}.tmp.{uuid.uuid4().hex[:12]}"
         (
             spark.read.parquet(src)
             .repartition(n_files)
             .write.mode("overwrite")
-            .parquet(stage)
+            .parquet(tmp)
         )
-        with open(done, "w") as fh:
-            fh.write("ok\n")
+        try:
+            os.rename(tmp, stage)
+        except OSError:
+            # lost the race to a concurrent stager: theirs is complete
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     schema = spark.read.parquet(src).schema
     return (
         spark.readStream.schema(schema)

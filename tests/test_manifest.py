@@ -295,12 +295,15 @@ def test_manifest_log_compacts_into_checkpoint(spark, tmp_path):
             ),
             batch_id=b,
         )
-    # 6 deltas with threshold 5 -> one compaction happened: folded
-    # records removed, one checkpoint carries the merged state
+    # 6 deltas with threshold 5 -> one compaction happened: one
+    # checkpoint carries the merged state. Folded records are RETAINED
+    # (log retention — their numbered names must keep existing so a
+    # stale writer's link at a folded seq fails loudly instead of
+    # landing an invisible delta); readers skip them as seq <= ckpt.
     ckpts = _mlog_records(table, "ckpt")
-    assert len(ckpts) == 1 and ckpts[0][0] >= 5
-    assert all(s > ckpts[0][0] for s, _ in _mlog_records(table, "delta"))
-    base = ckpts[0][1]
+    assert ckpts[-1][0] >= 5  # newest ckpt carries the fold
+    assert any(s <= ckpts[-1][0] for s, _ in _mlog_records(table, "delta"))
+    base = ckpts[-1][1]
     assert sum(e["rows"] for e in base["buckets"].values()) >= 10
     assert set(base["batches"]) >= {0, 1, 2, 3, 4}  # replay markers folded
     assert sink.row_count() == 10
@@ -342,3 +345,22 @@ def test_bucket_column_name_is_reserved(spark, tmp_path):
             spark.createDataFrame([(1, 2)], "k bigint, bucket bigint"),
             batch_id=0,
         )
+
+
+def test_log_retention_zero_restores_immediate_cleanup(spark, tmp_path):
+    """LOG_RETENTION_SEC=0 (single-writer maintenance) removes folded
+    records at the fold, restoring the old bounded-log behavior."""
+    sink, table = _mk(spark, tmp_path, n=10, buckets=4)
+    sink._LOG_COMPACT_EVERY = 5
+    sink.LOG_RETENTION_SEC = 0.0
+    for b in range(1, 7):
+        sink.upsert_batch(
+            spark.createDataFrame(
+                [Row(k=b % 10, ts=b, v="c")], "k bigint, ts bigint, v string"
+            ),
+            batch_id=b,
+        )
+    ckpts = _mlog_records(table, "ckpt")
+    assert len(ckpts) == 1 and ckpts[0][0] >= 5
+    assert all(s > ckpts[0][0] for s, _ in _mlog_records(table, "delta"))
+    assert sink.row_count() == 10

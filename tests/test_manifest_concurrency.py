@@ -220,7 +220,10 @@ def test_two_writers_overlapping_bucket_loser_redoes_merge(spark, tmp_path):
 def test_crashed_writer_orphans_invisible_and_vacuumed(spark, tmp_path):
     """A writer that crashes AFTER staging but BEFORE its commit link
     leaves uniquely-named files no manifest entry lists: readers never
-    see them, row_count is unchanged, and vacuum() removes them."""
+    see them, row_count is unchanged, and vacuum() removes them — but
+    only once they age past the retention window (a YOUNG unlisted
+    file is indistinguishable from a live writer's staged files, so
+    default-retention vacuum must leave it alone)."""
     table = _mk_table(spark, tmp_path)
     sink = UpsertParquetSink(spark, table, key_cols=["k"], num_buckets=8)
     m = sink._load_manifest()
@@ -230,7 +233,10 @@ def test_crashed_writer_orphans_invisible_and_vacuumed(spark, tmp_path):
     shutil.copyfile(f"{live}/{ent['files'][0]}", orphan)
     assert sink.row_count() == 40  # invisible
     assert {r["k"] for r in sink.read().collect()} == set(range(40))
-    removed = sink.vacuum()
+    # seconds old -> presumed staged by a live writer -> retained
+    assert sink.vacuum() == 0 and os.path.exists(orphan)
+    # aged past retention (here: window collapsed to 0) -> collected
+    removed = sink.vacuum(retention_sec=0)
     assert removed >= 1 and not os.path.exists(orphan)
     # listed files untouched
     assert all(os.path.isfile(f"{live}/{f}") for f in ent["files"])
@@ -250,7 +256,7 @@ def test_bootstrap_tolerates_legacy_old_dirs(spark, tmp_path):
     sink = UpsertParquetSink(spark, table, key_cols=["k"], num_buckets=8)
     sink.upsert_batch(_row_df(spark, 1, 999, "up"), batch_id=5)  # no raise
     assert sink.row_count() == 40
-    sink.vacuum()
+    sink.vacuum(retention_sec=0)
     assert not os.path.exists(junk)
 
 
@@ -296,3 +302,110 @@ def test_stress_many_concurrent_batches_converge(spark, tmp_path):
     got = {r["k"]: r["v"] for r in viewer.read().collect()}
     assert all(got[1000 + i] == f"w{i}" for i in range(1, 7))
     assert viewer.row_count() == 16
+
+
+def test_vacuum_during_live_writer_stage_to_link_window(spark, tmp_path):
+    """Round-9 verdict task: vacuum runs DURING another writer's
+    stage-to-link window. The writer's staged files are unlisted (they
+    look exactly like crashed-writer orphans), but they are seconds
+    old — retention-aged vacuum must leave them alone, and the
+    writer's commit must read back intact afterwards. (With
+    retention=0 this vacuum would delete the staged files between
+    staging and the commit link, after which the winning commit
+    references missing files — the round-9 hazard.)"""
+    import time
+
+    table = _mk_table(spark, tmp_path)
+    barrier = threading.Barrier(2)
+    w = RacingSink(
+        spark, table, key_cols=["k"], num_buckets=8, barrier=barrier
+    )
+    t = threading.Thread(
+        target=w.upsert_batch, args=(_row_df(spark, 900, 1, "live"), 77)
+    )
+    t.start()
+    deadline = time.time() + 180
+    while barrier.n_waiting < 1:  # writer parked: staged, pre-link
+        assert time.time() < deadline, "writer never reached the barrier"
+        time.sleep(0.01)
+    viewer = UpsertParquetSink(spark, table, key_cols=["k"], num_buckets=8)
+    m = viewer._load_manifest()
+    listed = {
+        f for ent in m["buckets"].values() for f in ent["files"]
+    }
+    on_disk = {
+        f
+        for d in os.listdir(f"{table}/data")
+        if d.startswith("bucket=")
+        for f in os.listdir(f"{table}/data/{d}")
+        if f.endswith(".parquet")
+    }
+    staged_now = on_disk - listed
+    assert staged_now, "hazard not exercised: no staged files visible"
+    assert viewer.vacuum() == 0  # default retention: staged files kept
+    barrier.wait(timeout=60)  # release the writer's commit link
+    t.join(timeout=300)
+    assert not t.is_alive()
+    got = {r["k"]: r["v"] for r in viewer.read().collect()}
+    assert got[900] == "live"
+    assert viewer.row_count() == 41
+    # the writer's committed bucket holds exactly its manifest-listed
+    # files — nothing the commit references was vacuumed away
+    m2 = viewer._load_manifest()
+    for k, ent in m2["buckets"].items():
+        live = f"{table}/data/bucket={k}"
+        assert all(os.path.isfile(f"{live}/{f}") for f in ent["files"])
+
+
+def test_fold_racing_stale_writer_redoes_from_fresh_snapshot(spark, tmp_path):
+    """Round-9 verdict task: a checkpoint FOLD races a writer holding a
+    pre-fold snapshot. The stale writer's commit link lands on a seq
+    the fold covered; because folded records are RETAINED (log
+    retention), the link fails with EEXIST, the writer sees
+    ckpt_seq > read_seq ("compaction hid the interval"), redoes the
+    merge from the fresh snapshot, and converges — its delta lands
+    ABOVE the checkpoint where readers replay it. (If the fold had
+    removed the folded names immediately, the stale link would SUCCEED
+    at a seq every reader skips: a silently lost write.)"""
+    import time
+
+    table = _mk_table(spark, tmp_path)
+    barrier = threading.Barrier(2)
+    a = RacingSink(
+        spark, table, key_cols=["k"], num_buckets=8, barrier=barrier
+    )
+    t = threading.Thread(
+        target=a.upsert_batch, args=(_row_df(spark, 901, 1, "stale"), 81)
+    )
+    t.start()
+    deadline = time.time() + 180
+    while barrier.n_waiting < 1:  # A parked: snapshot + staged, pre-link
+        assert time.time() < deadline, "writer never reached the barrier"
+        time.sleep(0.01)
+    # B pushes the head past A's snapshot and forces a FOLD
+    b = UpsertParquetSink(spark, table, key_cols=["k"], num_buckets=8)
+    b._LOG_COMPACT_EVERY = 2
+    for i in range(3):
+        b.upsert_batch(_row_df(spark, 910 + i, i, f"b{i}"), batch_id=82 + i)
+    names = os.listdir(f"{table}/_mlog")
+    ckpt_seqs = [
+        int(n.split(".")[0]) for n in names if n.endswith(".ckpt.json")
+    ]
+    assert ckpt_seqs and max(ckpt_seqs) > 1, "fold did not happen"
+    barrier.wait(timeout=60)  # release A's (now stale) commit attempt
+    t.join(timeout=300)
+    assert not t.is_alive()
+    assert a.stage_calls == 2  # conflict detected -> merge redone
+    viewer = UpsertParquetSink(spark, table, key_cols=["k"], num_buckets=8)
+    got = {r["k"]: r["v"] for r in viewer.read().collect()}
+    assert got[901] == "stale"
+    assert all(got[910 + i] == f"b{i}" for i in range(3))
+    assert viewer.row_count() == 44
+    # A's committed delta is visible to replay: strictly above the fold
+    deltas = [
+        int(n.split(".")[0])
+        for n in os.listdir(f"{table}/_mlog")
+        if n.endswith(".delta.json")
+    ]
+    a_seq = max(deltas)
+    assert a_seq > max(ckpt_seqs)
