@@ -147,6 +147,9 @@ class UpsertParquetSink:
         # parsed-manifest cache, revalidated against the log listing
         self._m_cache: dict | None = None
         self._m_stat = ("unset",)
+        # bucket counts tolerated by the mismatch check while a
+        # rebucket() migration this instance runs is in flight
+        self._rebucket_allowed: frozenset[int] = frozenset()
         self._head_seq = -1  # highest committed record seq
         self._ckpt_seq = -1  # seq of the checkpoint the view is based on
         self._delta_touch: dict[int, frozenset[str]] = {}  # seq -> bucket keys
@@ -275,6 +278,8 @@ class UpsertParquetSink:
                 rec = json.load(fh)
             if rec.get("schema"):
                 m["schema"] = rec["schema"]
+            if rec.get("num_buckets") is not None:
+                m["num_buckets"] = rec["num_buckets"]  # rebucket record
             for k, ent in rec.get("buckets", {}).items():
                 if ent is None:
                     m["buckets"].pop(k, None)
@@ -308,12 +313,17 @@ class UpsertParquetSink:
             raise RuntimeError(
                 f"manifest log chain has a persistent gap: {last}"
             )
-        if m is not None and m.get("num_buckets") != self.num_buckets:
+        if (
+            m is not None
+            and m.get("num_buckets") != self.num_buckets
+            and m.get("num_buckets") not in self._rebucket_allowed
+        ):
             raise ValueError(
                 f"sink constructed with num_buckets={self.num_buckets} over "
                 f"a table whose manifest records num_buckets="
                 f"{m.get('num_buckets')}; keys would hash to the wrong "
-                "buckets — use the table's own bucket count"
+                "buckets — use the table's own bucket count, or migrate "
+                "the table with rebucket(n)"
             )
         self._m_cache, self._m_stat = m, cur
         self._ckpt_seq, self._head_seq, self._delta_touch = ckpt_seq, head, touch
@@ -345,6 +355,8 @@ class UpsertParquetSink:
         m = self._m_cache
         if rec.get("schema"):
             m["schema"] = rec["schema"]
+        if rec.get("num_buckets") is not None:
+            m["num_buckets"] = rec["num_buckets"]
         for k, ent in rec.get("buckets", {}).items():
             if ent is None:
                 m["buckets"].pop(k, None)
@@ -441,7 +453,9 @@ class UpsertParquetSink:
         snap = {
             "version": 1,
             "seq": head,
-            "num_buckets": self.num_buckets,
+            # the cache's count, not the instance's: a just-committed
+            # rebucket record must fold with its NEW count
+            "num_buckets": m.get("num_buckets", self.num_buckets),
             "schema": m.get("schema"),
             "buckets": m["buckets"],
             "batches": sorted(m["batches"] | self._legacy_meta_batches()),
@@ -815,11 +829,13 @@ class UpsertParquetSink:
         drop_missing: bool,
         batch_id: int | None,
         op: str,
+        rec_extra: dict | None = None,
     ) -> str:
         """Stage + optimistic commit of one write against snapshot
         ``m``@``read_seq``. Returns 'ok' | 'batch' | 'conflict'
         ('conflict' means: staged files were discarded, the caller
-        must redo from a fresh snapshot)."""
+        must redo from a fresh snapshot). ``rec_extra`` merges extra
+        fields into the commit record (rebucket's num_buckets)."""
         schema_json = new_df.schema.json()
         try:
             entries, replaced, staged = self._stage(
@@ -836,6 +852,8 @@ class UpsertParquetSink:
             raise
         rec: dict = {"op": op, "batch_id": batch_id, "buckets": entries,
                      "replaced": replaced}
+        if rec_extra:
+            rec.update(rec_extra)
         if m.get("schema") != schema_json:
             rec["schema"] = schema_json
         status = self._try_commit(rec, read_seq, set(entries), batch_id)
@@ -1220,6 +1238,84 @@ class UpsertParquetSink:
                 except OSError:
                     pass
         return removed
+
+    def rebucket(self, new_num_buckets: int) -> None:
+        """Migrate the table to a different bucket count — the sizing
+        knob the num_buckets-mismatch refusal points at. One commit
+        record replaces EVERY bucket entry and updates ``num_buckets``,
+        going through the same numbered-log optimistic protocol as any
+        write:
+
+        - the record touches every bucket, so ANY concurrent commit
+          between our snapshot and our link is a conflict -> this
+          migrator redoes from the fresh snapshot;
+        - a concurrent writer still holding the OLD count that commits
+          after the migration wins loses its link race, reloads, and
+          hits the num_buckets-mismatch refusal — conflicting loudly
+          mid-migration instead of hashing keys to the wrong buckets;
+        - the rewrite itself is one partitionBy(bucket) shuffle of the
+          table — O(table), the unavoidable cost of resharding — with
+          files staged additively and old files deleted only after the
+          commit wins (crash windows leave retention-aged orphans for
+          vacuum, never a half-migrated table).
+
+        Post-migration the instance continues under the new count.
+        At 100 TB this is the maintenance op that keeps the manifest's
+        O(touched-buckets) MERGE cost matched to corpus growth
+        (SCALE.md's num_buckets sizing note)."""
+        if new_num_buckets < 1:
+            raise ValueError("num_buckets must be >= 1")
+        if new_num_buckets == self.num_buckets:
+            return
+        old_n = self.num_buckets
+        self._rebucket_allowed = frozenset({old_n, new_num_buckets})
+        try:
+            for _ in range(self._MAX_COMMIT_RETRIES):
+                m = self._load_manifest(force=True)
+                if m is None:
+                    m = self._bootstrap_manifest()
+                if m.get("num_buckets") == new_num_buckets:
+                    break  # another migrator already landed this count
+                old_ids = sorted(int(k) for k in m["buckets"])
+                read_seq = self._head_seq
+                affected = sorted(set(old_ids) | set(range(new_num_buckets)))
+                snap = self._read_buckets(m, old_ids)
+                extra = {"num_buckets": new_num_buckets}
+                if snap is None:
+                    # empty table: metadata-only migration
+                    rec = {
+                        "op": "rebucket",
+                        "batch_id": None,
+                        "buckets": {},
+                        "replaced": {},
+                        **extra,
+                    }
+                    if self._try_commit(rec, read_seq, set(), None) == "ok":
+                        break
+                    continue
+                new_df = snap.drop("bucket").withColumn(
+                    "bucket",
+                    F.pmod(F.hash(*self.key_cols), F.lit(new_num_buckets)),
+                )
+                status = self._commit_write(
+                    m,
+                    read_seq,
+                    new_df,
+                    affected,
+                    drop_missing=True,
+                    batch_id=None,
+                    op="rebucket",
+                    rec_extra=extra,
+                )
+                if status == "ok":
+                    break
+            else:
+                raise CommitConflict(
+                    f"rebucket: gave up after {self._MAX_COMMIT_RETRIES} redos"
+                )
+            self.num_buckets = new_num_buckets
+        finally:
+            self._rebucket_allowed = frozenset()
 
     def foreach_batch(self):
         """The callable to hand to ``writeStream.foreachBatch``."""
