@@ -166,3 +166,21 @@ def test_reservoir_sample_is_deterministic_and_bounded(spark):
     b = [tuple(r) for r in QUERIES["stream_sample_reservoir"](spark, SF).collect()]
     assert a == b
     assert len(a) == _RESERVOIR_K
+
+
+def test_ivfpq_residual_recall_floor_and_lower_nprobe_claim(spark):
+    """sim_ann_ivfpq_residual: residual encoding on normalized-space
+    cells must EARN its rung — measured 0.767 recall@3 at probe 4
+    (coarse4/rerank100 knee, grid at similarity.IVFPQ_RES_PROBE),
+    above the raw-encoding operator's 0.717 at probe 6. Floor at 0.70
+    keeps the ship point from silently degrading (margin for fixture
+    regeneration); the >= raw assertion pins the lower-nprobe claim
+    the operator exists for."""
+    exact = _top3(QUERIES["sim_knn_cosine"](spark, SF))
+    res = _recall(_top3(QUERIES["sim_ann_ivfpq_residual"](spark, SF)), exact)
+    assert res >= 0.70, f"residual IVFPQ recall collapsed: {res:.2f}"
+    raw = _recall(_top3(QUERIES["sim_ann_ivfpq"](spark, SF)), exact)
+    assert res >= raw - 0.02, (
+        f"residual@probe4 ({res:.2f}) fell below raw@probe6 ({raw:.2f}) - "
+        "the lower-nprobe claim no longer holds"
+    )
