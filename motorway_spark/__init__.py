@@ -23,6 +23,7 @@ per-row in a hot path.
 from motorway_spark.session import get_session, stop_session
 from motorway_spark.catalog import Catalog, load_tables
 from motorway_spark.decorators import batch_process
+from motorway_spark.sqlapi import sql
 
 __version__ = "0.1.0"
 
@@ -32,5 +33,6 @@ __all__ = [
     "Catalog",
     "load_tables",
     "batch_process",
+    "sql",
     "__version__",
 ]

@@ -43,6 +43,7 @@ from motorway_spark.queries import tpch_extra  # noqa: F401,E402
 from motorway_spark.queries import joins  # noqa: F401,E402
 from motorway_spark.queries import relational  # noqa: F401,E402
 from motorway_spark.queries import windows  # noqa: F401,E402
+from motorway_spark.queries import sql_facade  # noqa: F401,E402
 
 # Explicit sweep priority (round 9). The driver's per-round correctness
 # budget is ~50 queries, taken in registration order. Merged latest-row

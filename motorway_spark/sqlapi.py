@@ -1,0 +1,47 @@
+"""SQL string façade — drive the engine the way its users would.
+
+``motorway_spark.sql("SELECT ...", sf_dir)`` parses an SQL string
+against the registered catalog views (the ten fixture tables) and
+returns the resulting DataFrame, making the whole engine scriptable
+from a single string: no DataFrame code, no manual view registration.
+
+Only the tables the query actually references are registered (each
+registration is a driver-side parquet-footer read, so registering all
+ten for a one-table query is measurable per-call overhead — the
+register_temp_views contract). Reference matching is a word-boundary
+scan, which over-registers on a table name inside a string literal —
+harmless, never under-registers for the fixture names.
+
+At 100 TB nothing changes: the views are lazy ``spark.read.parquet``
+scans, so predicate pushdown, column pruning and partition pruning
+apply to a façade query exactly as they do to the DataFrame API
+(Catalyst sees the identical logical plan either way).
+
+Reference: motorway has no query language at all (SURVEY.md §4.1);
+this is the north-star surface that makes the engine usable from SQL
+alone. The sql_facade_* registry queries prove the contract by running
+ONE ANSI string on Spark via this façade AND on DuckDB as the oracle.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from motorway_spark.catalog import Catalog, DEFAULT_SF_DIR, TABLES
+
+
+def sql(
+    query: str,
+    sf_dir: str = DEFAULT_SF_DIR,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """Run ``query`` against the catalog views over ``sf_dir``."""
+    if spark is None:
+        from motorway_spark.session import get_session
+
+        spark = get_session("motorway-sql")
+    refs = tuple(t for t in TABLES if re.search(rf"\b{t}\b", query))
+    Catalog(spark, sf_dir).register_temp_views(only=refs or None)
+    return spark.sql(query)
