@@ -45,21 +45,76 @@ from motorway_spark.queries import relational  # noqa: F401,E402
 from motorway_spark.queries import windows  # noqa: F401,E402
 from motorway_spark.queries import sql_facade  # noqa: F401,E402
 
-# Explicit sweep priority (round 9). The driver's per-round correctness
-# budget is ~50 queries, taken in registration order. Merged latest-row
-# distribution after round 8: r08:50 / r07:50 / r06:50 / r05:49 / r04:32,
-# zero fails ever. This head = the three queries whose PLANS changed in
-# round 9 after their latest driver row (sim_ann_pq_lloyd's trainer was
-# rewritten to one unpivoted aggregate; agg_histogram_equidepth and
-# orders_rfm_segments ride distributed_ntile, whose runtime reuse guard
-# flipped the counts join to LEFT) — the sweep-freshness discipline says
-# changed-after-sweep goes FIRST — then the ENTIRE 32-query r04-stale
-# cohort (the declared R8B tier plus the five it omitted:
-# agg_corr_regression, events_funnel, scan_schema_evolution,
-# sql_api_group_by_all, win_time_interval_frame), then the
-# changed-in-round-5 tier of the r05 cohort to fill the ~50 budget.
-# After this round NO query's latest driver row is older than r05.
+# Explicit sweep priority (round 10). The driver's per-round
+# correctness budget is ~50 queries, taken in registration order.
+# Merged latest-row distribution after round 9: r09:50 / r08:48 /
+# r07:48 / r06:50 / r05:40, zero fails ever. This head = the six
+# queries NEW in round 10 (the residual IVFPQ rung and the five
+# SQL-façade one-string-two-engines entries), then the three round-9
+# queries whose code changed in round 10 after their latest driver
+# row (stream_ann_ingest's retry now reuses a durable checkpoint;
+# sim_rank_fusion_rrf materializes its branches eagerly;
+# cluster_kmeans_converged's trainer handles the degenerate empty
+# assignment) — changed-after-sweep goes FIRST — then the ENTIRE
+# 40-query r05-stale cohort, which exactly fills the budget. After
+# this round NO query's latest driver row is older than r06.
 _SWEEP_PRIORITY = [
+    # -- new in round 10 --
+    "sim_ann_ivfpq_residual",  # FAISS-parity residual IVFPQ, recall .77@probe4
+    "sql_facade_q1_pricing",  # one ANSI string, two engines (Q1)
+    "sql_facade_q6_revenue",  # façade Q6 tight-filter aggregate
+    "sql_facade_exists_semijoin",  # façade correlated EXISTS (Q4)
+    "sql_facade_topk_window",  # façade window-rank top-k
+    "sql_facade_join_agg",  # façade join+aggregate
+    # -- code changed in round 10 after the latest driver row: first --
+    "stream_ann_ingest",  # flake retry rides a durable checkpoint now
+    "sim_rank_fusion_rrf",  # branches materialized before cache swap
+    "cluster_kmeans_converged",  # empty-assignment movement=None parity
+    # -- latest driver row is ROUND 5 (all 40: retire the cohort) --
+    "wordcount",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "agg_basic",
+    "agg_stats",
+    "agg_collect",
+    "agg_rollup",
+    "agg_cube",
+    "agg_percentile",
+    "agg_approx_distinct",
+    "agg_salted_skew",
+    "q12_shipmode_buckets",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q22_acctbal_subquery",
+    "agg_having",
+    "sql_api_q7_volume",
+    "q8_market_share",
+    "q3_shipping_priority",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_theta_buckets",
+    "join_broadcast_dim",
+    "q4_order_priority",
+    "win_ranking",
+    "win_lag_lead",
+    "win_running",
+    "win_range_frame",
+    "win_first_last",
+    "multimodal_decode_features",
+    "embedding_random_projection",
+    "dedup_semantic_semdedup",
+    "pipeline_corpus_curation",
+    "sample_importance_weighted",
+    "graph_pagerank_bipartite",
+    "events_changepoint_cusum",
+]
+
+# Round-9 head kept below: everything here has an r9 driver row already.
+_SWEEP_PRIORITY_R9 = [
     # -- new in round 9 --
     "cluster_kmeans_converged",  # convergence-looped Lloyd, trace output
     "stream_ann_ingest",  # streaming PQ index build, = batch bit-for-bit
@@ -529,6 +584,7 @@ def _reorder_for_sweep() -> None:
         n: QUERIES[n]
         for n in (
             *_SWEEP_PRIORITY,
+            *_SWEEP_PRIORITY_R9,
             *_SWEEP_PRIORITY_R8,
             *_SWEEP_PRIORITY_R8B,
             *_SWEEP_PRIORITY_R7,
