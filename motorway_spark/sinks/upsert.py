@@ -830,12 +830,16 @@ class UpsertParquetSink:
         batch_id: int | None,
         op: str,
         rec_extra: dict | None = None,
+        append: bool = False,
     ) -> str:
         """Stage + optimistic commit of one write against snapshot
         ``m``@``read_seq``. Returns 'ok' | 'batch' | 'conflict'
         ('conflict' means: staged files were discarded, the caller
         must redo from a fresh snapshot). ``rec_extra`` merges extra
-        fields into the commit record (rebucket's num_buckets)."""
+        fields into the commit record (rebucket's num_buckets).
+        ``append``: the staged files ADD to each touched bucket
+        (entries union with the snapshot's, nothing is replaced) —
+        callers must have proven key-disjointness first."""
         schema_json = new_df.schema.json()
         try:
             entries, replaced, staged = self._stage(
@@ -850,12 +854,23 @@ class UpsertParquetSink:
                 self._load_manifest(force=True)
                 return "conflict"
             raise
+        if append:
+            entries = {
+                k: self._entry_union(m["buckets"].get(k), ent)
+                for k, ent in entries.items()
+                if ent is not None
+            }
+            replaced = {k: [] for k in entries}
         rec: dict = {"op": op, "batch_id": batch_id, "buckets": entries,
                      "replaced": replaced}
         if rec_extra:
             rec.update(rec_extra)
         if m.get("schema") != schema_json:
-            rec["schema"] = schema_json
+            # append proved the schemas equal modulo nullability: keep
+            # the table's recorded schema (the nullable superset) so a
+            # non-nullable ingest batch can't narrow what readers see
+            if not (append and m.get("schema")):
+                rec["schema"] = schema_json
         status = self._try_commit(rec, read_seq, set(entries), batch_id)
         if status == "ok":
             self._cleanup_replaced(entries, replaced)
@@ -906,11 +921,30 @@ class UpsertParquetSink:
         out_cols = list(batch.columns)
         batch = batch.withColumn("bucket", self._bucket_expr())
 
-        # the buckets this batch touches — bounded by num_buckets, so
-        # the collect is a tiny driver list, not data
-        affected = sorted(
-            r["bucket"] for r in batch.select("bucket").distinct().collect()
-        )
+        # The buckets this batch touches — bounded by num_buckets, so
+        # the collect is a tiny driver list, not data. For single-key
+        # tables the SAME job also returns each touched bucket's key
+        # range and null count, the inputs to the append fast path.
+        branges: dict[int, tuple] | None = None
+        if len(self.key_cols) == 1:
+            kc = self.key_cols[0]
+            brows = (
+                batch.groupBy("bucket")
+                .agg(
+                    F.min(kc).alias("lo"),
+                    F.max(kc).alias("hi"),
+                    F.sum(F.col(kc).isNull().cast("int")).alias("nnull"),
+                )
+                .collect()
+            )
+            affected = sorted(r["bucket"] for r in brows)
+            if all(r["nnull"] == 0 for r in brows):
+                branges = {r["bucket"]: (r["lo"], r["hi"]) for r in brows}
+        else:
+            affected = sorted(
+                r["bucket"]
+                for r in batch.select("bucket").distinct().collect()
+            )
 
         for _ in range(self._MAX_COMMIT_RETRIES):
             m = self._load_manifest()
@@ -924,42 +958,146 @@ class UpsertParquetSink:
             # conflicting writer and force a pointless redo
             m = self._heal_if_stale(m, affected)
             read_seq = self._head_seq
-            target = self._read_buckets(m, affected, heal=False)
-            if target is None:
-                merged = batch
-            else:
-                b = batch.alias("b")
-                t = target.alias("t")
-                cond = [
-                    F.col(f"b.{k}").eqNullSafe(F.col(f"t.{k}"))
-                    for k in self.key_cols
-                ]
-                merged = t.join(b, cond, "full").select(
-                    *[
-                        F.coalesce(F.col(f"b.{c}"), F.col(f"t.{c}")).alias(c)
-                        for c in out_cols
-                    ],
-                    F.coalesce(F.col("b.bucket"), F.col("t.bucket")).alias(
-                        "bucket"
-                    ),
+            if self._append_provably_disjoint(m, branges, batch):
+                # APPEND fast path: footer stats prove the batch's key
+                # range is disjoint from every touched bucket (the
+                # monotone-id ingest shape — new vectors, new events,
+                # new orders), so the MERGE's read-old/join/rewrite is
+                # provably a no-op. Stage one additive file per bucket
+                # and union the manifest entries — O(|batch|) total,
+                # independent of how big the touched buckets already
+                # are. This is what keeps steady-state ingest cost
+                # shard-sized at 100 TB (the copy-on-write rewrite
+                # stays O(touched-bucket CONTENTS), which for a
+                # uniform-hash shard is ~the table).
+                status = self._commit_write(
+                    m,
+                    read_seq,
+                    batch,
+                    affected,
+                    drop_missing=False,
+                    batch_id=batch_id,
+                    op="append",
+                    append=True,
                 )
-            status = self._commit_write(
-                m,
-                read_seq,
-                merged,
-                affected,
-                drop_missing=False,
-                batch_id=batch_id,
-                op="merge",
-            )
+            else:
+                target = self._read_buckets(m, affected, heal=False)
+                if target is None:
+                    merged = batch
+                else:
+                    b = batch.alias("b")
+                    t = target.alias("t")
+                    cond = [
+                        F.col(f"b.{k}").eqNullSafe(F.col(f"t.{k}"))
+                        for k in self.key_cols
+                    ]
+                    merged = t.join(b, cond, "full").select(
+                        *[
+                            F.coalesce(F.col(f"b.{c}"), F.col(f"t.{c}")).alias(c)
+                            for c in out_cols
+                        ],
+                        F.coalesce(F.col("b.bucket"), F.col("t.bucket")).alias(
+                            "bucket"
+                        ),
+                    )
+                status = self._commit_write(
+                    m,
+                    read_seq,
+                    merged,
+                    affected,
+                    drop_missing=False,
+                    batch_id=batch_id,
+                    op="merge",
+                )
             if status in ("ok", "batch"):
                 return
-            # 'conflict': a winner touched our buckets — redo the merge
-            # against the fresh snapshot (loop)
+            # 'conflict': a winner touched our buckets — redo against
+            # the fresh snapshot (loop; the append proof re-evaluates
+            # against the winner's updated stats and may fall back)
         raise CommitConflict(
             f"upsert_batch(batch_id={batch_id}): gave up after "
             f"{self._MAX_COMMIT_RETRIES} overlapping-commit redos"
         )
+
+    def _append_provably_disjoint(
+        self, m: dict, branges: dict[int, tuple] | None, batch: DataFrame
+    ) -> bool:
+        """True when the manifest's footer stats PROVE the batch can be
+        appended instead of merged: single numeric key, no NULL keys in
+        the batch, batch schema identical to the table's, and every
+        touched bucket's existing [min, max] on the key is disjoint
+        from the batch's range in that bucket (a missing bucket is
+        trivially appendable). Strings are excluded — parquet footer
+        stats may be truncated for long strings, which would make the
+        disjointness proof unsound."""
+        if not branges:
+            return False
+        tschema = m.get("schema")
+        if tschema is not None and self._schema_key(
+            tschema
+        ) != self._schema_key(batch.schema.json()):
+            return False  # heterogeneous files need the rewrite path
+        kc = self.key_cols[0]
+        for k, (lo, hi) in branges.items():
+            ent = m["buckets"].get(str(k))
+            if ent is None:
+                continue
+            bmin, bmax = ent["min"].get(kc), ent["max"].get(kc)
+            vals = (lo, hi, bmin, bmax)
+            if any(
+                v is None or isinstance(v, bool) or not isinstance(v, (int, float))
+                for v in vals
+            ):
+                return False
+            if not (lo > bmax or hi < bmin):
+                return False
+        return True
+
+    @staticmethod
+    def _schema_key(schema_json: str) -> str:
+        """Schema identity modulo nullability: a merge rewrites buckets
+        through COALESCE expressions (everything nullable), while an
+        ingest batch off spark.range is non-nullable — same columns,
+        same types, interchangeable parquet files. Comparing the raw
+        JSON would flip every post-merge table back to the slow path
+        forever (measured: the 2k-row append read as a full-table
+        merge). Nullability is erased recursively; names and types
+        must still match exactly."""
+
+        def strip(node):
+            if isinstance(node, dict):
+                return {
+                    k: strip(v) for k, v in node.items() if k != "nullable"
+                }
+            if isinstance(node, list):
+                return [strip(v) for v in node]
+            return node
+
+        return json.dumps(strip(json.loads(schema_json)), sort_keys=True)
+
+    @staticmethod
+    def _entry_union(old: dict | None, new: dict) -> dict:
+        """Manifest entry for old-files + appended-files: file lists
+        concatenate, row counts add, and a column's stats survive only
+        when BOTH sides carry them (range = union) — a column with
+        usable stats on one side only is dropped, so pruning never
+        trusts a bound the appended rows were not checked against."""
+        if old is None:
+            return new
+        mins = {
+            c: min(old["min"][c], new["min"][c])
+            for c in set(old["min"]) & set(new["min"])
+        }
+        maxs = {
+            c: max(old["max"][c], new["max"][c])
+            for c in set(old["max"]) & set(new["max"])
+        }
+        return {
+            "files": sorted(old["files"] + new["files"]),
+            "rows": old["rows"] + new["rows"],
+            "min": mins,
+            "max": maxs,
+        }
 
     # -- maintenance: bucket-pruned deletes ------------------------------
     def delete_keys(self, keys_df: DataFrame) -> int:

@@ -228,8 +228,10 @@ def test_manifest_commits_are_numbered_log_deltas(spark, tmp_path):
     assert _mlog_records(table, "ckpt") == ckpts0  # untouched by commits
     deltas = _mlog_records(table, "delta")
     assert [s for s, _ in deltas] == [1, 2, 3, 4]  # contiguous chain
-    merges = [r for _, r in deltas if r["op"] == "merge"]
-    assert [r["batch_id"] for r in merges] == [0, 1, 2, 3]
+    # batch 0 loads an EMPTY table (trivially disjoint -> append fast
+    # path); batches 1-3 update an existing key -> full merge
+    assert [r["op"] for _, r in deltas] == ["append", "merge", "merge", "merge"]
+    assert [r["batch_id"] for _, r in deltas] == [0, 1, 2, 3]
     assert all(len(r["buckets"]) == 1 for _, r in deltas[1:])  # one bucket
     # merged view = checkpoint + replay: the touched bucket reflects the
     # LAST delta (ts=3 won the within-batch sort), untouched buckets intact
