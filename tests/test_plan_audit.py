@@ -757,3 +757,15 @@ def test_pq_lloyd_training_encodes_at_most_twice(spark, monkeypatch):
         f"encode ran {acc.value} partition-tasks; expected at most "
         f"2 executions x {npart} partitions"
     )
+
+
+def test_ivfpq_residual_broadcasts_and_no_cartesian(spark):
+    """sim_ann_ivfpq_residual: same physical discipline as the raw
+    operator — the probe list, per-cell ADC tables, and query vectors
+    all BROADCAST (the corpus never shuffles against 20-row sides) and
+    nothing in the residual chain degenerates into a cartesian
+    product. The cell-aware table join stays a broadcast integer
+    lookup."""
+    plan = _plan(spark, "sim_ann_ivfpq_residual")
+    assert plan.count("BroadcastExchange") >= 3
+    assert "CartesianProduct" not in plan
