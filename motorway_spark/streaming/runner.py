@@ -105,19 +105,25 @@ def stream_embeddings(
     ``n_files`` parquet files with ``maxFilesPerTrigger=1``, so the
     drain runs ``n_files`` real micro-batches — the ingest shape of an
     embedding pipeline (each arriving shard = one incremental index
-    MERGE), not a single-batch replay. The split is staged once per
+    MERGE), not a single-batch replay. The split is RANGE-partitioned
+    on vec_id — shards arrive as id ranges, how production embedding
+    shards actually land — which lets a manifest-sink consumer prove
+    per-shard key-disjointness from footer stats and ride the append
+    fast path after the first shard. The split is staged once per
     (fixture, n_files) under /tmp and reused; HOW rows split across
-    batches is irrelevant to consumers by design (keyed MERGEs of
-    deterministic per-row values converge to the same table under any
-    batching)."""
+    batches is irrelevant to consumers' RESULTS by design (keyed
+    MERGEs of deterministic per-row values converge to the same table
+    under any batching — only the ingest COST changes)."""
     import os
+
+    from pyspark.sql import functions as F
 
     from motorway_spark.catalog import sf_tag
 
     import uuid
 
     src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
-    stage = f"{_staging_root()}/{sf_tag(sf_dir)}/embeddings_split{n_files}"
+    stage = f"{_staging_root()}/{sf_tag(sf_dir)}/embeddings_rsplit{n_files}"
     if not os.path.isdir(stage):
         # Stage into a unique temp dir, then atomically rename into
         # place: a second session racing this one either wins the
@@ -128,7 +134,7 @@ def stream_embeddings(
         tmp = f"{stage}.tmp.{uuid.uuid4().hex[:12]}"
         (
             spark.read.parquet(src)
-            .repartition(n_files)
+            .repartitionByRange(n_files, F.col("vec_id"))
             .write.mode("overwrite")
             .parquet(tmp)
         )
