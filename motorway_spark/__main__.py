@@ -11,6 +11,8 @@ query-library engine:
                             own-plan loop SCALE.md documents)
   check [NAME...]           Spark-vs-DuckDB oracle comparison
                             (thin alias of ``python -m motorway_spark.oracle``)
+  sql "SELECT ..."          run an SQL string against the catalog views
+                            (the motorway_spark.sql façade from the shell)
 
 Common flags: --sf-dir (default $SPARK_GRAFT_SF_DIR or
 /root/testdata/sf0.01), --cpus N, --show N.
@@ -40,6 +42,14 @@ def _parser() -> argparse.ArgumentParser:
     exp.add_argument("names", nargs="+")
     chk = sub.add_parser("check", help="oracle comparison")
     chk.add_argument("names", nargs="*")
+    sql = sub.add_parser(
+        "sql", help="run an SQL string against the catalog views"
+    )
+    sql.add_argument("query", help="ANSI SQL over the fixture tables")
+    sql.add_argument("--show", type=int, default=20, help="max rows to print")
+    sql.add_argument(
+        "--explain", action="store_true", help="print the plan instead"
+    )
     return p
 
 
@@ -52,6 +62,18 @@ def main(argv: list[str] | None = None) -> int:
             mark = "*" if name in ORACLES else " "
             print(f"{mark} {name}")
         print(f"\n{len(QUERIES)} queries, {len(ORACLES)} oracle-paired")
+        return 0
+
+    if args.cmd == "sql":
+        from motorway_spark.session import get_session
+        from motorway_spark.sqlapi import sql as facade_sql
+
+        spark = get_session("motorway-sql-cli", cpus=args.cpus)
+        df = facade_sql(args.query, args.sf_dir, spark)
+        if args.explain:
+            df.explain("formatted")
+        else:
+            df.show(args.show, truncate=False)
         return 0
 
     unknown = [n for n in getattr(args, "names", []) if n not in QUERIES]
