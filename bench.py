@@ -170,7 +170,14 @@ BENCH_NOTES = {
         "control elevation, so the flag is host class (shuffle-stage "
         "latency on this container), not code drift. Read the round-10 "
         "driver artifact against r8 per-query before concluding "
-        "anything from builder-host absolute times."
+        "anything from builder-host absolute times. The round-10 "
+        "closing full run confirms the read: 66 shared queries = "
+        "1.355x vs BENCH_r09 with the elevation uniform across "
+        "UNTOUCHED modules (median 1.269; worst movers dedup_minhash "
+        "2.16x, agg_grouping_sets 2.08x - r2-r6 code, unchanged for "
+        "rounds), while the three r9-flagged queries read AT or BELOW "
+        "their r9 numbers relative to that baseline (dq_checks 0.94x, "
+        "dedup_containment 0.95x, pagerank 1.2x vs a 1.27x median)."
     ),
     "fixed46_variance_r9": (
         "five same-code full runs during round 9 read fixed46 = "
