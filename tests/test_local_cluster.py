@@ -276,3 +276,50 @@ def test_local_cluster_lloyd_pair_oracle_exact():
 def test_local_cluster_round9_trio_oracle_exact():
     out = _run(_R9_SCRIPT)
     assert out.count("LC_R9_OK") == 3
+
+
+# Round-10 scenario: the residual IVFPQ chain (4 normalized-space Lloyd
+# assignment passes + residual training aggregate + cell-aware ADC, all
+# across cross-process shuffles and broadcasts) and a SQL-façade query
+# (the string-parse path planning against catalog views from a real
+# master). Same 2 GiB + PYTHONPATH rungs as the round-9 trio.
+_R10_SCRIPT = _PRELUDE + r"""
+def cluster_session_2g(app):
+    b = (
+        SparkSession.builder.master("local-cluster[2,2,2048]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.executor.memory", "2g")
+        .config("spark.executorEnv.PYTHONPATH", os.getcwd())
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()
+    import time
+    for _ in range(60):
+        n = len(spark.sparkContext._jsc.sc().statusTracker().getExecutorInfos())
+        if n >= 3:
+            break
+        time.sleep(1)
+    assert n >= 3, n
+    return spark
+
+spark = cluster_session_2g("lc-round10")
+from motorway_spark.queries import QUERIES, ORACLES
+from motorway_spark.oracle import _duckdb_con, compare_frames
+
+SF = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata").rstrip("/") + "/sf0.01"
+con = _duckdb_con(SF)
+for name in ("sim_ann_ivfpq_residual", "sql_facade_join_agg"):
+    spark_pdf = QUERIES[name](spark, SF).toPandas()
+    problems = compare_frames(spark_pdf, con.sql(ORACLES[name]).df())
+    assert not problems, (name, problems[:3])
+    print("LC_R10_OK", name, len(spark_pdf))
+"""
+
+
+def test_local_cluster_round10_pair_oracle_exact():
+    out = _run(_R10_SCRIPT)
+    assert out.count("LC_R10_OK") == 2
