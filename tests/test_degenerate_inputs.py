@@ -191,6 +191,17 @@ NULL_PARITY = [
     # (COUNT(*)) and drop out of both decimal revenue sums; explicit
     # NULLS LAST keeps the credit pick aligned with Spark's struct max
     "events_attribution_touch",
+    # round-10: the residual chain runs entirely over the shared
+    # valid-vector predicate (NULL vectors never reach an assignment,
+    # residual, or encode pass — both engines filter identically)
+    "sim_ann_ivfpq_residual",
+    # round-10: the façade queries read lineitem/orders/customer whose
+    # NULL injection doesn't touch their filter/agg columns — parity
+    # pins that the one-string-two-engines contract holds on the
+    # null fixture too
+    "sql_facade_q1_pricing",
+    "sql_facade_exists_semijoin",
+    "sql_facade_join_agg",
 ]
 
 
