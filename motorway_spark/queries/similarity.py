@@ -2709,13 +2709,14 @@ _RES_PASS1_SCHEMA = (
 
 def _ivfpq_res_oracle() -> str:
     """The residual chain, ENTIRELY on the unit sphere (the FAISS
-    cosine-metric setup: normalize, then L2 everywhere): a two-
-    iteration normalized-space Lloyd fit (c0 = the 8 fixed init
-    vectors normalized -> a1 -> c1 -> a2 -> c2), inverted file a3 and
-    probe over c2, residuals resn = normalized vector minus its cell's
-    c2 centroid (64 explicit columns), a residual-space init codebook
-    cbres (the SAME 16 fixed PQ vectors, re-expressed as their own
-    residuals), one quantized-Lloyd refinement cb1 over residual
+    cosine-metric setup: normalize, then L2 everywhere): a
+    normalized-space Lloyd fit of depth ``IVFPQ_RES_COARSE_ITERS``
+    (c0 = the 8 fixed init vectors normalized -> a1 -> c1 -> ... ->
+    c{ITERS}, generated to that constant), inverted file and probe
+    over the final centroids, residuals resn = normalized vector minus
+    its cell's final centroid (64 explicit columns), a residual-space
+    init codebook cbres (the SAME 16 fixed PQ vectors, re-expressed as
+    their own residuals), one quantized-Lloyd refinement cb1 over residual
     members, re-encode, and a CELL-AWARE ADC (the query's distance
     table is per probed cell, because the query residual differs per
     cell)."""

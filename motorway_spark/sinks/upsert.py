@@ -195,9 +195,15 @@ class UpsertParquetSink:
         return ckpts, deltas
 
     def _fs_stat(self):
-        """Cache validity token: legacy file stats + the log dir's
-        entry listing (tiny — bounded by the compaction window — and
-        immune to mtime granularity, unlike a dir mtime)."""
+        """Cache validity token: legacy file stats + the newest
+        checkpoint's name + the names of log records ABOVE it. The dir
+        itself may hold up to ``LOG_RETENTION_SEC`` of RETAINED folded
+        records (they are pure namespace reservations — readers skip
+        seq <= ckpt, so their presence or later removal never changes
+        the view), plus writers' transient ``.tmp-*`` files; both are
+        EXCLUDED so the token stays bounded by the compaction window
+        and a concurrent writer's tmp churn can't thrash the cache.
+        Name-based (not a dir mtime): immune to mtime granularity."""
 
         def st(p):
             try:
@@ -207,10 +213,22 @@ class UpsertParquetSink:
                 return None
 
         try:
-            log_names = tuple(sorted(os.listdir(self._mlog_dir)))
+            names = os.listdir(self._mlog_dir)
         except OSError:
-            log_names = None
-        return (st(self._manifest_path), st(self._manifest_log), log_names)
+            return (st(self._manifest_path), st(self._manifest_log), None, None)
+        top_ckpt = None
+        top_seq = -1
+        parsed = []
+        for n in names:
+            mt = _MLOG_RE.match(n)
+            if not mt:
+                continue
+            seq = int(mt.group(1))
+            parsed.append((seq, n))
+            if mt.group(2) == "ckpt" and seq > top_seq:
+                top_seq, top_ckpt = seq, n
+        tail = tuple(sorted(n for seq, n in parsed if seq > top_seq))
+        return (st(self._manifest_path), st(self._manifest_log), top_ckpt, tail)
 
     def _load_legacy_base(self) -> dict | None:
         """Pre-_mlog tables: `_manifest.json` base + `_manifest.log`
@@ -372,12 +390,13 @@ class UpsertParquetSink:
         # into the token while missing from the cached view, leaving
         # the cache stale forever. With the constructed token, their
         # file makes the token mismatch and forces a reload.
-        base_st, log_st, names = self._m_stat
+        base_st, log_st, top_ckpt, tail = self._m_stat
         ours = f"{seq:020d}.delta.json"
         self._m_stat = (
             base_st,
             log_st,
-            tuple(sorted((names or ()) + (ours,))),
+            top_ckpt,
+            tuple(sorted((tail or ()) + (ours,))),
         )
 
     def _try_commit(
@@ -436,6 +455,13 @@ class UpsertParquetSink:
     # retention. Readers never replay retained folded records (they
     # are skipped as seq <= ckpt_seq), so this is purely a namespace
     # reservation. 0 restores immediate cleanup (single-writer only).
+    #
+    # Cost note: the _mlog dir therefore holds up to a retention
+    # window of folded names (O(commits/day) for a high-frequency
+    # sink). The hot-path cache token (_fs_stat) excludes them — it is
+    # bounded by the post-checkpoint tail — so the per-call cost is
+    # one listdir syscall over those names, no parsing, no sorting of
+    # the retained set.
     LOG_RETENTION_SEC = 24 * 3600.0
 
     def _write_checkpoint(self) -> None:
@@ -535,6 +561,35 @@ class UpsertParquetSink:
         return m
 
     # -- footer stats ------------------------------------------------------
+    @staticmethod
+    def _cmp_compatible(*vals) -> bool:
+        """True when the values order consistently against each other:
+        all numeric (int/float, bool excluded) or all strings. Guards
+        every exact-stat comparison against a schema that changed type
+        under a legacy entry."""
+        if all(
+            isinstance(v, (int, float)) and not isinstance(v, bool)
+            for v in vals
+        ):
+            return True
+        return all(isinstance(v, str) for v in vals)
+
+    @classmethod
+    def _exact_range(cls, lo, hi):
+        """Sink-computed exact key range as JSON-storable,
+        ORDER-PRESERVING values: int/float stay numeric, str stays str,
+        date/datetime become isoformat strings (whose lexicographic
+        order equals temporal order). None when the type doesn't
+        round-trip. Unlike parquet FOOTER stats these are exact — the
+        sink computes them from the rows it writes — so they are sound
+        for strings, where footers may silently truncate."""
+        jlo, jhi = cls._json_stat(lo), cls._json_stat(hi)
+        if jlo is None or jhi is None:
+            return None
+        if not cls._cmp_compatible(jlo, jhi):
+            return None
+        return (jlo, jhi)
+
     @staticmethod
     def _json_stat(v):
         """Footer min/max as a JSON-storable value, or None if the type
@@ -831,6 +886,7 @@ class UpsertParquetSink:
         op: str,
         rec_extra: dict | None = None,
         append: bool = False,
+        kexact: dict[str, tuple] | None = None,
     ) -> str:
         """Stage + optimistic commit of one write against snapshot
         ``m``@``read_seq``. Returns 'ok' | 'batch' | 'conflict'
@@ -839,7 +895,10 @@ class UpsertParquetSink:
         fields into the commit record (rebucket's num_buckets).
         ``append``: the staged files ADD to each touched bucket
         (entries union with the snapshot's, nothing is replaced) —
-        callers must have proven key-disjointness first."""
+        callers must have proven key-disjointness first. ``kexact``:
+        per-bucket EXACT key range of the staged data (sink-computed,
+        not footer-derived), recorded as the entry's klo/khi — the
+        stats that make the append proof sound for string keys."""
         schema_json = new_df.schema.json()
         try:
             entries, replaced, staged = self._stage(
@@ -854,6 +913,10 @@ class UpsertParquetSink:
                 self._load_manifest(force=True)
                 return "conflict"
             raise
+        if kexact:
+            for k, ent in entries.items():
+                if ent is not None and kexact.get(k) is not None:
+                    ent["klo"], ent["khi"] = kexact[k]
         if append:
             entries = {
                 k: self._entry_union(m["buckets"].get(k), ent)
@@ -924,8 +987,10 @@ class UpsertParquetSink:
         # The buckets this batch touches — bounded by num_buckets, so
         # the collect is a tiny driver list, not data. For single-key
         # tables the SAME job also returns each touched bucket's key
-        # range and null count, the inputs to the append fast path.
+        # range and null count: the inputs to the append fast path AND
+        # the exact klo/khi stats recorded in the manifest entries.
         branges: dict[int, tuple] | None = None
+        batch_has_null_key = False
         if len(self.key_cols) == 1:
             kc = self.key_cols[0]
             brows = (
@@ -938,8 +1003,14 @@ class UpsertParquetSink:
                 .collect()
             )
             affected = sorted(r["bucket"] for r in brows)
-            if all(r["nnull"] == 0 for r in brows):
-                branges = {r["bucket"]: (r["lo"], r["hi"]) for r in brows}
+            # min/max ignore NULLs, so branges always bounds the
+            # batch's NON-NULL keys — sufficient for klo/khi (a NULL
+            # table key can never equal a non-NULL batch key). The
+            # append PROOF additionally requires a null-free batch:
+            # merge matches keys with eqNullSafe, so a NULL batch key
+            # CAN hit a NULL table row and must take the merge path.
+            branges = {r["bucket"]: (r["lo"], r["hi"]) for r in brows}
+            batch_has_null_key = any(r["nnull"] > 0 for r in brows)
         else:
             affected = sorted(
                 r["bucket"]
@@ -958,18 +1029,26 @@ class UpsertParquetSink:
             # conflicting writer and force a pointless redo
             m = self._heal_if_stale(m, affected)
             read_seq = self._head_seq
-            if self._append_provably_disjoint(m, branges, batch):
-                # APPEND fast path: footer stats prove the batch's key
-                # range is disjoint from every touched bucket (the
-                # monotone-id ingest shape — new vectors, new events,
-                # new orders), so the MERGE's read-old/join/rewrite is
-                # provably a no-op. Stage one additive file per bucket
+            if not batch_has_null_key and self._append_provably_disjoint(
+                m, branges, batch
+            ):
+                # APPEND fast path: recorded key-range stats (exact
+                # sink-computed klo/khi — sound for STRING doc-id keys
+                # — or numeric footer stats for pre-feature entries)
+                # prove the batch's key range is disjoint from every
+                # touched bucket (the monotone-id ingest shape — new
+                # vectors, new events, new orders), so the MERGE's
+                # read-old/join/rewrite is provably a no-op. Stage one additive file per bucket
                 # and union the manifest entries — O(|batch|) total,
                 # independent of how big the touched buckets already
                 # are. This is what keeps steady-state ingest cost
                 # shard-sized at 100 TB (the copy-on-write rewrite
                 # stays O(touched-bucket CONTENTS), which for a
                 # uniform-hash shard is ~the table).
+                kexact = {
+                    str(k): self._exact_range(lo, hi)
+                    for k, (lo, hi) in branges.items()
+                }
                 status = self._commit_write(
                     m,
                     read_seq,
@@ -979,6 +1058,7 @@ class UpsertParquetSink:
                     batch_id=batch_id,
                     op="append",
                     append=True,
+                    kexact=kexact,
                 )
             else:
                 target = self._read_buckets(m, affected, heal=False)
@@ -1008,6 +1088,7 @@ class UpsertParquetSink:
                     drop_missing=False,
                     batch_id=batch_id,
                     op="merge",
+                    kexact=self._merged_kexact(m, branges),
                 )
             if status in ("ok", "batch"):
                 return
@@ -1022,14 +1103,22 @@ class UpsertParquetSink:
     def _append_provably_disjoint(
         self, m: dict, branges: dict[int, tuple] | None, batch: DataFrame
     ) -> bool:
-        """True when the manifest's footer stats PROVE the batch can be
-        appended instead of merged: single numeric key, no NULL keys in
-        the batch, batch schema identical to the table's, and every
-        touched bucket's existing [min, max] on the key is disjoint
-        from the batch's range in that bucket (a missing bucket is
-        trivially appendable). Strings are excluded — parquet footer
-        stats may be truncated for long strings, which would make the
-        disjointness proof unsound."""
+        """True when recorded stats PROVE the batch can be appended
+        instead of merged: single key, no NULL keys in the batch (the
+        caller checks that), batch schema identical to the table's, and
+        every touched bucket's existing key range is disjoint from the
+        batch's range in that bucket (a missing bucket is trivially
+        appendable).
+
+        The bucket-side range comes from the entry's EXACT
+        sink-computed klo/khi when present — recorded at write time
+        from the rows themselves, so sound for STRING keys (the doc-id
+        ingest shape) — falling back to parquet footer min/max for
+        entries written before exact stats existed, where only NUMERIC
+        keys are trusted (footer string stats may be truncated, which
+        would make the proof unsound). A bucket holding NULL-key rows
+        is still provable: its klo/khi bound the non-null keys, and a
+        null-free batch can never key-match a NULL row."""
         if not branges:
             return False
         tschema = m.get("schema")
@@ -1039,19 +1128,84 @@ class UpsertParquetSink:
             return False  # heterogeneous files need the rewrite path
         kc = self.key_cols[0]
         for k, (lo, hi) in branges.items():
+            rng = self._exact_range(lo, hi)
+            if rng is None:
+                return False
+            jlo, jhi = rng
             ent = m["buckets"].get(str(k))
             if ent is None:
                 continue
-            bmin, bmax = ent["min"].get(kc), ent["max"].get(kc)
-            vals = (lo, hi, bmin, bmax)
-            if any(
-                v is None or isinstance(v, bool) or not isinstance(v, (int, float))
-                for v in vals
+            if "klo" in ent and self._cmp_compatible(
+                jlo, jhi, ent["klo"], ent["khi"]
             ):
-                return False
-            if not (lo > bmax or hi < bmin):
+                bmin, bmax = ent["klo"], ent["khi"]
+            else:
+                bmin, bmax = ent["min"].get(kc), ent["max"].get(kc)
+                vals = (jlo, jhi, bmin, bmax)
+                if any(
+                    v is None
+                    or isinstance(v, bool)
+                    or not isinstance(v, (int, float))
+                    for v in vals
+                ):
+                    return False
+            if not (jlo > bmax or jhi < bmin):
                 return False
         return True
+
+    def _merged_kexact(
+        self, m: dict, branges: dict[int, tuple] | None
+    ) -> dict[str, tuple] | None:
+        """Exact key range of each MERGED bucket, with no extra Spark
+        job: a merge's output keys are exactly target-keys ∪ batch-keys
+        (an upsert never drops a key), so the staged range is the union
+        of the bucket's recorded exact range and the batch's. Buckets
+        whose snapshot entry lacks exact stats (adopted / pre-feature
+        files) stay unknown and simply don't get klo/khi — see
+        recompute_key_stats() for the backfill."""
+        if not branges:
+            return None
+        out: dict[str, tuple] = {}
+        for k, (lo, hi) in branges.items():
+            old = m["buckets"].get(str(k))
+            old_rng = (
+                (old["klo"], old["khi"])
+                if old is not None and "klo" in old
+                else None
+            )
+            if lo is None and hi is None:
+                # every batch row in this bucket is NULL-keyed: the
+                # merged non-null range is the old one, unchanged
+                if old_rng is not None:
+                    out[str(k)] = old_rng
+                continue
+            rng = self._exact_range(lo, hi)
+            if rng is None:
+                continue
+            if old is None:
+                out[str(k)] = rng
+            elif old_rng is not None and self._cmp_compatible(
+                rng[0], rng[1], *old_rng
+            ):
+                out[str(k)] = (
+                    min(old_rng[0], rng[0]),
+                    max(old_rng[1], rng[1]),
+                )
+        return out or None
+
+    def _carried_kexact(
+        self, m: dict, affected: list[int]
+    ) -> dict[str, tuple] | None:
+        """Deletes only REMOVE keys, so a rewritten bucket's surviving
+        keys stay within the snapshot entry's exact range — carry it
+        forward as a sound (if no longer tight) bound instead of
+        dropping string-keyed buckets off the append fast path."""
+        out: dict[str, tuple] = {}
+        for k in affected:
+            ent = m["buckets"].get(str(k))
+            if ent and "klo" in ent:
+                out[str(k)] = (ent["klo"], ent["khi"])
+        return out or None
 
     @staticmethod
     def _schema_key(schema_json: str) -> str:
@@ -1061,13 +1215,19 @@ class UpsertParquetSink:
         same types, interchangeable parquet files. Comparing the raw
         JSON would flip every post-merge table back to the slow path
         forever (measured: the 2k-row append read as a full-table
-        merge). Nullability is erased recursively; names and types
-        must still match exactly."""
+        merge). Nullability is erased recursively AT EVERY NESTING
+        LEVEL — struct-field 'nullable', array 'containsNull', map
+        'valueContainsNull' — so array/map columns (e.g. embedding
+        registries) don't fall back either; names and types must
+        still match exactly."""
+        _NULLABILITY = ("nullable", "containsNull", "valueContainsNull")
 
         def strip(node):
             if isinstance(node, dict):
                 return {
-                    k: strip(v) for k, v in node.items() if k != "nullable"
+                    k: strip(v)
+                    for k, v in node.items()
+                    if k not in _NULLABILITY
                 }
             if isinstance(node, list):
                 return [strip(v) for v in node]
@@ -1075,13 +1235,15 @@ class UpsertParquetSink:
 
         return json.dumps(strip(json.loads(schema_json)), sort_keys=True)
 
-    @staticmethod
-    def _entry_union(old: dict | None, new: dict) -> dict:
+    @classmethod
+    def _entry_union(cls, old: dict | None, new: dict) -> dict:
         """Manifest entry for old-files + appended-files: file lists
         concatenate, row counts add, and a column's stats survive only
         when BOTH sides carry them (range = union) — a column with
         usable stats on one side only is dropped, so pruning never
-        trusts a bound the appended rows were not checked against."""
+        trusts a bound the appended rows were not checked against.
+        The exact key range (klo/khi) unions under the same both-sides
+        rule."""
         if old is None:
             return new
         mins = {
@@ -1092,12 +1254,22 @@ class UpsertParquetSink:
             c: max(old["max"][c], new["max"][c])
             for c in set(old["max"]) & set(new["max"])
         }
-        return {
+        out = {
             "files": sorted(old["files"] + new["files"]),
             "rows": old["rows"] + new["rows"],
             "min": mins,
             "max": maxs,
         }
+        if (
+            "klo" in old
+            and "klo" in new
+            and cls._cmp_compatible(
+                old["klo"], old["khi"], new["klo"], new["khi"]
+            )
+        ):
+            out["klo"] = min(old["klo"], new["klo"])
+            out["khi"] = max(old["khi"], new["khi"])
+        return out
 
     # -- maintenance: bucket-pruned deletes ------------------------------
     def delete_keys(self, keys_df: DataFrame) -> int:
@@ -1199,6 +1371,7 @@ class UpsertParquetSink:
                 drop_missing=True,
                 batch_id=None,
                 op="delete",
+                kexact=self._carried_kexact(m, affected),
             )
             if status == "ok":
                 return n_before - n_after
@@ -1272,6 +1445,7 @@ class UpsertParquetSink:
                 drop_missing=True,
                 batch_id=None,
                 op="delete",
+                kexact=self._carried_kexact(m, affected),
             )
             if status == "ok":
                 return n_deleted
@@ -1377,6 +1551,68 @@ class UpsertParquetSink:
                     pass
         return removed
 
+    def recompute_key_stats(self) -> int:
+        """Backfill exact per-bucket key ranges (klo/khi) for buckets
+        that lack them — the adoption path for tables bootstrapped from
+        files the sink didn't write, where only parquet FOOTER stats
+        exist (truncation-unsound for strings, so such buckets never
+        qualify for the append fast path until backfilled). One pruned
+        read of only the missing buckets + one (num_buckets)-row
+        aggregate, committed as a stats record through the optimistic
+        log. Returns the number of buckets updated. Single-key tables
+        only — exact ranges feed the single-key append proof."""
+        if len(self.key_cols) != 1:
+            return 0
+        kc = self.key_cols[0]
+        for _ in range(self._MAX_COMMIT_RETRIES):
+            m = self._load_manifest()
+            if m is None:
+                return 0
+            missing = sorted(
+                int(k) for k, e in m["buckets"].items() if "klo" not in e
+            )
+            if not missing:
+                return 0
+            m = self._heal_if_stale(m, missing)
+            read_seq = self._head_seq
+            df = self._read_buckets(m, missing, heal=False)
+            if df is None:
+                return 0
+            try:
+                rows = (
+                    df.groupBy("bucket")
+                    .agg(F.min(kc).alias("lo"), F.max(kc).alias("hi"))
+                    .collect()
+                )
+            except Exception as exc:  # noqa: BLE001 - narrowed below
+                if _is_vanished_file_error(exc):
+                    self._load_manifest(force=True)
+                    continue  # raced a winner's cleanup; redo
+                raise
+            rec: dict = {"op": "stats", "batch_id": None, "buckets": {}}
+            for r in rows:
+                ent = m["buckets"].get(str(r["bucket"]))
+                rng = self._exact_range(r["lo"], r["hi"])
+                if ent is None or rng is None:
+                    continue  # all-NULL keys or unstorable type: skip
+                new_ent = dict(ent)
+                new_ent["klo"], new_ent["khi"] = rng
+                rec["buckets"][str(r["bucket"])] = new_ent
+            if not rec["buckets"]:
+                return 0
+            status = self._try_commit(
+                rec, read_seq, set(rec["buckets"]), None
+            )
+            if status == "ok":
+                return len(rec["buckets"])
+            # conflict: a writer rewrote one of those buckets — its
+            # commit carries fresher entries; redo over what's left
+            self._load_manifest(force=True)
+        raise CommitConflict(
+            f"recompute_key_stats: gave up after "
+            f"{self._MAX_COMMIT_RETRIES} redos"
+        )
+
     def rebucket(self, new_num_buckets: int) -> None:
         """Migrate the table to a different bucket count — the sizing
         knob the num_buckets-mismatch refusal points at. One commit
@@ -1416,11 +1652,26 @@ class UpsertParquetSink:
                     break  # another migrator already landed this count
                 old_ids = sorted(int(k) for k in m["buckets"])
                 read_seq = self._head_seq
-                affected = sorted(set(old_ids) | set(range(new_num_buckets)))
+                # The touched set must cover EVERY bucket id either
+                # count can produce (plus any stray healed ids), not
+                # just ids that currently hold an entry: when
+                # shrinking, a concurrent old-count writer creating a
+                # FRESH entry in an entry-less id in [new_n, old_n)
+                # must intersect us, or its rows survive the migration
+                # hashed with the dead count (silent key misplacement).
+                affected = sorted(
+                    set(old_ids) | set(range(max(old_n, new_num_buckets)))
+                )
                 snap = self._read_buckets(m, old_ids)
                 extra = {"num_buckets": new_num_buckets}
                 if snap is None:
-                    # empty table: metadata-only migration
+                    # Empty table: metadata-only migration — but the
+                    # conflict net must be the same full-range touched
+                    # set, NOT set(): with an empty touched set a
+                    # concurrent bulk load that links first would make
+                    # _try_commit silently retry at the new head and
+                    # land the num_buckets record OVER data hashed
+                    # with the old count.
                     rec = {
                         "op": "rebucket",
                         "batch_id": None,
@@ -1428,13 +1679,39 @@ class UpsertParquetSink:
                         "replaced": {},
                         **extra,
                     }
-                    if self._try_commit(rec, read_seq, set(), None) == "ok":
+                    touched = {str(i) for i in affected}
+                    if self._try_commit(rec, read_seq, touched, None) == "ok":
                         break
                     continue
                 new_df = snap.drop("bucket").withColumn(
                     "bucket",
                     F.pmod(F.hash(*self.key_cols), F.lit(new_num_buckets)),
                 )
+                # Keys move buckets, so carried ranges are meaningless;
+                # recompute exact klo/khi per NEW bucket in one extra
+                # (num_buckets)-row aggregate — rebucket is already an
+                # O(table) rewrite, and losing exact stats here would
+                # knock every string-keyed table off the append fast
+                # path at the precise moment it was resized for growth.
+                kexact = None
+                if len(self.key_cols) == 1:
+                    kc = self.key_cols[0]
+                    kexact = {}
+                    try:
+                        rows = (
+                            new_df.groupBy("bucket")
+                            .agg(F.min(kc).alias("lo"), F.max(kc).alias("hi"))
+                            .collect()
+                        )
+                    except Exception as exc:  # noqa: BLE001 - narrowed
+                        if _is_vanished_file_error(exc):
+                            self._load_manifest(force=True)
+                            continue  # raced a winner's cleanup; redo
+                        raise
+                    for r in rows:
+                        rng = self._exact_range(r["lo"], r["hi"])
+                        if rng is not None:
+                            kexact[str(r["bucket"])] = rng
                 status = self._commit_write(
                     m,
                     read_seq,
@@ -1444,6 +1721,7 @@ class UpsertParquetSink:
                     batch_id=None,
                     op="rebucket",
                     rec_extra=extra,
+                    kexact=kexact,
                 )
                 if status == "ok":
                     break

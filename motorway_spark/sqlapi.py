@@ -42,6 +42,10 @@ def sql(
         from motorway_spark.session import get_session
 
         spark = get_session("motorway-sql")
-    refs = tuple(t for t in TABLES if re.search(rf"\b{t}\b", query))
+    # IGNORECASE: Spark SQL identifiers are case-insensitive, so a
+    # query written as FROM ORDERS must register the orders view too
+    refs = tuple(
+        t for t in TABLES if re.search(rf"\b{t}\b", query, re.IGNORECASE)
+    )
     Catalog(spark, sf_dir).register_temp_views(only=refs or None)
     return spark.sql(query)

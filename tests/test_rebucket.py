@@ -151,3 +151,138 @@ def test_rebucket_noop_and_empty_table(spark, tmp_path):
     assert esink._load_manifest()["num_buckets"] == 4
     esink.upsert_batch(_row_df(spark, 2, 2, "y"), batch_id=1)
     assert esink.row_count() == 1
+
+
+def _keys_by_bucket(spark, n_candidates=4000, num_buckets=16):
+    """candidate bigint keys grouped by pmod(hash(k), num_buckets)."""
+    rows = (
+        spark.range(n_candidates)
+        .select(F.col("id").alias("k"))
+        .withColumn("b", F.pmod(F.hash("k"), F.lit(num_buckets)))
+        .collect()
+    )
+    out: dict[int, list[int]] = {}
+    for r in rows:
+        out.setdefault(r["b"], []).append(r["k"])
+    return out
+
+
+def test_rebucket_shrink_conflicts_with_fresh_entry_in_dead_range(
+    spark, tmp_path
+):
+    """The shrink-direction hole: while the migrator (16 -> 8) is
+    staged-but-unlinked, a concurrent OLD-count writer creates a FRESH
+    entry in an entry-less bucket id in [8, 16). The migration's
+    touched set covers every id either count can produce, so the
+    migrator conflicts, redoes from the fresh snapshot, and the row is
+    re-hashed into the new layout instead of surviving misplaced."""
+    by16 = _keys_by_bucket(spark, num_buckets=16)
+    # initial data confined to LOW bucket ids, leaving [8, 16) empty
+    low_keys = [k for b in range(8) for k in by16.get(b, [])[:5]]
+    # the racer's key: hashes into an (empty) HIGH bucket id under 16
+    high_b = next(b for b in range(8, 16) if by16.get(b))
+    racer_key = by16[high_b][0]
+    table = str(tmp_path / "shrinktab")
+    seed = UpsertParquetSink(spark, table, key_cols=["k"], num_buckets=16)
+    seed.upsert_batch(
+        spark.createDataFrame(
+            [Row(k=k, ts=k, v=f"v{k}") for k in low_keys],
+            "k bigint, ts bigint, v string",
+        ),
+        batch_id=0,
+    )
+    assert all(
+        int(b) < 8 for b in seed._load_manifest()["buckets"]
+    ), "setup must leave [8,16) entry-less"
+
+    class RacingMigrator(RacingSink):
+        def run(self):
+            self.rebucket(8)
+
+    barrier = threading.Barrier(2)
+    mig = RacingMigrator(
+        spark, table, key_cols=["k"], num_buckets=16, barrier=barrier
+    )
+    t = threading.Thread(target=mig.run)
+    t.start()
+    deadline = time.time() + 180
+    while barrier.n_waiting < 1:  # migrator staged its rewrite, pre-link
+        assert time.time() < deadline, "migrator never reached the barrier"
+        time.sleep(0.01)
+    w = UpsertParquetSink(spark, table, key_cols=["k"], num_buckets=16)
+    w.upsert_batch(_row_df(spark, racer_key, 1, "racer"), batch_id=3)  # wins
+    assert str(high_b) in w._load_manifest()["buckets"]
+    barrier.wait(timeout=60)
+    t.join(timeout=300)
+    assert not t.is_alive()
+    assert mig.stage_calls == 2  # conflict detected -> rewrite redone
+    viewer = UpsertParquetSink(spark, table, key_cols=["k"], num_buckets=8)
+    m = viewer._load_manifest()
+    assert m["num_buckets"] == 8
+    # no old-count entry survives in the dead id range
+    assert all(int(b) < 8 for b in m["buckets"])
+    got = {r["k"]: r["v"] for r in viewer.read().collect()}
+    assert got[racer_key] == "racer"
+    assert viewer.row_count() == len(low_keys) + 1
+    # every row sits where the NEW hash says it must
+    df = viewer._read_buckets(m, sorted(int(k) for k in m["buckets"]))
+    assert (
+        df.filter(F.col("bucket") != F.pmod(F.hash("k"), F.lit(8))).count()
+        == 0
+    )
+    # and the misplaced-key symptom cannot occur: updating the racer's
+    # key goes to its new-count bucket, no duplicate appears
+    viewer.upsert_batch(_row_df(spark, racer_key, 2, "upd"), batch_id=4)
+    rows = [r for r in viewer.read().collect() if r["k"] == racer_key]
+    assert len(rows) == 1 and rows[0]["v"] == "upd"
+
+
+def test_rebucket_empty_table_conflicts_with_concurrent_bulk_load(
+    spark, tmp_path
+):
+    """The empty-table hole: the metadata-only migration must carry the
+    same full-range touched set — a bulk load that links first forces a
+    redo (now via the rewrite path), never a num_buckets record landing
+    over data hashed with the old count."""
+    table = str(tmp_path / "emptytab")
+    seed = UpsertParquetSink(spark, table, key_cols=["k"], num_buckets=8)
+    seed.upsert_batch(_row_df(spark, 1, 1, "x"), batch_id=0)
+    assert seed.delete_keys(spark.createDataFrame([(1,)], "k bigint")) == 1
+    assert seed._table_empty()
+
+    class RacingMigrator(RacingSink):
+        def run(self):
+            self.rebucket(4)
+
+    barrier = threading.Barrier(2)
+    mig = RacingMigrator(
+        spark, table, key_cols=["k"], num_buckets=8, barrier=barrier
+    )
+    t = threading.Thread(target=mig.run)
+    t.start()
+    deadline = time.time() + 180
+    while barrier.n_waiting < 1:  # migrator at its first commit attempt
+        assert time.time() < deadline, "migrator never reached the barrier"
+        time.sleep(0.01)
+    w = UpsertParquetSink(spark, table, key_cols=["k"], num_buckets=8)
+    w.upsert_batch(
+        spark.createDataFrame(
+            [Row(k=i, ts=i, v=f"v{i}") for i in range(40)],
+            "k bigint, ts bigint, v string",
+        ),
+        batch_id=1,
+    )  # bulk load wins the link race at the OLD count
+    barrier.wait(timeout=60)
+    t.join(timeout=300)
+    assert not t.is_alive()
+    viewer = UpsertParquetSink(spark, table, key_cols=["k"], num_buckets=4)
+    m = viewer._load_manifest()
+    assert m["num_buckets"] == 4
+    assert viewer.row_count() == 40
+    # the loaded rows were re-hashed by the redone migration, not left
+    # under the dead count
+    df = viewer._read_buckets(m, sorted(int(k) for k in m["buckets"]))
+    assert (
+        df.filter(F.col("bucket") != F.pmod(F.hash("k"), F.lit(4))).count()
+        == 0
+    )
