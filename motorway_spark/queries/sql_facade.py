@@ -24,6 +24,7 @@ the north-star SQL surface, driver-verified like every operator.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from motorway_spark.queries.helpers import sql_davg, sql_dsum
 from motorway_spark.queries.registry import query
@@ -119,3 +120,114 @@ _register(
     "order volume — the façade registers exactly the two referenced "
     "views and Catalyst plans the join as from the DataFrame API.",
 )
+
+
+# -- write path -> query language, closed loop ---------------------------
+
+_CUT = "TIMESTAMP '1999-01-01 00:00:00'"
+
+_MANIFEST_FACADE_ORACLE = f"""
+WITH early AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         {sql_dsum('o_totalprice', 'total_spend')}
+  FROM orders WHERE o_orderdate < {_CUT}
+  GROUP BY o_custkey),
+late_keys AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= {_CUT}),
+fullagg AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         {sql_dsum('o_totalprice', 'total_spend')}
+  FROM orders GROUP BY o_custkey),
+merged AS (
+  SELECT f.o_custkey, f.n_orders, f.total_spend
+  FROM fullagg f JOIN late_keys lk ON f.o_custkey = lk.o_custkey
+  UNION ALL
+  SELECT e.o_custkey, e.n_orders, e.total_spend
+  FROM early e
+  WHERE NOT EXISTS (SELECT 1 FROM late_keys lk
+                    WHERE lk.o_custkey = e.o_custkey))
+SELECT n_orders, COUNT(*) AS n_customers,
+       {sql_dsum('total_spend', 'spend')}
+FROM merged GROUP BY n_orders
+"""
+
+_LAST_FACADE_TABLE_DIR: str | None = None
+
+
+@query("sql_facade_manifest_table", oracle=_MANIFEST_FACADE_ORACLE)
+def sql_facade_manifest_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write THROUGH the engine's sink, query BACK through its SQL
+    string façade: per-customer order aggregates land in an
+    ``UpsertParquetSink`` manifest table in two batches (batch 0 =
+    pre-1999 aggregates for every customer; batch 1 = full-history
+    aggregates for customers with a post-cut order, a real MERGE that
+    overwrites ~98% of the keys), then ONE SQL string reads the table
+    back via ``sql(..., tables={"cust_orders": dir})`` — the manifest's
+    current file list registered as a catalog view. The oracle
+    reproduces the merge algebra in ANSI SQL over ``orders`` (full
+    aggregates for late-order customers, early aggregates for the
+    rest), so a hash-equal result proves the sink's MERGE semantics AND
+    the façade's manifest-table read path in one gate.
+
+    At 100 TB: the façade view is the same explicit-file pruned scan
+    the sink's own readers use — no directory listing, predicate
+    pushdown intact; registration cost is O(manifest).
+
+    Reference: motorway's durable sink (contrib/sql_alchemy/
+    intersections.py:57-98) has no read-back surface at all; this is
+    the lakehouse loop closed."""
+    import shutil
+    import tempfile
+
+    from motorway_spark.catalog import Catalog
+    from motorway_spark.queries.helpers import dsum
+    from motorway_spark.sinks import UpsertParquetSink
+    from motorway_spark.sqlapi import sql as facade_sql
+
+    global _LAST_FACADE_TABLE_DIR
+    if _LAST_FACADE_TABLE_DIR is not None:
+        shutil.rmtree(_LAST_FACADE_TABLE_DIR, ignore_errors=True)
+
+    orders = Catalog(spark, sf_dir).table("orders")
+    cut = F.expr(_CUT)
+    early = (
+        orders.filter(F.col("o_orderdate") < cut)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", "total_spend"),
+        )
+    )
+    late_keys = (
+        orders.filter(F.col("o_orderdate") >= cut)
+        .select("o_custkey")
+        .distinct()
+    )
+    fullagg = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", "total_spend"),
+        )
+        .join(late_keys, "o_custkey", "left_semi")
+    )
+    table_dir = tempfile.mkdtemp(prefix="facade_cust_orders_")
+    _LAST_FACADE_TABLE_DIR = table_dir
+    sink = UpsertParquetSink(
+        spark, table_dir, key_cols=["o_custkey"], num_buckets=16
+    )
+    sink.upsert_batch(early, batch_id=0)
+    sink.upsert_batch(fullagg, batch_id=1)
+    out = facade_sql(
+        f"""
+        SELECT n_orders, COUNT(*) AS n_customers,
+               {sql_dsum('total_spend', 'spend')}
+        FROM cust_orders GROUP BY n_orders
+        """,
+        sf_dir,
+        spark,
+        tables={"cust_orders": table_dir},
+    )
+    # eager checkpoint: the returned frame must outlive the table dir
+    # (the NEXT invocation rmtree's it)
+    return out.localCheckpoint(eager=True)

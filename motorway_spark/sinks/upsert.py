@@ -124,12 +124,33 @@ class UpsertParquetSink:
     # merge redo attempts under bucket-overlap conflicts
     _MAX_COMMIT_RETRIES = 8
 
+    @classmethod
+    def open(cls, spark: SparkSession, table_dir: str) -> "UpsertParquetSink":
+        """Open an EXISTING manifest table using the table's own
+        recorded parameters — num_buckets always, key_cols when the
+        manifest records them (every checkpoint written since key-col
+        recording; older tables open READ-ONLY and raise on the first
+        write attempt). This is the entry point for consumers that
+        only know the directory — e.g. ``motorway_spark.sql(...,
+        tables={"t": dir})`` registering a sink table as a catalog
+        view."""
+        sink = cls(spark, table_dir, key_cols=[], num_buckets=None)
+        m = sink._load_manifest()
+        if m is None:
+            raise ValueError(
+                f"{table_dir} has no manifest — not an UpsertParquetSink "
+                "table (or written before manifests existed; write to it "
+                "once with an explicit sink to adopt it)"
+            )
+        sink.key_cols = list(m.get("key_cols") or [])
+        return sink
+
     def __init__(
         self,
         spark: SparkSession,
         table_dir: str,
         key_cols: list[str],
-        num_buckets: int = 16,
+        num_buckets: int | None = 16,
     ):
         if "bucket" in key_cols:
             raise ValueError(
@@ -171,6 +192,13 @@ class UpsertParquetSink:
         return f"{self.table_dir}/data"
 
     def _bucket_expr(self):
+        if not self.key_cols or self.num_buckets is None:
+            raise ValueError(
+                "this sink was opened without key columns / a bucket "
+                "count (read-only open of a table whose manifest "
+                "predates key-col recording); construct it explicitly "
+                "with key_cols and num_buckets to write"
+            )
         return F.pmod(F.hash(*self.key_cols), F.lit(self.num_buckets))
 
     # -- manifest log (numbered records, Delta-log style) -----------------
@@ -331,6 +359,9 @@ class UpsertParquetSink:
             raise RuntimeError(
                 f"manifest log chain has a persistent gap: {last}"
             )
+        if m is not None and self.num_buckets is None:
+            # opened via open(): adopt the table's own recorded count
+            self.num_buckets = m.get("num_buckets")
         if (
             m is not None
             and m.get("num_buckets") != self.num_buckets
@@ -482,6 +513,10 @@ class UpsertParquetSink:
             # the cache's count, not the instance's: a just-committed
             # rebucket record must fold with its NEW count
             "num_buckets": m.get("num_buckets", self.num_buckets),
+            # recorded so open() can restore a writable sink from the
+            # directory alone; the cache's value wins (an open()ed
+            # read-only instance checkpointing must not erase it)
+            "key_cols": m.get("key_cols") or self.key_cols or None,
             "schema": m.get("schema"),
             "buckets": m["buckets"],
             "batches": sorted(m["batches"] | self._legacy_meta_batches()),
@@ -547,10 +582,17 @@ class UpsertParquetSink:
             ent = self._bucket_entry(k)
             if ent is not None:
                 buckets[str(k)] = ent
+        if self.num_buckets is None:
+            raise ValueError(
+                f"{self.table_dir} has no manifest and this sink was "
+                "opened without a bucket count; construct it explicitly "
+                "with key_cols and num_buckets to create/adopt the table"
+            )
         snap = {
             "version": 1,
             "seq": 0,
             "num_buckets": self.num_buckets,
+            "key_cols": self.key_cols or None,
             "schema": schema,
             "buckets": buckets,
             "batches": sorted(self._legacy_meta_batches()),

@@ -54,3 +54,16 @@ def test_facade_plan_keeps_pushdown(spark):
         "SELECT o_orderkey FROM orders WHERE o_orderkey = 42", SF, spark
     )._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "o_orderkey" in plan
+
+
+def test_facade_table_scan_is_case_insensitive(spark):
+    """Spark SQL identifiers are case-insensitive; the reference scan
+    must register the view for FROM ORDERS / Lineitem too."""
+    rows = sql("SELECT COUNT(*) AS n FROM ORDERS", SF, spark).collect()
+    assert rows[0]["n"] > 0
+    rows = sql(
+        "SELECT COUNT(*) AS n FROM Lineitem WHERE L_QUANTITY > 0",
+        SF,
+        spark,
+    ).collect()
+    assert rows[0]["n"] > 0
