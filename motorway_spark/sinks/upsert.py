@@ -1655,6 +1655,71 @@ class UpsertParquetSink:
             f"{self._MAX_COMMIT_RETRIES} redos"
         )
 
+    # rebucket_policy default: with ~1 KB rows this targets ~1 GB
+    # buckets, the "bucket ≈ a few GB" production discipline from
+    # SCALE.md; tune per workload (the decade experiments hold ~625
+    # rows/bucket to make flatness measurable at fixture scale).
+    TARGET_ROWS_PER_BUCKET = 1_000_000
+
+    def rebucket_policy(
+        self,
+        target_rows_per_bucket: int | None = None,
+        apply: bool = False,
+    ) -> dict:
+        """The POLICY half of ``rebucket(n)``: read the manifest's
+        stats (total rows, rows/bucket, file counts — no scan, no
+        listing) and recommend the bucket count that restores the
+        SCALE.md sizing discipline — hold rows-per-bucket near the
+        target, because per-shard ingest cost is O(touched-bucket
+        CONTENTS) on the merge path and O(touched-bucket COUNT) on the
+        append path, so bucket size is THE steady-state cost knob.
+
+        Recommendation = the power of two closest to
+        rows/target (powers of two keep successive migrations decisive),
+        with 2x hysteresis: no migration is recommended until the
+        current count is off by >= 2x in either direction — rebucket is
+        an O(table) rewrite, so the policy must not thrash on noise.
+
+        Returns a report dict; with ``apply=True`` and a non-"keep"
+        action it performs the migration too. At 100 TB this is the
+        maintenance call a scheduler runs after each corpus epoch:
+        read O(manifest) stats, rewrite only when growth has actually
+        outpaced the layout."""
+        if target_rows_per_bucket is None:
+            target_rows_per_bucket = self.TARGET_ROWS_PER_BUCKET
+        if target_rows_per_bucket < 1:
+            raise ValueError("target_rows_per_bucket must be >= 1")
+        m = self._load_manifest()
+        if m is None:
+            m = self._bootstrap_manifest()
+        rows = sum(e["rows"] for e in m["buckets"].values())
+        files = sum(len(e["files"]) for e in m["buckets"].values())
+        cur = m.get("num_buckets", self.num_buckets)
+        ideal = max(1, rows / target_rows_per_bucket)
+        rec = 1
+        while rec * 2 <= ideal or (ideal / rec > (rec * 2) / ideal):
+            rec *= 2  # closest power of two (log-scale rounding)
+        if rec >= 2 * cur:
+            action = "grow"
+        elif rec * 2 <= cur:
+            action = "shrink"
+        else:
+            action, rec = "keep", cur
+        report = {
+            "num_buckets": cur,
+            "rows": rows,
+            "files": files,
+            "rows_per_bucket": rows / cur if cur else 0.0,
+            "target_rows_per_bucket": target_rows_per_bucket,
+            "recommended_num_buckets": rec,
+            "action": action,
+            "applied": False,
+        }
+        if apply and action != "keep":
+            self.rebucket(rec)
+            report["applied"] = True
+        return report
+
     def rebucket(self, new_num_buckets: int) -> None:
         """Migrate the table to a different bucket count — the sizing
         knob the num_buckets-mismatch refusal points at. One commit
