@@ -80,13 +80,14 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade partners (deterministic tie-break on node id).
 
     Scale shape: one distinct-pair aggregation builds the edge list
-    (narrow int keys); each iteration is an src-keyed join + dst-keyed
-    aggregate — two hash shuffles over the EDGE list, never anything
-    wider; degree is computed once and re-joined (broadcast-size here,
-    AQE chooses). Fixed iteration count keeps plan depth bounded; an
-    until-convergence variant would localCheckpoint per iteration like
-    dedup.label_propagation does. Top-k is TakeOrderedAndProject —
-    no global sort."""
+    (narrow int keys); degree rides a COUNT window over the same
+    src-shuffle (one exchange for edge+degree together, r11 — the
+    groupBy+re-join form paid a second edge-sized exchange for the
+    same layout); each iteration is an src-keyed join + dst-keyed
+    aggregate over the cached, src-partitioned edges. Fixed iteration
+    count keeps plan depth bounded; an until-convergence variant would
+    localCheckpoint per iteration like dedup.label_propagation does.
+    Top-k is TakeOrderedAndProject — no global sort."""
     cat = Catalog(spark, sf_dir)
     pairs = (
         cat.orders.join(
@@ -101,19 +102,31 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("c_node").alias("src"), F.col("s_node").alias("dst")
     ).unionAll(pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst")))
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    # The edge list (with degree pre-joined) feeds every iteration AND
-    # the degree/init computations — without a persist the expensive
-    # orders x lineitem distinct-pair scan re-executes once per plan
-    # branch (measured 16.5 s -> 4.0 s at sf1). Eager fill via the
-    # shared CacheRegistry (one live frame per operator; other
-    # operators' leftover caches released first — SCALE.md sf10 lesson).
-    # hash-partition the cache on src so every iteration's join reuses
-    # this layout and only the (node-sized) counts side shuffles
+    # Degree as a COUNT window over the src shuffle: ONE edge-sized
+    # exchange produces edges+degree already hash-partitioned on src
+    # (the groupBy + re-join form paid a second edge-sized exchange —
+    # plus an explicit repartition — for the identical layout; r11
+    # A/B at sf0.1: 3.4 s -> 2.7 s warm). Every iteration's join then
+    # reuses this cached layout and only the (node-sized) counts side
+    # shuffles.
+    from pyspark.sql import Window
+
+    edges_deg_df = edges.withColumn(
+        "deg", F.count("*").over(Window.partitionBy("src"))
+    )
+    # The edge list (with degree) feeds every iteration AND the init
+    # computation — without a persist the expensive orders x lineitem
+    # distinct-pair scan re-executes once per plan branch (measured
+    # 16.5 s -> 4.0 s at sf1). Registered via the shared CacheRegistry
+    # (one live frame per operator; other operators' leftover caches
+    # released first — SCALE.md sf10 lesson). LAZY fill (r11): every
+    # consumer lives in the caller's ONE collect job, whose first
+    # stage over the cache fills it for the rest — the eager count()
+    # was a whole extra materialization pass of the edge list.
     from motorway_spark.maintenance import CACHES
 
     edges_deg = CACHES.persist_swap(
-        "pagerank.edges", edges.join(deg, "src").repartition("src")
+        "pagerank.edges", edges_deg_df, eager=False
     )
     counts = (
         edges_deg.select(F.col("src").alias("node"))
