@@ -45,20 +45,78 @@ from motorway_spark.queries import relational  # noqa: F401,E402
 from motorway_spark.queries import windows  # noqa: F401,E402
 from motorway_spark.queries import sql_facade  # noqa: F401,E402
 
-# Explicit sweep priority (round 10). The driver's per-round
+# Explicit sweep priority (round 11). The driver's per-round
 # correctness budget is ~50 queries, taken in registration order.
-# Merged latest-row distribution after round 9: r09:50 / r08:48 /
-# r07:48 / r06:50 / r05:40, zero fails ever. This head = the six
-# queries NEW in round 10 (the residual IVFPQ rung and the five
-# SQL-façade one-string-two-engines entries), then the three round-9
-# queries whose code changed in round 10 after their latest driver
-# row (stream_ann_ingest's retry now reuses a durable checkpoint;
-# sim_rank_fusion_rrf materializes its branches eagerly;
-# cluster_kmeans_converged's trainer handles the degenerate empty
-# assignment) — changed-after-sweep goes FIRST — then the ENTIRE
-# 40-query r05-stale cohort, which exactly fills the budget. After
-# this round NO query's latest driver row is older than r06.
+# Merged latest-row distribution after round 10: r10:50 / r09:46 /
+# r08:48 / r07:48 / r06:50, zero fails ever. This head = the one query
+# NEW in round 11 (the manifest-table façade loop), then the two
+# round-10-swept queries whose code changed in round 11 after their
+# latest driver row (pagerank's window-degree build + lazy fill;
+# stream_ann_ingest rides the sink whose append proof gained exact
+# key stats) — changed-after-sweep FIRST — then the ENTIRE 50-query
+# r06-stale cohort. After this round NO query's latest driver row is
+# older than r07.
 _SWEEP_PRIORITY = [
+    # -- new in round 11 --
+    "sql_facade_manifest_table",  # write via sink, read back via ONE string
+    # -- code changed in round 11 after the latest driver row: first --
+    "graph_pagerank_bipartite",  # degree via COUNT window, lazy cache fill
+    "stream_ann_ingest",  # sink append proof now uses exact klo/khi stats
+    # -- latest driver row is ROUND 6 (all 50: retire the cohort) --
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_exact_keep_first",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "events_changepoint_cusum_filled",
+    "fn_array",
+    "fn_array_ops",
+    "fn_datetime",
+    "fn_datetime_agg",
+    "fn_json",
+    "fn_json_build",
+    "fn_map_explode",
+    "fn_string",
+    "fn_string_split",
+    "hypertable_rollup",
+    "multimodal_frame_sample",
+    "multimodal_metadata",
+    "multimodal_resize",
+    "order_limit",
+    "pipeline_engagement_report",
+    "profile_columns",
+    "range_join_point_in_interval",
+    "sample_fraction",
+    "scd2_intervals",
+    "sessionize_events",
+    "set_except",
+    "set_intersect",
+    "set_union_all",
+    "set_union_distinct",
+    "sim_ann_ivf",
+    "sim_knn_cosine",
+    "sim_pairs_threshold",
+    "text_commonness_score",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "text_stats",
+    "text_tfidf_topterms",
+    "text_token_count",
+    "topk_heavy_hitters",
+    "topk_per_group",
+    "udf_grouped_minmax",
+    "udf_pandas_normalize",
+    "udf_python_row_normalize",
+    "udtf_char_histogram",
+    "unpivot_metrics",
+    "win_distribution",
+    "zorder_clustering",
+]
+
+# Round-10 head kept below: everything here has an r10 driver row already.
+_SWEEP_PRIORITY_R10 = [
     # -- new in round 10 --
     "sim_ann_ivfpq_residual",  # FAISS-parity residual IVFPQ, recall .77@probe4
     "sql_facade_q1_pricing",  # one ANSI string, two engines (Q1)
@@ -584,6 +642,7 @@ def _reorder_for_sweep() -> None:
         n: QUERIES[n]
         for n in (
             *_SWEEP_PRIORITY,
+            *_SWEEP_PRIORITY_R10,
             *_SWEEP_PRIORITY_R9,
             *_SWEEP_PRIORITY_R8,
             *_SWEEP_PRIORITY_R8B,
