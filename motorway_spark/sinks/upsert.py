@@ -1593,6 +1593,66 @@ class UpsertParquetSink:
                     pass
         return removed
 
+    def compact(self, max_files_per_bucket: int = 8) -> int:
+        """Rewrite every bucket holding more than ``max_files_per_bucket``
+        files into one file per bucket — the maintenance counterpart of
+        the append fast path, which adds ONE file per batch per touched
+        bucket, so steady-state ingest accumulates small files until a
+        compactor folds them (the lakehouse OPTIMIZE / bin-packing op).
+        Returns the number of buckets rewritten.
+
+        Scale/safety shape: reads and rewrites ONLY the over-fragmented
+        buckets (O(their contents), never the table); commits through
+        the same optimistic log as any write, so a concurrent writer
+        touching one of the buckets conflicts and the compactor redoes
+        against the fresh snapshot; content is byte-stable (same rows,
+        same bucket assignment — only the file layout changes), so the
+        exact key stats (klo/khi) carry forward unchanged. Crash
+        windows leave retention-aged orphans for vacuum(), never a
+        half-compacted bucket."""
+        if max_files_per_bucket < 1:
+            raise ValueError("max_files_per_bucket must be >= 1")
+        rewritten = 0
+        for _ in range(self._MAX_COMMIT_RETRIES):
+            m = self._load_manifest()
+            if m is None:
+                return 0
+            affected = sorted(
+                int(k)
+                for k, e in m["buckets"].items()
+                if len(e["files"]) > max_files_per_bucket
+            )
+            if not affected:
+                return rewritten
+            m = self._heal_if_stale(m, affected)
+            read_seq = self._head_seq
+            target = self._read_buckets(m, affected, heal=False)
+            if target is None:
+                return rewritten
+            # one output file per bucket: partition dirs are written by
+            # a single task per bucket after this bucket-key shuffle
+            compacted = target.repartition(len(affected), "bucket")
+            status = self._commit_write(
+                m,
+                read_seq,
+                compacted,
+                affected,
+                drop_missing=False,
+                batch_id=None,
+                op="compact",
+                kexact=self._carried_kexact(m, affected),
+            )
+            if status == "ok":
+                # one pass per call: compact what was fragmented at
+                # call time; fragmentation landing concurrently belongs
+                # to the next scheduled run (keeps the call bounded
+                # under sustained ingest)
+                return rewritten + len(affected)
+            # 'conflict': a writer rewrote one of those buckets — redo
+        raise CommitConflict(
+            f"compact: gave up after {self._MAX_COMMIT_RETRIES} redos"
+        )
+
     def recompute_key_stats(self) -> int:
         """Backfill exact per-bucket key ranges (klo/khi) for buckets
         that lack them — the adoption path for tables bootstrapped from
