@@ -89,6 +89,7 @@ import os
 import re
 import shutil
 import tempfile
+import threading
 import uuid
 from functools import reduce
 
@@ -116,6 +117,20 @@ class _MlogGap(Exception):
 
 class CommitConflict(Exception):
     """Raised when a writer exhausts its optimistic-concurrency retries."""
+
+
+def _locked(fn):
+    """Serialize a mutating method on the instance's write lock (see
+    _write_lock in __init__); reentrant, so locked maintenance ops may
+    call each other (rebucket_policy -> rebucket)."""
+    from functools import wraps
+
+    @wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._write_lock:
+            return fn(self, *args, **kwargs)
+
+    return wrapper
 
 
 class UpsertParquetSink:
@@ -171,6 +186,16 @@ class UpsertParquetSink:
         # bucket counts tolerated by the mismatch check while a
         # rebucket() migration this instance runs is in flight
         self._rebucket_allowed: frozenset[int] = frozenset()
+        # INSTANCE write lock: the optimistic log makes separate
+        # INSTANCES safe against each other, but one instance's
+        # snapshot cache (_m_cache/_head_seq/_delta_touch) is mutated
+        # through a commit, so concurrent writes THROUGH THE SAME
+        # instance raced each other's view (reproduced: a committed
+        # batch's entries applied onto a sibling thread's stale cache
+        # dropped rows from the next record). Serializing per instance
+        # costs nothing real — cross-instance/cross-process writers
+        # still interleave freely via the log protocol.
+        self._write_lock = threading.RLock()
         self._head_seq = -1  # highest committed record seq
         self._ckpt_seq = -1  # seq of the checkpoint the view is based on
         self._delta_touch: dict[int, frozenset[str]] = {}  # seq -> bucket keys
@@ -985,6 +1010,7 @@ class UpsertParquetSink:
         return status
 
     # -- the sink ------------------------------------------------------
+    @_locked
     def upsert_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch body: MERGE batch into target, idempotently,
         rewriting only the key-hash buckets the batch touches. Safe
@@ -1314,6 +1340,7 @@ class UpsertParquetSink:
         return out
 
     # -- maintenance: bucket-pruned deletes ------------------------------
+    @_locked
     def delete_keys(self, keys_df: DataFrame) -> int:
         """Delete every row whose key appears in ``keys_df`` — the
         right-to-be-forgotten sweep. Key-hash pruned exactly like the
@@ -1421,6 +1448,7 @@ class UpsertParquetSink:
             f"delete_keys: gave up after {self._MAX_COMMIT_RETRIES} redos"
         )
 
+    @_locked
     def delete_where(self, condition, bounds: dict | None = None) -> int:
         """Delete every row matching ``condition`` (a Column predicate)
         — the retention/TTL sweep (e.g. ``col("ts") < watermark``).
@@ -1593,6 +1621,7 @@ class UpsertParquetSink:
                     pass
         return removed
 
+    @_locked
     def compact(self, max_files_per_bucket: int = 8) -> int:
         """Rewrite every bucket holding more than ``max_files_per_bucket``
         files into one file per bucket — the maintenance counterpart of
@@ -1653,6 +1682,7 @@ class UpsertParquetSink:
             f"compact: gave up after {self._MAX_COMMIT_RETRIES} redos"
         )
 
+    @_locked
     def recompute_key_stats(self) -> int:
         """Backfill exact per-bucket key ranges (klo/khi) for buckets
         that lack them — the adoption path for tables bootstrapped from
@@ -1721,6 +1751,7 @@ class UpsertParquetSink:
     # rows/bucket to make flatness measurable at fixture scale).
     TARGET_ROWS_PER_BUCKET = 1_000_000
 
+    @_locked
     def rebucket_policy(
         self,
         target_rows_per_bucket: int | None = None,
@@ -1780,6 +1811,7 @@ class UpsertParquetSink:
             report["applied"] = True
         return report
 
+    @_locked
     def rebucket(self, new_num_buckets: int) -> None:
         """Migrate the table to a different bucket count — the sizing
         knob the num_buckets-mismatch refusal points at. One commit
