@@ -138,6 +138,10 @@ BENCH_QUERIES = [
     "sim_ann_ivfpq_residual",
     "sql_facade_q1_pricing",
     "sql_facade_join_agg",
+    # round-11 addition: write-through-sink, query-back-through-SQL
+    # (two upsert batches incl. a ~98%-key MERGE + the manifest-view
+    # façade read — the lakehouse loop timed end to end)
+    "sql_facade_manifest_table",
 ]
 
 # Sub-noise-width timings at sf0.1: best-of-2 left three ambiguous

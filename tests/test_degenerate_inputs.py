@@ -202,6 +202,13 @@ NULL_PARITY = [
     "sql_facade_q1_pricing",
     "sql_facade_exists_semijoin",
     "sql_facade_join_agg",
+    # round-11: the write-through-sink-query-back loop on the null
+    # fixture — the sink's within-batch dedup, MERGE coalesce, and the
+    # oracle's UNION-of-CTEs merge algebra must stay hash-identical
+    # (orders is copied verbatim here, so this pins the loop's
+    # determinism rather than a NULL edge; the sink's own NULL-key
+    # handling is pinned in tests/test_append_fastpath_string.py)
+    "sql_facade_manifest_table",
 ]
 
 

@@ -323,3 +323,79 @@ for name in ("sim_ann_ivfpq_residual", "sql_facade_join_agg"):
 def test_local_cluster_round10_pair_oracle_exact():
     out = _run(_R10_SCRIPT)
     assert out.count("LC_R10_OK") == 2
+
+
+# Round-11 scenario: the string-key lakehouse lifecycle across real
+# executor JVMs — ascending doc-id batches ride the exact-stats append
+# proof, compact() folds the fragments, rebucket_policy() migrates the
+# bucket count, and the table reads back exact through the SQL façade's
+# manifest-table view — plus the new write-then-query-back registry
+# query oracle-exact (same 2 GiB + PYTHONPATH rungs as the r9/r10
+# scenarios).
+_R11_SCRIPT = _PRELUDE + r"""
+def cluster_session_2g(app):
+    b = (
+        SparkSession.builder.master("local-cluster[2,2,2048]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.executor.memory", "2g")
+        .config("spark.executorEnv.PYTHONPATH", os.getcwd())
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()
+    import time
+    for _ in range(60):
+        n = len(spark.sparkContext._jsc.sc().statusTracker().getExecutorInfos())
+        if n >= 3:
+            break
+        time.sleep(1)
+    assert n >= 3, n
+    return spark
+
+spark = cluster_session_2g("lc-round11")
+import json, tempfile
+from pyspark.sql import functions as F
+from motorway_spark.sinks import UpsertParquetSink
+
+table = tempfile.mkdtemp(prefix="lc_stringkey_")
+sink = UpsertParquetSink(spark, table, key_cols=["doc_id"], num_buckets=4)
+def shard(lo, n):
+    return spark.range(lo, lo + n).select(
+        F.format_string("doc-%09d", F.col("id")).alias("doc_id"),
+        F.col("id").alias("ts"))
+for b in range(4):
+    sink.upsert_batch(shard(b * 500, 500), batch_id=b)
+ops = []
+for nm in sorted(os.listdir(f"{table}/_mlog")):
+    if nm.endswith(".delta.json"):
+        with open(f"{table}/_mlog/{nm}") as fh:
+            ops.append(json.load(fh)["op"])
+assert ops[-1] == "append", ops  # exact string stats proved disjointness
+assert sink.compact(max_files_per_bucket=1) == 4
+rep = sink.rebucket_policy(target_rows_per_bucket=250, apply=True)
+assert rep["applied"] and sink.num_buckets == 8, rep
+from motorway_spark.sqlapi import sql as facade_sql
+row = facade_sql(
+    "SELECT COUNT(*) AS n, MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM t",
+    "/root/testdata/sf0.001", spark, tables={"t": table}).collect()[0]
+assert (row["n"], row["lo"], row["hi"]) == (2000, "doc-000000000", "doc-000001999"), row
+print("LC_R11_OK sink_lifecycle", row["n"])
+
+from motorway_spark.queries import QUERIES, ORACLES
+from motorway_spark.oracle import _duckdb_con, compare_frames
+SF = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata").rstrip("/") + "/sf0.01"
+con = _duckdb_con(SF)
+name = "sql_facade_manifest_table"
+spark_pdf = QUERIES[name](spark, SF).toPandas()
+problems = compare_frames(spark_pdf, con.sql(ORACLES[name]).df())
+assert not problems, (name, problems[:3])
+print("LC_R11_OK", name, len(spark_pdf))
+"""
+
+
+def test_local_cluster_round11_string_lifecycle_and_facade():
+    out = _run(_R11_SCRIPT)
+    assert out.count("LC_R11_OK") == 2
