@@ -135,3 +135,76 @@ def test_compact_conflicts_with_concurrent_writer_and_redoes(
     assert viewer.row_count() == n
     m = viewer._load_manifest()
     assert all(len(e["files"]) == 1 for e in m["buckets"].values())
+
+
+def test_chaos_writers_compactor_vacuum_converge(spark, tmp_path):
+    """Unsynchronized chaos: two writers pushing disjoint append-shaped
+    batches, a compactor folding fragments, and a vacuum sweeping —
+    all concurrently against one table. Every batch must commit exactly
+    once, the final content must be the union of all upserts, and the
+    manifest must list only live files. This is the whole maintenance
+    surface exercised the way a production scheduler would run it."""
+    table = str(tmp_path / "chaostab")
+    seed = UpsertParquetSink(spark, table, key_cols=["k"], num_buckets=4)
+    seed.upsert_batch(_df(spark, 0, 40, "s"), batch_id=0)
+    a = UpsertParquetSink(spark, table, key_cols=["k"], num_buckets=4)
+    b = UpsertParquetSink(spark, table, key_cols=["k"], num_buckets=4)
+    maint = UpsertParquetSink(spark, table, key_cols=["k"], num_buckets=4)
+    errs = []
+
+    def writer(sink, bids):
+        try:
+            for bid in bids:
+                sink.upsert_batch(
+                    _df(spark, bid * 100, bid * 100 + 30, f"w{bid}"),
+                    batch_id=bid,
+                )
+        except Exception as exc:  # noqa: BLE001
+            errs.append(("writer", exc))
+
+    def maintainer():
+        try:
+            for _ in range(4):
+                maint.compact(max_files_per_bucket=2)
+                maint.vacuum(retention_sec=3600)  # live files protected
+        except Exception as exc:  # noqa: BLE001
+            errs.append(("maint", exc))
+
+    threads = [
+        threading.Thread(target=writer, args=(a, [1, 3, 5])),
+        threading.Thread(target=writer, args=(b, [2, 4, 6])),
+        threading.Thread(target=maintainer),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not any(t.is_alive() for t in threads), "thread hung"
+    assert not errs, errs
+    viewer = UpsertParquetSink(spark, table, key_cols=["k"], num_buckets=4)
+    got = {r["k"]: r["v"] for r in viewer.read().collect()}
+    expect = {i: f"s{i}" for i in range(40)}
+    for bid in range(1, 7):
+        expect.update(
+            {i: f"w{bid}{i}" for i in range(bid * 100, bid * 100 + 30)}
+        )
+    assert got == expect
+    assert viewer.row_count() == len(expect)
+    # every batch id committed exactly once across all records
+    bids = []
+    for nm in sorted(os.listdir(f"{table}/_mlog")):
+        if nm.endswith(".delta.json"):
+            with open(f"{table}/_mlog/{nm}") as fh:
+                d = json.load(fh)
+            if d.get("batch_id") is not None:
+                bids.append(d["batch_id"])
+    assert sorted(bids) == [0, 1, 2, 3, 4, 5, 6]
+    # manifest lists only files that exist; vacuum(0) then leaves
+    # exactly the listed files on disk
+    viewer.vacuum(retention_sec=0)
+    m = viewer._load_manifest()
+    for k, ent in m["buckets"].items():
+        live = f"{table}/data/bucket={k}"
+        assert sorted(
+            f for f in os.listdir(live) if f.endswith(".parquet")
+        ) == sorted(ent["files"])
