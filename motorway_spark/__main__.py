@@ -12,7 +12,9 @@ query-library engine:
   check [NAME...]           Spark-vs-DuckDB oracle comparison
                             (thin alias of ``python -m motorway_spark.oracle``)
   sql "SELECT ..."          run an SQL string against the catalog views
-                            (the motorway_spark.sql façade from the shell)
+                            (the motorway_spark.sql façade from the shell);
+                            --table NAME=DIR registers an UpsertParquetSink
+                            manifest table as a view (repeatable)
 
 Common flags: --sf-dir (default $SPARK_GRAFT_SF_DIR or
 /root/testdata/sf0.01), --cpus N, --show N.
@@ -50,6 +52,14 @@ def _parser() -> argparse.ArgumentParser:
     sql.add_argument(
         "--explain", action="store_true", help="print the plan instead"
     )
+    sql.add_argument(
+        "--table",
+        action="append",
+        default=[],
+        metavar="NAME=DIR",
+        help="register an UpsertParquetSink manifest table as view NAME "
+        "(repeatable); shadows a fixture view of the same name",
+    )
     return p
 
 
@@ -68,8 +78,16 @@ def main(argv: list[str] | None = None) -> int:
         from motorway_spark.session import get_session
         from motorway_spark.sqlapi import sql as facade_sql
 
+        tables: dict[str, str] = {}
+        for spec in args.table:
+            name, sep, tdir = spec.partition("=")
+            if not sep or not name or not tdir:
+                print(f"--table expects NAME=DIR, got {spec!r}", file=sys.stderr)
+                return 2
+            tables[name] = tdir
+
         spark = get_session("motorway-sql-cli", cpus=args.cpus)
-        df = facade_sql(args.query, args.sf_dir, spark)
+        df = facade_sql(args.query, args.sf_dir, spark, tables=tables or None)
         if args.explain:
             df.explain("formatted")
         else:

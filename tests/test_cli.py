@@ -40,3 +40,35 @@ def test_cli_check(spark, capsys):
     assert main(["--sf-dir", SF_SMOKE, "check", "dedup_exact"]) == 0
     out = capsys.readouterr().out
     assert "ok   dedup_exact" in out
+
+
+def test_cli_sql_over_manifest_table(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    from motorway_spark.sinks import UpsertParquetSink
+
+    d = str(tmp_path / "clitab")
+    s = UpsertParquetSink(spark, d, key_cols=["k"], num_buckets=2)
+    s.upsert_batch(
+        spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        batch_id=0,
+    )
+    assert (
+        main(
+            [
+                "--sf-dir",
+                SF_SMOKE,
+                "sql",
+                "SELECT COUNT(*) AS n, SUM(v) AS sv FROM mytab WHERE k >= 3",
+                "--table",
+                f"mytab={d}",
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "7" in out and "84" in out
+    # malformed spec is a usage error, not a crash
+    assert main(["sql", "SELECT 1", "--table", "nodir"]) == 2
