@@ -796,6 +796,21 @@ class UpsertParquetSink:
         df = self.read()
         return 0 if df is None else df.count()
 
+    def _manifest_reader(self, m: dict):
+        """Parquet reader pinned to the MANIFEST's schema when recorded:
+        after an additive schema evolution the table legitimately holds
+        files with different column sets, and the explicit schema makes
+        older files read their missing columns as NULL (the lakehouse
+        read contract) instead of sampling one file's footer."""
+        reader = self.spark.read.option("basePath", self._data_dir())
+        if m.get("schema"):
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(
+                StructType.fromJson(json.loads(m["schema"]))
+            )
+        return reader
+
     def read(self) -> DataFrame | None:
         # A delete that removes the last row empties the manifest but
         # may leave data/ itself; parquet schema inference on an empty
@@ -808,11 +823,7 @@ class UpsertParquetSink:
             )
             if not paths:
                 return None
-            return (
-                self.spark.read.option("basePath", self._data_dir())
-                .parquet(*paths)
-                .drop("bucket")
-            )
+            return self._manifest_reader(m).parquet(*paths).drop("bucket")
         if not self._bucket_dirs_ids():
             return None
         return self.spark.read.parquet(self._data_dir()).drop("bucket")
@@ -854,9 +865,7 @@ class UpsertParquetSink:
         paths = self._manifest_paths(m, affected)
         if not paths:
             return None
-        return self.spark.read.option(
-            "basePath", self._data_dir()
-        ).parquet(*paths)
+        return self._manifest_reader(m).parquet(*paths)
 
     # -- additive staging ---------------------------------------------------
     def _stage(
@@ -1009,6 +1018,55 @@ class UpsertParquetSink:
             self._delete_staged(staged)
         return status
 
+    def _merge_column_plan(self, m: dict, batch: DataFrame):
+        """Column plan for a merge under ADDITIVE schema evolution
+        (the Delta mergeSchema contract): ``[(name, side, dataType)]``
+        in table-schema order with batch-new columns appended, where
+        side says which join side(s) carry the column —
+        'both' -> coalesce(batch, target); 'batch' -> new column,
+        target rows read NULL; 'table' -> column the batch doesn't
+        know, target value KEPT (a partial-update batch never erases
+        columns it didn't send). A same-named column whose TYPE differs
+        (modulo nullability at any depth) refuses loudly — an implicit
+        cast would silently corrupt values, the same philosophy as
+        delete_keys' cast refusal."""
+        from pyspark.sql.types import StructType
+
+        bfields = {
+            f.name: f for f in batch.schema.fields if f.name != "bucket"
+        }
+        tschema = m.get("schema")
+        if not tschema:
+            return [(n, "batch", f.dataType) for n, f in bfields.items()]
+        tfields = [
+            f
+            for f in StructType.fromJson(json.loads(tschema)).fields
+            if f.name != "bucket"
+        ]
+        plan = []
+        seen = set()
+        for f in tfields:
+            seen.add(f.name)
+            bf = bfields.get(f.name)
+            if bf is None:
+                plan.append((f.name, "table", f.dataType))
+            elif self._schema_key(bf.dataType.json()) != self._schema_key(
+                f.dataType.json()
+            ):
+                raise ValueError(
+                    f"upsert_batch: column {f.name!r} arrives as "
+                    f"{bf.dataType.simpleString()} but the table records "
+                    f"{f.dataType.simpleString()}; refusing the implicit "
+                    "cast — cast the batch to the table's type (or "
+                    "rewrite the table) explicitly"
+                )
+            else:
+                plan.append((f.name, "both", f.dataType))
+        for n, bf in bfields.items():
+            if n not in seen:
+                plan.append((n, "batch", bf.dataType))
+        return plan
+
     # -- the sink ------------------------------------------------------
     @_locked
     def upsert_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -1017,7 +1075,15 @@ class UpsertParquetSink:
         under CONCURRENT writers (see the module docstring's commit
         protocol): exactly one commit per batch id ever wins; disjoint
         writers commit without repeating work; overlapping writers
-        redo the merge from the winner's snapshot."""
+        redo the merge from the winner's snapshot.
+
+        Schema evolution is ADDITIVE (the Delta mergeSchema contract,
+        via _merge_column_plan): a batch may add new columns (older
+        rows read NULL) or omit existing ones (target values kept —
+        partial updates never erase what the batch didn't send); the
+        table's recorded schema only ever widens, and readers pin the
+        manifest schema so heterogeneous files coexist. Same-name
+        type conflicts refuse loudly."""
         if "bucket" in batch_df.columns:
             raise ValueError(
                 "column name 'bucket' is reserved for the sink's hash-"
@@ -1049,7 +1115,6 @@ class UpsertParquetSink:
             )
         else:
             batch = batch_df.dropDuplicates(self.key_cols)
-        out_cols = list(batch.columns)
         batch = batch.withColumn("bucket", self._bucket_expr())
 
         # The buckets this batch touches — bounded by num_buckets, so
@@ -1129,9 +1194,21 @@ class UpsertParquetSink:
                     kexact=kexact,
                 )
             else:
+                plan = self._merge_column_plan(m, batch)
                 target = self._read_buckets(m, affected, heal=False)
                 if target is None:
-                    merged = batch
+                    # fresh buckets in a table whose recorded schema may
+                    # be wider: pad the batch with typed NULLs so the
+                    # committed schema never narrows
+                    merged = batch.select(
+                        *[
+                            F.lit(None).cast(dt).alias(n)
+                            if side == "table"
+                            else F.col(n)
+                            for n, side, dt in plan
+                        ],
+                        "bucket",
+                    )
                 else:
                     b = batch.alias("b")
                     t = target.alias("t")
@@ -1139,11 +1216,20 @@ class UpsertParquetSink:
                         F.col(f"b.{k}").eqNullSafe(F.col(f"t.{k}"))
                         for k in self.key_cols
                     ]
+                    sel = []
+                    for n, side, _dt in plan:
+                        if side == "both":
+                            sel.append(
+                                F.coalesce(
+                                    F.col(f"b.{n}"), F.col(f"t.{n}")
+                                ).alias(n)
+                            )
+                        elif side == "batch":
+                            sel.append(F.col(f"b.{n}").alias(n))
+                        else:  # table-only: partial update keeps it
+                            sel.append(F.col(f"t.{n}").alias(n))
                     merged = t.join(b, cond, "full").select(
-                        *[
-                            F.coalesce(F.col(f"b.{c}"), F.col(f"t.{c}")).alias(c)
-                            for c in out_cols
-                        ],
+                        *sel,
                         F.coalesce(F.col("b.bucket"), F.col("t.bucket")).alias(
                             "bucket"
                         ),
