@@ -828,6 +828,107 @@ class UpsertParquetSink:
             return None
         return self.spark.read.parquet(self._data_dir()).drop("bucket")
 
+    # -- time travel ---------------------------------------------------
+    def history(self) -> list[dict]:
+        """Commit history, newest first, within the log-retention
+        window: one row per delta record — seq, op, batch_id, touched
+        bucket count, whether the schema or bucket count changed. Pure
+        driver metadata, O(retained log); the audit surface a lakehouse
+        user reads before picking a read_version() target."""
+        _ckpts, deltas = self._list_mlog()
+        out = []
+        for seq, path in deltas:
+            try:
+                with open(path) as fh:
+                    rec = json.load(fh)
+            except (OSError, json.JSONDecodeError):
+                continue  # raced a cleanup's removal of an aged record
+            out.append(
+                {
+                    "seq": seq,
+                    "op": rec.get("op"),
+                    "batch_id": rec.get("batch_id"),
+                    "n_buckets": len(rec.get("buckets", {})),
+                    "schema_changed": bool(rec.get("schema")),
+                    "num_buckets": rec.get("num_buckets"),
+                }
+            )
+        out.sort(key=lambda r: -r["seq"])
+        return out
+
+    def _state_at(self, as_of: int) -> dict:
+        """The manifest view as of commit seq ``as_of``: newest
+        retained checkpoint at-or-below it + contiguous delta replay up
+        to it. Raises when the version has aged out of log retention or
+        never existed."""
+        ckpts, deltas = self._list_mlog()
+        base_seq, base_path = -1, None
+        for cseq, cpath in ckpts:
+            if base_seq < cseq <= as_of:
+                base_seq, base_path = cseq, cpath
+        if base_path is not None:
+            with open(base_path) as fh:
+                m = json.load(fh)
+        else:
+            m = self._load_legacy_base()
+            base_seq = 0 if m is not None else -1
+            if m is None:
+                raise ValueError(
+                    f"version {as_of}: no checkpoint at or below it is "
+                    "retained — out of log retention"
+                )
+        head = base_seq
+        for seq, path in deltas:
+            if seq <= base_seq or seq > as_of:
+                continue
+            if seq != head + 1:
+                raise ValueError(
+                    f"version {as_of}: log record {head + 1} has aged "
+                    "out of retention"
+                )
+            with open(path) as fh:
+                rec = json.load(fh)
+            if rec.get("schema"):
+                m["schema"] = rec["schema"]
+            if rec.get("num_buckets") is not None:
+                m["num_buckets"] = rec["num_buckets"]
+            for k, ent in rec.get("buckets", {}).items():
+                if ent is None:
+                    m["buckets"].pop(k, None)
+                else:
+                    m["buckets"][k] = ent
+            head = seq
+        if head != as_of:
+            raise ValueError(
+                f"version {as_of} does not exist (newest retained "
+                f"record at read time: {head})"
+            )
+        return m
+
+    def read_version(self, as_of: int) -> DataFrame | None:
+        """Snapshot read AS OF commit seq ``as_of`` — time travel.
+        Reach is bounded by the retention windows, exactly the Delta
+        contract: log records fold after ``LOG_RETENTION_SEC`` and
+        replaced data files are reclaimed by ``vacuum()`` after its
+        retention, so a version whose records or files are gone raises
+        with a clear message instead of scanning into a hole. No
+        healing — a historical version is immutable. None = the table
+        was empty at that version."""
+        m = self._state_at(as_of)
+        paths = self._manifest_paths(
+            m, sorted(int(k) for k in m["buckets"])
+        )
+        if not paths:
+            return None
+        missing = [p for p in paths if not os.path.isfile(p)]
+        if missing:
+            raise ValueError(
+                f"version {as_of}: {len(missing)} data file(s) already "
+                f"vacuumed (first: {os.path.basename(missing[0])}) — "
+                "out of vacuum retention"
+            )
+        return self._manifest_reader(m).parquet(*paths).drop("bucket")
+
     def _table_empty(self) -> bool:
         """Emptiness without a listing when a manifest exists."""
         m = self._load_manifest()
@@ -931,12 +1032,27 @@ class UpsertParquetSink:
             except OSError:
                 pass
 
+    # Replaced data files are RETAINED on disk after a commit (they are
+    # unlisted, hence invisible to every current reader) and reclaimed
+    # by vacuum() once older than its retention window. Retention is
+    # what gives the log TIME TRAVEL: read_version(seq) can re-resolve
+    # a historical manifest's file lists for as long as both the log
+    # records (LOG_RETENTION_SEC) and the files (VACUUM_RETENTION_SEC)
+    # survive — the Delta VACUUM-bounds-time-travel contract exactly.
+    # False restores the old eager delete-on-commit behavior (smallest
+    # possible footprint, no time travel, correct either way).
+    RETAIN_REPLACED_FILES = True
+
     def _cleanup_replaced(
         self, entries: dict, replaced: dict[str, list[str]]
     ) -> None:
-        """Post-commit: delete the files our commit superseded; a
-        bucket we emptied (None entry) loses its dir too. A crash here
-        merely leaves orphans for vacuum()."""
+        """Post-commit: the files our commit superseded become
+        unlisted — invisible by design — and are either retained for
+        time travel (default; vacuum reclaims them later) or deleted
+        eagerly when RETAIN_REPLACED_FILES is off. A crash here merely
+        leaves orphans for vacuum()."""
+        if self.RETAIN_REPLACED_FILES:
+            return
         for k, files in replaced.items():
             live = os.path.join(self._data_dir(), f"bucket={k}")
             for f in files:

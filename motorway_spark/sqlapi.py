@@ -63,9 +63,14 @@ def sql(
     if tables:
         from motorway_spark.sinks.upsert import UpsertParquetSink
 
-        for name, table_dir in tables.items():
+        for name, spec in tables.items():
+            # value = table dir, or (table dir, as_of_seq) for a
+            # time-travel view of that commit version
+            table_dir, as_of = (
+                spec if isinstance(spec, tuple) else (spec, None)
+            )
             sink = UpsertParquetSink.open(spark, table_dir)
-            df = sink.read()
+            df = sink.read() if as_of is None else sink.read_version(as_of)
             if df is None:  # empty table: zero-row view, real schema
                 df = spark.createDataFrame([], sink.table_schema())
             df.createOrReplaceTempView(name)

@@ -139,13 +139,22 @@ def test_two_writers_same_batch_id_exactly_one_commit(spark, tmp_path):
     got = {r["k"]: (r["ts"], r["v"]) for r in viewer.read().collect()}
     assert got[0] == (777, "race")
     assert viewer.row_count() == 40
-    # the loser's staged files were deleted: the touched bucket's dir
-    # holds exactly the manifest-listed files
+    # the touched bucket's dir holds the manifest-listed files plus
+    # the winner's REPLACED file (retained for time travel, unlisted =
+    # invisible); the loser's staged files were deleted at the no-op.
+    # vacuum(0) then reduces the dir to exactly the listed set —
+    # proving everything unlisted (loser leftovers included, had any
+    # survived) is reclaimable garbage, not reachable data.
     m1 = viewer._load_manifest()
     live = f"{table}/data/bucket={touched_bucket}"
+    on_disk = sorted(f for f in os.listdir(live) if f.endswith(".parquet"))
+    listed = m1["buckets"][touched_bucket]["files"]
+    assert set(listed) <= set(on_disk)
+    assert len(on_disk) <= len(listed) + 1  # + the one replaced file
+    viewer.vacuum(retention_sec=0)
     assert sorted(
         f for f in os.listdir(live) if f.endswith(".parquet")
-    ) == m1["buckets"][touched_bucket]["files"]
+    ) == listed
     # byte-identity on every untouched bucket
     for k, ent in m1["buckets"].items():
         if k != touched_bucket:
@@ -209,12 +218,20 @@ def test_two_writers_overlapping_bucket_loser_redoes_merge(spark, tmp_path):
     got = {r["k"]: r["v"] for r in viewer.read().collect()}
     assert got[200] == "first" and got[ky] == "second"
     assert viewer.row_count() == 42
-    # contested bucket holds exactly the manifest-listed files
+    # contested bucket: listed files live; everything else (the two
+    # writers' replaced versions, retained for time travel; the
+    # loser's staged files were deleted at the redo) is unlisted
+    # garbage vacuum(0) fully reclaims
     m = viewer._load_manifest()
     live = f"{table}/data/bucket={base_b}"
+    listed = m["buckets"][str(base_b)]["files"]
+    assert set(listed) <= {
+        f for f in os.listdir(live) if f.endswith(".parquet")
+    }
+    viewer.vacuum(retention_sec=0)
     assert sorted(
         f for f in os.listdir(live) if f.endswith(".parquet")
-    ) == m["buckets"][str(base_b)]["files"]
+    ) == listed
 
 
 def test_crashed_writer_orphans_invisible_and_vacuumed(spark, tmp_path):
