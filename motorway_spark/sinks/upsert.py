@@ -29,9 +29,12 @@ OPTIMISTIC CONCURRENCY rung:
 - **Data files are additive and uniquely named.** A writer stages its
   new version of each touched bucket as fresh ``part-<uuid>-N.parquet``
   files moved into the live ``bucket=K/`` dir. It never renames or
-  deletes a file any committed manifest entry lists until AFTER it has
-  won its own commit; files not listed by the manifest are invisible
-  garbage (a crashed writer's orphans), removed by ``vacuum()``.
+  deletes a file any committed manifest entry lists; files not listed
+  by the CURRENT manifest are invisible to current readers — a crashed
+  writer's orphans, or the RETAINED prior versions a commit replaced
+  (kept for ``read_version()`` time travel; see
+  RETAIN_REPLACED_FILES) — and are reclaimed by ``vacuum()`` once
+  older than its retention window.
 - **The commit point is a numbered log record**, created atomically
   AND exclusively: ``_mlog/<seq>.delta.json`` is written to a temp
   name and ``os.link``ed into place — link fails loudly (EEXIST) if
@@ -56,10 +59,12 @@ OPTIMISTIC CONCURRENCY rung:
     3. otherwise (disjoint buckets) simply re-attempts the link at the
        next sequence number with the same record — its staged files
        and entries are still valid, no Spark work is repeated.
-  A conflict can also surface EARLIER than the link: the winner's
-  post-commit cleanup may delete a replaced file while the loser's
-  staging job is still scanning its (stale) snapshot — that
-  FileNotFoundException is caught and resolved identically to case 2.
+  A conflict can also surface EARLIER than the link: a replaced file
+  the loser's staging job is still scanning may vanish mid-scan — in
+  eager-cleanup mode (RETAIN_REPLACED_FILES=False) from the winner's
+  post-commit delete, in the default retention mode only from a
+  concurrent ``vacuum`` aging it out — that FileNotFoundException is
+  caught and resolved identically to case 2.
   Crash windows are benign by construction: a crash before the link
   leaves only invisible orphan files; a crash after the link leaves a
   fully committed batch (the batch id travels IN the record, so data

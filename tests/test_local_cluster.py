@@ -375,11 +375,19 @@ for nm in sorted(os.listdir(f"{table}/_mlog")):
             ops.append(json.load(fh)["op"])
 assert ops[-1] == "append", ops  # exact string stats proved disjointness
 assert sink.compact(max_files_per_bucket=1) == 4
+# time travel across real executor JVMs: version 2 = first two shards
+assert sink.read_version(2).count() == 1000
+assert [h["seq"] for h in sink.history()][:2] == [5, 4]
 rep = sink.rebucket_policy(target_rows_per_bucket=250, apply=True)
 assert rep["applied"] and sink.num_buckets == 8, rep
+# additive evolution: a wider batch merges; old rows read NULL
+sink.upsert_batch(
+    shard(4 * 500, 10).withColumn("lang", F.lit("en")), batch_id=9)
+assert sink.read().filter("lang IS NULL").count() == 2000
 from motorway_spark.sqlapi import sql as facade_sql
 row = facade_sql(
-    "SELECT COUNT(*) AS n, MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM t",
+    "SELECT COUNT(*) AS n, MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM t"
+    " WHERE lang IS NULL",
     "/root/testdata/sf0.001", spark, tables={"t": table}).collect()[0]
 assert (row["n"], row["lo"], row["hi"]) == (2000, "doc-000000000", "doc-000001999"), row
 print("LC_R11_OK sink_lifecycle", row["n"])
