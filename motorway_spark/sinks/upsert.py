@@ -1139,6 +1139,75 @@ class UpsertParquetSink:
             self._delete_staged(staged)
         return status
 
+    # Safe widening chains for implicit type resolution: within a
+    # chain the wider type represents every narrower value exactly, so
+    # widening a column (and re-reading old narrower files under the
+    # widened manifest schema — parquet type promotion, verified on
+    # Spark 4) never changes a value. Anything off-chain refuses.
+    _WIDEN_CHAINS = (
+        ("byte", "short", "integer", "long"),
+        ("float", "double"),
+    )
+
+    @classmethod
+    def _wider_type(cls, a, b):
+        """The wider of two Spark DataTypes along a safe widening
+        chain; the type itself when equal (modulo nested nullability);
+        None when no safe resolution exists."""
+        if cls._schema_key(a.json()) == cls._schema_key(b.json()):
+            return a
+        an, bn = a.typeName(), b.typeName()
+        for chain in cls._WIDEN_CHAINS:
+            if an in chain and bn in chain:
+                return a if chain.index(an) >= chain.index(bn) else b
+        return None
+
+    def _align_key_types(self, batch: DataFrame, tschema: str) -> DataFrame:
+        """Cast the batch's KEY columns to the table's recorded key
+        types BEFORE bucketing: Spark's hash() is type-sensitive (an
+        int and a bigint with the same value hash apart — the
+        delete_keys lesson), so a type-mismatched key would route rows
+        to the wrong buckets. Only narrower-or-equal batch keys are
+        castable (always exact); a batch key WIDER than the table's
+        refuses loudly — its values may not fit, and silently widening
+        the key type would re-home every existing row's hash."""
+        from pyspark.sql.types import StructType
+
+        tfields = {
+            f.name: f
+            for f in StructType.fromJson(json.loads(tschema)).fields
+        }
+        casts = {}
+        for kc in self.key_cols:
+            tf = tfields.get(kc)
+            bf = batch.schema[kc]
+            if tf is None:
+                continue
+            if self._schema_key(bf.dataType.json()) == self._schema_key(
+                tf.dataType.json()
+            ):
+                continue
+            wider = self._wider_type(bf.dataType, tf.dataType)
+            if wider is None or self._schema_key(
+                wider.json()
+            ) != self._schema_key(tf.dataType.json()):
+                raise ValueError(
+                    f"upsert_batch: key column {kc!r} arrives as "
+                    f"{bf.dataType.simpleString()} but the table keys on "
+                    f"{tf.dataType.simpleString()}; keys hash by type, so "
+                    "an implicit key conversion would bucket rows wrongly "
+                    "— cast the batch key to the table's type explicitly"
+                )
+            casts[kc] = tf.dataType
+        if not casts:
+            return batch
+        return batch.select(
+            *[
+                F.col(c).cast(casts[c]).alias(c) if c in casts else F.col(c)
+                for c in batch.columns
+            ]
+        )
+
     def _merge_column_plan(self, m: dict, batch: DataFrame):
         """Column plan for a merge under ADDITIVE schema evolution
         (the Delta mergeSchema contract): ``[(name, side, dataType)]``
@@ -1171,18 +1240,23 @@ class UpsertParquetSink:
             bf = bfields.get(f.name)
             if bf is None:
                 plan.append((f.name, "table", f.dataType))
-            elif self._schema_key(bf.dataType.json()) != self._schema_key(
-                f.dataType.json()
-            ):
+                continue
+            # same-name type difference: resolve along the safe
+            # widening chains (int->bigint, float->double — exact,
+            # and old narrower files re-read under the widened
+            # manifest schema via parquet type promotion); anything
+            # off-chain refuses — an implicit lossy cast would
+            # silently corrupt values
+            wider = self._wider_type(bf.dataType, f.dataType)
+            if wider is None:
                 raise ValueError(
                     f"upsert_batch: column {f.name!r} arrives as "
                     f"{bf.dataType.simpleString()} but the table records "
-                    f"{f.dataType.simpleString()}; refusing the implicit "
-                    "cast — cast the batch to the table's type (or "
+                    f"{f.dataType.simpleString()}; no safe widening "
+                    "exists — cast the batch to the table's type (or "
                     "rewrite the table) explicitly"
                 )
-            else:
-                plan.append((f.name, "both", f.dataType))
+            plan.append((f.name, "both", wider))
         for n, bf in bfields.items():
             if n not in seen:
                 plan.append((n, "batch", bf.dataType))
@@ -1236,6 +1310,11 @@ class UpsertParquetSink:
             )
         else:
             batch = batch_df.dropDuplicates(self.key_cols)
+        # key types must match the table BEFORE bucketing: hash() is
+        # type-sensitive, so a mismatched key would prune/route wrongly
+        m_pre = self._load_manifest()
+        if m_pre is not None and m_pre.get("schema"):
+            batch = self._align_key_types(batch, m_pre["schema"])
         batch = batch.withColumn("bucket", self._bucket_expr())
 
         # The buckets this batch touches — bounded by num_buckets, so
@@ -1325,7 +1404,7 @@ class UpsertParquetSink:
                         *[
                             F.lit(None).cast(dt).alias(n)
                             if side == "table"
-                            else F.col(n)
+                            else F.col(n).cast(dt).alias(n)
                             for n, side, dt in plan
                         ],
                         "bucket",
@@ -1338,11 +1417,15 @@ class UpsertParquetSink:
                         for k in self.key_cols
                     ]
                     sel = []
-                    for n, side, _dt in plan:
+                    for n, side, dt in plan:
                         if side == "both":
+                            # cast BOTH sides to the plan (possibly
+                            # widened) type; a no-op cast is elided by
+                            # Catalyst, a widening cast is exact
                             sel.append(
                                 F.coalesce(
-                                    F.col(f"b.{n}"), F.col(f"t.{n}")
+                                    F.col(f"b.{n}").cast(dt),
+                                    F.col(f"t.{n}").cast(dt),
                                 ).alias(n)
                             )
                         elif side == "batch":

@@ -84,7 +84,7 @@ def test_omitted_column_is_partial_update(spark, tmp_path):
 
 def test_type_conflict_refuses_loudly(spark, tmp_path):
     sink, _table = _mk(spark, tmp_path)
-    with pytest.raises(ValueError, match="refusing the implicit"):
+    with pytest.raises(ValueError, match="no safe widening"):
         sink.upsert_batch(
             spark.createDataFrame([Row(k=1, v=5)], "k bigint, v bigint"),
             batch_id=1,
@@ -139,3 +139,66 @@ def test_evolved_table_delete_compact_and_facade_read(spark, tmp_path):
         tables={"t": table},
     ).collect()[0]
     assert (row["n"], row["se"]) == (10, 3)
+
+
+def test_value_column_widens_safely(spark, tmp_path):
+    """int -> bigint on a VALUE column resolves to the wider type
+    (exact), the recorded schema widens, and older int files re-read
+    under the widened manifest schema via parquet type promotion."""
+    table = str(tmp_path / "widen")
+    sink = UpsertParquetSink(spark, table, key_cols=["k"], num_buckets=4)
+    sink.upsert_batch(
+        spark.createDataFrame([Row(k="a", ts=1)], "k string, ts int"),
+        batch_id=0,
+    )
+    sink.upsert_batch(
+        spark.createDataFrame(
+            [Row(k="a", ts=2**40), Row(k="b", ts=5)], "k string, ts bigint"
+        ),
+        batch_id=1,
+    )
+    got = {r["k"]: r["ts"] for r in sink.read().collect()}
+    assert got == {"a": 2**40, "b": 5}
+    assert dict(sink.read().dtypes)["ts"] == "bigint"
+    # and the narrow direction afterwards: an int batch into the now-
+    # bigint table is cast up, values exact
+    sink.upsert_batch(
+        spark.createDataFrame([Row(k="c", ts=7)], "k string, ts int"),
+        batch_id=2,
+    )
+    got = {r["k"]: r["ts"] for r in sink.read().collect()}
+    assert got["c"] == 7 and dict(sink.read().dtypes)["ts"] == "bigint"
+
+
+def test_key_type_narrower_batch_casts_wider_refuses(spark, tmp_path):
+    """A batch KEY narrower than the table's casts up BEFORE bucketing
+    (hash() is type-sensitive); a WIDER batch key refuses loudly."""
+    table = str(tmp_path / "keycast")
+    sink = UpsertParquetSink(spark, table, key_cols=["k"], num_buckets=8)
+    sink.upsert_batch(
+        spark.createDataFrame(
+            [Row(k=i, v=f"v{i}") for i in range(10)], "k bigint, v string"
+        ),
+        batch_id=0,
+    )
+    # int batch key into the bigint table: update routes to the RIGHT
+    # bucket (no duplicate row appears)
+    sink.upsert_batch(
+        spark.createDataFrame([Row(k=3, v="upd")], "k int, v string"),
+        batch_id=1,
+    )
+    rows = [r for r in sink.read().collect() if r["k"] == 3]
+    assert len(rows) == 1 and rows[0]["v"] == "upd"
+    assert sink.row_count() == 10
+    # the wide direction refuses
+    itable = str(tmp_path / "ikey")
+    isink = UpsertParquetSink(spark, itable, key_cols=["k"], num_buckets=4)
+    isink.upsert_batch(
+        spark.createDataFrame([Row(k=1, v="a")], "k int, v string"),
+        batch_id=0,
+    )
+    with pytest.raises(ValueError, match="keys hash by type"):
+        isink.upsert_batch(
+            spark.createDataFrame([Row(k=2, v="b")], "k bigint, v string"),
+            batch_id=1,
+        )
