@@ -918,7 +918,15 @@ class UpsertParquetSink:
         retention, so a version whose records or files are gone raises
         with a clear message instead of scanning into a hole. No
         healing — a historical version is immutable. None = the table
-        was empty at that version."""
+        was empty at that version.
+
+        The file-existence check is driver-side and the returned
+        DataFrame scans lazily, so a vacuum() aging files out between
+        this call and the action surfaces as Spark's
+        FileNotFoundException rather than this method's ValueError —
+        callers doing historical reads under concurrent vacuums should
+        treat vanished-file errors as the same out-of-retention
+        condition."""
         m = self._state_at(as_of)
         paths = self._manifest_paths(
             m, sorted(int(k) for k in m["buckets"])
@@ -1776,9 +1784,12 @@ class UpsertParquetSink:
             paths = self._manifest_paths(m, ks)
             if not paths:
                 return 0
-            table = self.spark.read.option(
-                "basePath", self._data_dir()
-            ).parquet(*paths)
+            # Pinned to the manifest schema (NOT footer inference):
+            # after additive evolution / widening, these buckets hold
+            # heterogeneous files, and an inferred read could drop an
+            # evolved column's values from every rewritten bucket and
+            # then commit the narrowed schema back into the manifest.
+            table = self._manifest_reader(m).parquet(*paths)
             try:
                 affected = sorted(
                     r["bucket"]

@@ -52,10 +52,12 @@ def sql(
     query: str,
     sf_dir: str = DEFAULT_SF_DIR,
     spark: SparkSession | None = None,
-    tables: dict[str, str] | None = None,
+    tables: dict[str, "str | tuple[str, int]"] | None = None,
 ) -> DataFrame:
     """Run ``query`` against the catalog views over ``sf_dir``, plus
-    any ``tables`` manifest-table views (name -> table directory)."""
+    any ``tables`` manifest-table views. A ``tables`` value is the
+    table directory, or ``(table_dir, as_of_seq)`` for a time-travel
+    view of that commit version (``UpsertParquetSink.read_version``)."""
     if spark is None:
         from motorway_spark.session import get_session
 
@@ -82,5 +84,11 @@ def sql(
         for t in TABLES
         if t not in shadowed and re.search(rf"\b{t}\b", query, re.IGNORECASE)
     )
-    Catalog(spark, sf_dir).register_temp_views(only=refs or None)
+    # Empty refs means "register everything" ONLY when no manifest
+    # tables were supplied: a query over manifest views alone must not
+    # fall back to eagerly registering all ten fixture views (which
+    # would even fail outright when sf_dir holds no fixtures — the
+    # standalone --table CLI scenario).
+    if refs or not tables:
+        Catalog(spark, sf_dir).register_temp_views(only=refs or None)
     return spark.sql(query)

@@ -141,6 +141,48 @@ def test_evolved_table_delete_compact_and_facade_read(spark, tmp_path):
     assert (row["n"], row["se"]) == (10, 3)
 
 
+def test_delete_where_pins_manifest_schema(spark, tmp_path):
+    """delete_where on an evolved table must read through the manifest-
+    pinned schema: footer inference samples ONE file, so when the
+    first-listed bucket holds only pre-evolution (narrow) files the
+    rewrite would silently drop the evolved column's values from every
+    rewritten bucket and commit the narrowed schema back into the
+    manifest. Layout is pinned so bucket 0 (first in path order) is
+    narrow-only and the rewritten bucket 3 holds the evolved file:
+    pmod(hash(bigint k), 4) puts k=2,4,5,8 in bucket 0 and k=3,7 in
+    bucket 3."""
+    table = str(tmp_path / "dwevol")
+    sink = UpsertParquetSink(spark, table, key_cols=["k"], num_buckets=4)
+    sink.upsert_batch(
+        spark.createDataFrame(
+            [Row(k=k, v=f"v{k}") for k in (2, 4, 5, 8, 3, 7)],
+            "k bigint, v string",
+        ),
+        batch_id=0,
+    )
+    sink.upsert_batch(  # evolve: bucket 3 only (k=7)
+        spark.createDataFrame(
+            [Row(k=7, v="b7", extra=4)], "k bigint, v string, extra bigint"
+        ),
+        batch_id=1,
+    )
+    assert sink.delete_where(F.col("k") == 3) == 1  # rewrites bucket 3
+    df = sink.read()
+    assert df.columns == ["k", "v", "extra"]  # schema NOT narrowed
+    got = {r["k"]: (r["v"], r["extra"]) for r in df.collect()}
+    assert got[7] == ("b7", 4)  # evolved value survives the rewrite
+    assert got[2] == ("v2", None)
+    assert sink.row_count() == 5
+    # the committed manifest schema still carries the evolved column
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    rec = sink._load_manifest()
+    names = [f.name for f in StructType.fromJson(_json.loads(rec["schema"]))]
+    assert "extra" in names
+
+
 def test_value_column_widens_safely(spark, tmp_path):
     """int -> bigint on a VALUE column resolves to the wider type
     (exact), the recorded schema widens, and older int files re-read

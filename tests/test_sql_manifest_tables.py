@@ -120,3 +120,20 @@ def test_sql_manifest_table_shadows_fixture_and_joins_it(spark, tmp_path):
     )
     rows = df.collect()
     assert len(rows) == 1 and rows[0]["tag"] == "mine" and rows[0]["n"] == 5
+
+
+def test_sql_manifest_only_query_skips_fixture_registration(
+    spark, tmp_path
+):
+    """A query referencing ONLY manifest tables must not fall back to
+    registering all ten fixture views — that is measurable per-call
+    overhead and fails outright when sf_dir holds no fixtures (the
+    standalone --table scenario)."""
+    sink, table = _mk(spark, tmp_path, name="solo")
+    row = motorway_spark.sql(
+        "SELECT COUNT(*) AS n FROM solo",
+        str(tmp_path / "no-such-fixture-dir"),  # would crash if read
+        spark,
+        tables={"solo": table},
+    ).collect()[0]
+    assert row["n"] == 10
