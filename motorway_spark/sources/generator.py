@@ -113,6 +113,7 @@ class SentenceSource(DataSource):
 
 def register_sources(spark) -> None:
     """Register all custom sources on a session (idempotent)."""
+    from motorway_spark.sources.changefeed import ManifestChangefeedSource
     from motorway_spark.sources.kafka import KafkaLogSource
     from motorway_spark.sources.longpoll import LongPollSource
     from motorway_spark.sources.pagedapi import PagedApiSource
@@ -123,3 +124,4 @@ def register_sources(spark) -> None:
     spark.dataSource.register(KafkaLogSource)
     spark.dataSource.register(PagedApiSource)
     spark.dataSource.register(LongPollSource)
+    spark.dataSource.register(ManifestChangefeedSource)
