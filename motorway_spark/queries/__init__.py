@@ -20,6 +20,7 @@ from motorway_spark.queries.registry import QUERIES, ORACLES, query, get_queries
 # had a driver CORRECTNESS row therefore register FIRST; the families
 # already verified green in round 1 (relational, tpch_extra, joins,
 # windows) register LAST.
+from motorway_spark.queries import changefeed  # noqa: F401,E402
 from motorway_spark.queries import dataquality  # noqa: F401,E402
 from motorway_spark.queries import spatial  # noqa: F401,E402
 from motorway_spark.queries import timeseries  # noqa: F401,E402

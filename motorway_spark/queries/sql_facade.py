@@ -231,3 +231,132 @@ def sql_facade_manifest_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eager checkpoint: the returned frame must outlive the table dir
     # (the NEXT invocation rmtree's it)
     return out.localCheckpoint(eager=True)
+
+
+# -- DML through the façade: the write half as SQL strings ----------------
+
+_MERGE_DML_ORACLE = f"""
+WITH early AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         {sql_dsum('o_totalprice', 'total_spend')}
+  FROM orders WHERE o_orderdate < {_CUT}
+  GROUP BY o_custkey),
+late_keys AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= {_CUT}),
+late_full AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         {sql_dsum('o_totalprice', 'total_spend')}
+  FROM orders GROUP BY o_custkey
+  HAVING MAX(o_orderdate) >= {_CUT}),
+zeros AS (
+  SELECT c_custkey AS o_custkey, CAST(0 AS BIGINT) AS n_orders,
+         CAST(0.0 AS DOUBLE) AS total_spend
+  FROM customer
+  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)),
+state AS (
+  SELECT * FROM late_full
+  UNION ALL
+  SELECT e.* FROM early e
+  WHERE NOT EXISTS (SELECT 1 FROM late_keys lk
+                    WHERE lk.o_custkey = e.o_custkey)
+  UNION ALL
+  SELECT * FROM zeros)
+SELECT n_orders, COUNT(*) AS n_customers,
+       {sql_dsum('total_spend', 'spend')}
+FROM state WHERE n_orders <> 1 GROUP BY n_orders
+"""
+
+_LAST_DML_TABLE_DIR: str | None = None
+
+
+@query("sql_facade_merge_dml", oracle=_MERGE_DML_ORACLE)
+def sql_facade_merge_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write half of the façade as SQL STRINGS: after an API-seeded
+    batch 0 (early aggregates — the adopt-an-existing-table scenario),
+    every mutation is one string routed to ``UpsertParquetSink`` —
+    a canonical ``MERGE INTO ... WHEN MATCHED THEN UPDATE SET * WHEN
+    NOT MATCHED THEN INSERT *`` (full-history aggregates for customers
+    with a post-cut order: updates for the overlap, inserts for
+    late-only customers), an ``INSERT INTO`` (zero rows for customers
+    with no orders at all — pure inserts through the same keyed-upsert
+    path), and a ``DELETE FROM ... WHERE`` (single-order customers),
+    then ONE read string aggregates the final state. The oracle
+    replays the whole mutation algebra from ``orders``/``customer``.
+
+    This completes the reference K4 surface declaratively: motorway's
+    SQL-sink users write upserts as statements built from
+    ``table_columns`` (contrib/sql_alchemy/intersections.py:57-98);
+    here the statement IS the interface, and the engine plans the
+    keyed MERGE underneath (VERDICT r11 item 3)."""
+    import shutil
+    import tempfile
+
+    from motorway_spark.catalog import Catalog
+    from motorway_spark.queries.helpers import dsum
+    from motorway_spark.sinks import UpsertParquetSink
+    from motorway_spark.sqlapi import sql as facade_sql
+
+    global _LAST_DML_TABLE_DIR
+    if _LAST_DML_TABLE_DIR is not None:
+        shutil.rmtree(_LAST_DML_TABLE_DIR, ignore_errors=True)
+
+    orders = Catalog(spark, sf_dir).table("orders")
+    early = (
+        orders.filter(F.col("o_orderdate") < F.expr(_CUT))
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", "total_spend"),
+        )
+    )
+    table_dir = tempfile.mkdtemp(prefix="dml_cust_orders_")
+    _LAST_DML_TABLE_DIR = table_dir
+    sink = UpsertParquetSink(
+        spark, table_dir, key_cols=["o_custkey"], num_buckets=16
+    )
+    sink.upsert_batch(early, batch_id=0)
+    tables = {"cust_orders": table_dir}
+    facade_sql(
+        f"""
+        MERGE INTO cust_orders USING (
+          SELECT o_custkey, COUNT(*) AS n_orders,
+                 {sql_dsum('o_totalprice', 'total_spend')}
+          FROM orders GROUP BY o_custkey
+          HAVING MAX(o_orderdate) >= {_CUT}
+        ) src ON cust_orders.o_custkey = src.o_custkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+        sf_dir,
+        spark,
+        tables=tables,
+    )
+    facade_sql(
+        """
+        INSERT INTO cust_orders
+        SELECT c_custkey AS o_custkey, CAST(0 AS BIGINT) AS n_orders,
+               CAST(0.0 AS DOUBLE) AS total_spend
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        sf_dir,
+        spark,
+        tables=tables,
+    )
+    facade_sql(
+        "DELETE FROM cust_orders WHERE n_orders = 1",
+        sf_dir,
+        spark,
+        tables=tables,
+    )
+    out = facade_sql(
+        f"""
+        SELECT n_orders, COUNT(*) AS n_customers,
+               {sql_dsum('total_spend', 'spend')}
+        FROM cust_orders GROUP BY n_orders
+        """,
+        sf_dir,
+        spark,
+        tables=tables,
+    )
+    return out.localCheckpoint(eager=True)

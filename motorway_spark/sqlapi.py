@@ -44,8 +44,163 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from motorway_spark.catalog import Catalog, DEFAULT_SF_DIR, TABLES
+
+# -- DML over manifest tables --------------------------------------------
+# The write half of the façade: the reference's K4 users express upsert
+# DECLARATIVELY (contrib/sql_alchemy/intersections.py:57-98 builds an
+# INSERT ... ON CONFLICT DO UPDATE from table_columns); here one SQL
+# string routes to UpsertParquetSink. Supported forms (canonical keyed
+# upsert — anything else refuses loudly rather than half-working):
+#
+#   INSERT INTO t [(c1, ...)] <query>          -> upsert_batch (keyed
+#       upsert, exactly the reference's insert-or-update contract)
+#   MERGE INTO t [AS a] USING (<query>) [AS s] ON <key equalities>
+#     WHEN MATCHED THEN UPDATE SET *
+#     WHEN NOT MATCHED THEN INSERT *           -> upsert_batch
+#   DELETE FROM t WHERE <cond>                 -> delete_where
+#
+# Each returns a 1-row status frame (op, rows_affected). rows_affected
+# for upserts is the (deduplicated-source) batch size — one extra count
+# job over the source; DELETE's count is exact from the rewrite itself.
+
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(\w+)\s*(\(([^)]*)\))?\s*(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(\w+)(?:\s+AS)?(?:\s+(\w+))?\s+USING\s*\(",
+    re.IGNORECASE,
+)
+_MERGE_TAIL_RE = re.compile(
+    r"^(?:\s+AS)?(?:\s+(\w+))?\s+ON\s+(.+?)\s+"
+    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ON_PAIR_RE = re.compile(r"(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)")
+
+
+def _split_using(rest: str) -> tuple[str, str]:
+    """``rest`` starts right after ``USING (``: return (inner query,
+    tail after the matching close paren)."""
+    depth = 1
+    for i, ch in enumerate(rest):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return rest[:i], rest[i + 1 :]
+    raise ValueError("MERGE: unbalanced parentheses in USING (...)")
+
+
+def _merge_on_keys(cond: str, target: str, t_alias: str | None) -> list[str]:
+    """The key columns asserted by a canonical MERGE ON condition
+    (conjunction of target.<k> = source.<k> equalities)."""
+    names = {target.lower()}
+    if t_alias:
+        names.add(t_alias.lower())
+    keys = []
+    for a, ca, b, cb in _ON_PAIR_RE.findall(cond):
+        tcol = ca if a.lower() in names else cb if b.lower() in names else None
+        scol = cb if a.lower() in names else ca
+        if tcol is None or tcol.lower() != scol.lower():
+            raise ValueError(
+                "MERGE ON must be a conjunction of target.<key> = "
+                f"source.<key> equalities; got {cond!r}"
+            )
+        keys.append(tcol)
+    if not keys:
+        raise ValueError(f"MERGE ON has no key equalities: {cond!r}")
+    return keys
+
+
+def _run_dml(
+    query: str,
+    sf_dir: str,
+    spark: SparkSession,
+    tables: dict,
+) -> DataFrame | None:
+    """Execute a DML string against a manifest table; None when
+    ``query`` is not DML (the caller falls through to the read path)."""
+    mt = _DELETE_RE.match(query)
+    ins = _INSERT_RE.match(query) if mt is None else None
+    mrg = _MERGE_RE.match(query) if mt is None and ins is None else None
+    if mt is None and ins is None and mrg is None:
+        return None
+    name = (mt or ins or mrg).group(1)
+    spec = (tables or {}).get(name)
+    if spec is None:
+        raise ValueError(
+            f"DML target {name!r} is not in tables= — DML writes only "
+            "to manifest tables passed explicitly (fixture views are "
+            "read-only)"
+        )
+    if isinstance(spec, tuple):
+        raise ValueError(f"DML target {name!r}: cannot write to a "
+                         "time-travel (as-of) view")
+    from motorway_spark.sinks.upsert import UpsertParquetSink
+
+    sink = UpsertParquetSink.open(spark, spec)
+
+    def status(op: str, n: int) -> DataFrame:
+        return spark.createDataFrame(
+            [(op, n)], "op string, rows_affected long"
+        )
+
+    if mt is not None:  # DELETE FROM t WHERE cond
+        n = sink.delete_where(F.expr(mt.group(2)))
+        return status("delete", n)
+
+    if ins is not None:  # INSERT INTO t [(cols)] <query>
+        src = sql(ins.group(4), sf_dir, spark, tables=tables)
+        # standard INSERT is POSITIONAL: the column list names the
+        # targets, else the table's own column order does (so VALUES
+        # rows with their col1/col2 names land correctly)
+        names = (
+            [c.strip() for c in ins.group(3).split(",")]
+            if ins.group(3)
+            else [f.name for f in sink.table_schema().fields]
+        )
+        if len(names) != len(src.columns):
+            raise ValueError(
+                f"INSERT maps {len(src.columns)} query column(s) onto "
+                f"{len(names)} target column(s) "
+                f"({', '.join(names)}) — counts must match"
+            )
+        src = src.toDF(*names)
+        sink.upsert_batch(src, batch_id=None)
+        return status("insert", src.count())
+
+    # MERGE INTO t USING (...) ON ... WHEN MATCHED ...
+    inner, tail = _split_using(query[mrg.end() :])
+    tm = _MERGE_TAIL_RE.match(tail)
+    if tm is None:
+        raise ValueError(
+            "unsupported MERGE form — the façade supports the canonical "
+            "keyed upsert only: MERGE INTO t USING (<query>) ON "
+            "<target.key = source.key [AND ...]> WHEN MATCHED THEN "
+            "UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+        )
+    on_keys = _merge_on_keys(tm.group(2), name, mrg.group(2))
+    if sorted(k.lower() for k in on_keys) != sorted(
+        k.lower() for k in sink.key_cols
+    ):
+        raise ValueError(
+            f"MERGE ON keys {sorted(on_keys)} != the table's key "
+            f"columns {sorted(sink.key_cols)} — a partial-key or "
+            "extra-key merge is not the canonical upsert"
+        )
+    src = sql(inner, sf_dir, spark, tables=tables)
+    sink.upsert_batch(src, batch_id=None)
+    return status("merge", src.count())
 
 
 def sql(
@@ -57,11 +212,20 @@ def sql(
     """Run ``query`` against the catalog views over ``sf_dir``, plus
     any ``tables`` manifest-table views. A ``tables`` value is the
     table directory, or ``(table_dir, as_of_seq)`` for a time-travel
-    view of that commit version (``UpsertParquetSink.read_version``)."""
+    view of that commit version (``UpsertParquetSink.read_version``).
+
+    DML strings (``INSERT INTO`` / canonical upsert ``MERGE INTO`` /
+    ``DELETE FROM ... WHERE``) targeting a ``tables`` entry route to
+    the sink's write path (upsert_batch / delete_where) and return a
+    1-row (op, rows_affected) status frame — see the module-level DML
+    grammar notes."""
     if spark is None:
         from motorway_spark.session import get_session
 
         spark = get_session("motorway-sql")
+    dml = _run_dml(query, sf_dir, spark, tables)
+    if dml is not None:
+        return dml
     if tables:
         from motorway_spark.sinks.upsert import UpsertParquetSink
 
