@@ -650,6 +650,11 @@ def stream_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the one landed SCD2 source table kept on disk (previous run's dir is
+# removed on the next invocation)
+_LAST_SCD2_TABLE_DIR: str | None = None
+
+
 def _advance_runs(cur, pdf):
     """Advance the (event_type, valid_from_us, n_events) current-run
     state over one event-time-sorted batch. The first in-batch run
@@ -703,6 +708,15 @@ def stream_scd2_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     the state store. The streaming twin of scd2_intervals' is_current
     slice.
 
+    PRODUCTION SHAPE (round 12): the events land in a manifest table
+    first — an ``UpsertParquetSink`` keyed by event_id, written in
+    three range-split append commits — and the SCD2 consumer reads the
+    table's CHANGEFEED (``read_stream()``, insert rows) instead of a
+    synthetic file stream. That is the reference's end-to-end loop
+    (ramp -> sink -> downstream consumer) with the engine's own table
+    as the hop: stream -> table -> downstream-stream without
+    re-scanning snapshots. Same oracle as before the rebase.
+
     Unlike the counting/summing stateful ops, this one is
     ORDER-SENSITIVE: the update function sorts each Arrow batch by
     event time and walks run boundaries (numpy change-point detection,
@@ -711,10 +725,47 @@ def stream_scd2_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-batch splice is the CDC-correctness crux at 100 TB, where one
     user's events span many micro-batches.
     """
+    import shutil
+    import tempfile
+
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    events = stream_events(spark, sf_dir)
+    from motorway_spark.catalog import Catalog
+    from motorway_spark.sinks import UpsertParquetSink
+
+    global _LAST_SCD2_TABLE_DIR
+    if _LAST_SCD2_TABLE_DIR is not None:
+        shutil.rmtree(_LAST_SCD2_TABLE_DIR, ignore_errors=True)
+
+    events = Catalog(spark, sf_dir).table("events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    lo, hi = events.agg(
+        F.min("event_id"), F.max("event_id")
+    ).collect()[0]
+    table_dir = tempfile.mkdtemp(prefix="scd2_events_")
+    _LAST_SCD2_TABLE_DIR = table_dir
+    sink = UpsertParquetSink(
+        spark, table_dir, key_cols=["event_id"], num_buckets=16
+    )
+    # three RANGE-split commits: disjoint event_id ranges ride the
+    # O(shard) append fast path (klo/khi disjointness proof)
+    step = max((hi - lo) // 3 + 1, 1)
+    for i in range(3):
+        shard = events.filter(
+            (F.col("event_id") >= lo + i * step)
+            & (F.col("event_id") < lo + (i + 1) * step)
+        )
+        sink.upsert_batch(shard, batch_id=i)
+
+    feed = sink.read_stream()  # the changefeed IS the event stream
+    base = feed.filter(F.col("_change_type") == "insert").select(
+        "user_id", "event_id", "event_type", "ts_us"
+    )
 
     def update_current(key, pdf_iter, state: GroupState):
         cur = tuple(state.get) if state.exists else None  # (type, from_us, n)
@@ -731,12 +782,6 @@ def stream_scd2_current(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    base = events.select(
-        "user_id",
-        "event_id",
-        "event_type",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
-    )
     current = base.groupBy("user_id").applyInPandasWithState(
         update_current,
         outputStructType="user_id long, event_type string, valid_from_us long, n_events long",
