@@ -2587,15 +2587,23 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # standard reason composed recall stays high at LOWER nprobe.
 # ---------------------------------------------------------------------------
 IVFPQ_RES_PROBE = 4  # the point of residuals: recall at lower nprobe
-IVFPQ_RES_COARSE_ITERS = 4  # normalized-space Lloyd iterations
-IVFPQ_RES_RERANK = 100  # ADC candidates fed to the exact rerank
+IVFPQ_RES_COARSE_ITERS = 6  # normalized-space Lloyd iterations
+IVFPQ_RES_RERANK = 200  # ADC candidates fed to the exact rerank
 # Round-10 knee grid on the fixture (recall@3 at probe 4, residual PQ
 # on normalized-space cells; engine-measured at the ship point,
 # simulator-swept elsewhere — the simulator reproduces the engine's
 # 0.617 base point exactly):
 #   coarse2/rerank50 0.617, coarse2/rerank100 0.717
-#   coarse4/rerank50 0.617, coarse4/rerank100 0.767   <- ship
+#   coarse4/rerank50 0.617, coarse4/rerank100 0.767   <- r10/r11 ship
 #   extra PQ Lloyd iteration: +0.016 at rerank 50, +0.000 at 100
+# Round-12 engine-measured extension (same method, probe 4):
+#   coarse4/rerank150 0.800, coarse4/rerank200 0.800
+#   coarse6/rerank100 0.783, coarse6/rerank200 0.817  <- ship (r12)
+#   coarse8/rerank200 0.850
+# Ship moved to coarse6/rerank200 = 0.817 at UNCHANGED probe cost:
+# +2 coarse Lloyd passes are train-time (amortized once per index
+# build) and the doubled rerank stays a per-query CONSTANT — the two
+# cheap levers the r11 knee identified, spent exactly as it advised.
 # Probe CEILING (true neighbors inside probed cells) explains the
 # levers: coarse2 = 0.733@4, coarse4 = 0.800@4 — more Lloyd sharpens
 # the cells; the rerank widening recovers ADC near-misses inside the
@@ -2605,8 +2613,8 @@ IVFPQ_RES_RERANK = 100  # ADC candidates fed to the exact rerank
 # for residuals (0.567@4 probe) — the residual only works when cells
 # live in the same (normalized) space it is computed in, which is why
 # this operator normalizes FIRST (FAISS cosine-metric setup).
-# vs the raw-encoding operator: 0.767 @ probe4 > 0.717 @ probe6 —
-# equal-or-better recall while scanning 4/6 of the cells per query.
+# vs the raw-encoding operator: 0.817 @ probe4 > 0.717 @ probe6 —
+# better recall while scanning 4/6 of the cells per query.
 
 
 def _res_c2n_mean_sql(i: int) -> str:

@@ -170,15 +170,16 @@ def test_reservoir_sample_is_deterministic_and_bounded(spark):
 
 def test_ivfpq_residual_recall_floor_and_lower_nprobe_claim(spark):
     """sim_ann_ivfpq_residual: residual encoding on normalized-space
-    cells must EARN its rung — measured 0.767 recall@3 at probe 4
-    (coarse4/rerank100 knee, grid at similarity.IVFPQ_RES_PROBE),
-    above the raw-encoding operator's 0.717 at probe 6. Floor at 0.70
-    keeps the ship point from silently degrading (margin for fixture
-    regeneration); the >= raw assertion pins the lower-nprobe claim
-    the operator exists for."""
+    cells must EARN its rung — measured 0.817 recall@3 at probe 4
+    (round-12 ship point coarse6/rerank200; grid at
+    similarity.IVFPQ_RES_PROBE; the r10/r11 ship coarse4/rerank100
+    measured 0.767), above the raw-encoding operator's 0.717 at probe
+    6. Floor at 0.78 keeps the ship point from silently degrading
+    (margin for fixture regeneration); the >= raw assertion pins the
+    lower-nprobe claim the operator exists for."""
     exact = _top3(QUERIES["sim_knn_cosine"](spark, SF))
     res = _recall(_top3(QUERIES["sim_ann_ivfpq_residual"](spark, SF)), exact)
-    assert res >= 0.70, f"residual IVFPQ recall collapsed: {res:.2f}"
+    assert res >= 0.78, f"residual IVFPQ recall collapsed: {res:.2f}"
     raw = _recall(_top3(QUERIES["sim_ann_ivfpq"](spark, SF)), exact)
     assert res >= raw - 0.02, (
         f"residual@probe4 ({res:.2f}) fell below raw@probe6 ({raw:.2f}) - "
