@@ -242,3 +242,60 @@ def test_sqs_send_batch_sink_lands_and_guards_size(spark, tmp_path, moto_endpoin
     # (same treatment as the Kinesis sink's dead-letter dump)
     assert rec["Id"] == "id-big"
     assert json.loads(rec["MessageBody"])["message_id"] == "id-big"
+
+
+# ---------------------------------------------------------------------------
+# Visibility-timeout redelivery: the crash-shaped at-least-once path
+# ---------------------------------------------------------------------------
+def test_sqs_visibility_timeout_redelivery(moto_endpoint):
+    """A polled-but-unacked message (reader crashed before commit)
+    stays INVISIBLE for the visibility window, then SQS re-delivers it;
+    a FRESH transport (the restarted reader) receives it under a new
+    receipt handle and its ack deletes for good. This is exactly the
+    reference's SQS failure contract (amazon_sqs/ramps.py: success
+    deletes, failure just lets visibility lapse) — no explicit nack
+    anywhere. Runs against moto in-process or localstack via
+    AWS_ENDPOINT_URL (docker compose up -d localstack)."""
+    import time as _time
+
+    from motorway_spark.sources.aws import SqsPollTransport
+
+    cli = _client("sqs", moto_endpoint)
+    q = cli.create_queue(QueueName=f"redeliver{uuid.uuid4().hex[:8]}")[
+        "QueueUrl"
+    ]
+    cli.send_message(QueueUrl=q, MessageBody=json.dumps({"Id": "m1", "v": 1}))
+
+    def transport():
+        return SqsPollTransport(
+            q,
+            region="us-east-1",
+            endpoint_url=moto_endpoint,
+            access_key="testing",
+            secret_key="testing",
+            visibility_timeout_sec=2,
+        )
+
+    t1 = transport()
+    assert [e["Id"] for e in t1.connect()] == ["m1"]
+    # crash before ack: the message is in flight, INVISIBLE to a fresh
+    # reader inside the window — no double-processing while the first
+    # owner might still commit
+    t2 = transport()
+    assert t2.connect() == []
+    assert _queue_depth(cli, q) == 1  # not lost, just not visible
+
+    deadline = _time.time() + 30
+    redelivered = []
+    while not redelivered and _time.time() < deadline:
+        _time.sleep(0.5)
+        redelivered = t2.connect()
+    assert [e["Id"] for e in redelivered] == ["m1"], (
+        "message was not re-delivered after the visibility timeout"
+    )
+    # the restarted reader's commit deletes it under the NEW handle
+    t2.ack(["m1"])
+    assert _queue_depth(cli, q) == 0
+    # and the ORIGINAL crashed owner's late ack is a harmless no-op
+    t1.ack(["m1"])
+    assert _queue_depth(cli, q) == 0
