@@ -46,18 +46,94 @@ from motorway_spark.queries import relational  # noqa: F401,E402
 from motorway_spark.queries import windows  # noqa: F401,E402
 from motorway_spark.queries import sql_facade  # noqa: F401,E402
 
-# Explicit sweep priority (round 11). The driver's per-round
+# Explicit sweep priority (round 12). The driver's per-round
 # correctness budget is ~50 queries, taken in registration order.
-# Merged latest-row distribution after round 10: r10:50 / r09:46 /
-# r08:48 / r07:48 / r06:50, zero fails ever. This head = the one query
-# NEW in round 11 (the manifest-table façade loop), then the two
-# round-10-swept queries whose code changed in round 11 after their
-# latest driver row (pagerank's window-degree build + lazy fill;
-# stream_ann_ingest rides the sink whose append proof gained exact
-# key stats) — changed-after-sweep FIRST — then the ENTIRE 50-query
-# r06-stale cohort. After this round NO query's latest driver row is
-# older than r07.
+# Latest-row distribution after round 11: r11:50 / r10:48 / r09:46 /
+# r08:48 / r07:48 / r06:3, zero fails ever. Head = the three queries
+# NEW in round 12 (the changefeed pair + the DML façade), then the two
+# queries whose code changed in round 12 after their latest driver row
+# (stream_scd2_current rebased onto the table changefeed;
+# sim_ann_ivfpq_residual retuned to coarse6/rerank200), then the three
+# r06-stale stragglers the r11 budget cut, then the ENTIRE r07 cohort.
+# The two permanent no_oracle entries (sample_fraction, sim_ann_ivf)
+# are pushed to the VERY BACK via _SWEEP_BACK so driver rows stop
+# being spent on documented rows-only checks (their oracle-exact twins
+# carry the evidence).
 _SWEEP_PRIORITY = [
+    # -- new in round 12 --
+    "table_changefeed",  # batch CDF over a manifest table
+    "stream_table_changefeed",  # streaming CDF source, same oracle
+    "sql_facade_merge_dml",  # INSERT/MERGE/DELETE as SQL strings
+    # -- code changed in round 12 after the latest driver row --
+    "stream_scd2_current",  # consumes the table changefeed now
+    "sim_ann_ivfpq_residual",  # ship point moved to coarse6/rerank200
+    # -- latest driver row is ROUND 6 (the 3 the r11 budget cut) --
+    "unpivot_metrics",
+    "win_distribution",
+    "zorder_clustering",
+    # -- latest driver row is ROUND 7 (retire the cohort) --
+    "agg_distinct_kmv",
+    "agg_median_mad",
+    "cluster_kmeans_lloyd",
+    "dedup_bloom_incremental",
+    "dedup_cross_source_matrix",
+    "dedup_exact_substring_spans",
+    "dedup_minhash_cap_loss",
+    "dq_benford_first_digit",
+    "dq_functional_dependency",
+    "dq_split_drift_chi2",
+    "events_forecast_seasonal_naive",
+    "events_twap_daily",
+    "graph_degree_distribution",
+    "graph_triangle_count",
+    "orders_market_basket_rules",
+    "orders_pareto_concentration",
+    "pipeline_dedup_funnel",
+    "q10_returned_items",
+    "q2_min_cost_supplier",
+    "q5_local_supplier",
+    "q9_profit",
+    "scan_csv",
+    "scan_csv_corrupt",
+    "scan_json",
+    "scan_orc",
+    "sim_ann_ivf_lloyd",
+    "sim_range_search",
+    "stream_corpus_ingest",
+    "stream_dedup",
+    "stream_dedup_minhash",
+    "stream_distinct_kmv",
+    "stream_filter_route",
+    "stream_kafka_topic_agg",
+    "stream_longpoll_agg",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_stateful_user_totals",
+    "stream_stateful_user_totals_tws",
+    "stream_static_enrich",
+    "stream_stream_join",
+    "stream_topk_heavy_hitters",
+    "stream_tumbling_window",
+    "text_bm25_topk",
+    "text_boilerplate_chunks",
+    "text_inverted_index",
+    "text_surprisal_lm",
+    "win_ewma_finite",
+]
+
+# Permanent rows-only entries (ROWS_ONLY.md): registered and locally
+# swept like everything else, but LAST in driver order — a driver row
+# spent here is a guaranteed "err: no_oracle", and their oracle-exact
+# twins (sample_stratified_exact, sim_ann_ivf_fixed/_lloyd) already
+# gate the same code paths.
+_SWEEP_BACK = [
+    "sample_fraction",
+    "sim_ann_ivf",
+]
+
+# Round-11 head kept below: everything here has an r11 driver row
+# already.
+_SWEEP_PRIORITY_R11 = [
     # -- new in round 11 --
     "sql_facade_manifest_table",  # write via sink, read back via ONE string
     # -- code changed in round 11 after the latest driver row: first --
@@ -636,13 +712,15 @@ _SWEEP_PRIORITY_R4 = [
 
 
 def _reorder_for_sweep() -> None:
-    # r5 stale-first priority, then the r4 ordering (fresh rows), then
-    # registration order for anything unlisted.  Duplicate names are fine:
-    # the first occurrence fixes a dict key's position.
+    # stale-first priority lists, then registration order for anything
+    # unlisted, then the permanent no-oracle pair DEAD LAST.  Duplicate
+    # names are fine: the first occurrence fixes a dict key's position.
+    back = [n for n in _SWEEP_BACK if n in QUERIES]
     ordered = {
         n: QUERIES[n]
         for n in (
             *_SWEEP_PRIORITY,
+            *_SWEEP_PRIORITY_R11,
             *_SWEEP_PRIORITY_R10,
             *_SWEEP_PRIORITY_R9,
             *_SWEEP_PRIORITY_R8,
@@ -652,10 +730,13 @@ def _reorder_for_sweep() -> None:
             *_SWEEP_PRIORITY_R5,
             *_SWEEP_PRIORITY_R4,
         )
-        if n in QUERIES
+        if n in QUERIES and n not in back
     }
     for name, fn in QUERIES.items():
-        ordered.setdefault(name, fn)
+        if name not in back:
+            ordered.setdefault(name, fn)
+    for name in back:
+        ordered[name] = QUERIES[name]
     QUERIES.clear()
     QUERIES.update(ordered)
     oracles = {n: ORACLES[n] for n in ordered if n in ORACLES}
