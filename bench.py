@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "table_changefeed",
     "stream_table_changefeed",
     "sql_facade_merge_dml",
+    "stream_changefeed_matview",
 ]
 
 # Sub-noise-width timings at sf0.1: best-of-2 left three ambiguous

@@ -64,6 +64,7 @@ _SWEEP_PRIORITY = [
     "table_changefeed",  # batch CDF over a manifest table
     "stream_table_changefeed",  # streaming CDF source, same oracle
     "sql_facade_merge_dml",  # INSERT/MERGE/DELETE as SQL strings
+    "stream_changefeed_matview",  # CDC-driven incremental aggregate view
     # -- code changed in round 12 after the latest driver row --
     "stream_scd2_current",  # consumes the table changefeed now
     "sim_ann_ivfpq_residual",  # ship point moved to coarse6/rerank200

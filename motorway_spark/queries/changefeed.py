@@ -165,3 +165,103 @@ def stream_table_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = _build_table(spark, sf_dir, "stream")
     drained = run_stream_to_memory(sink.read_stream(), output_mode="append")
     return drained.select(*_OUT_COLS).localCheckpoint(eager=True)
+
+
+# -- incremental materialized view over the changefeed ---------------------
+
+_MV_ORACLE = f"""
+WITH early AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         {sql_dsum('o_totalprice', 'total_spend')}
+  FROM orders WHERE o_orderdate < {_CUT}
+  GROUP BY o_custkey),
+late_keys AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= {_CUT}),
+late_full AS (
+  SELECT f.* FROM (
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'total_spend')}
+    FROM orders GROUP BY o_custkey) f
+  JOIN late_keys lk ON f.o_custkey = lk.o_custkey),
+state2 AS (
+  SELECT * FROM late_full
+  UNION ALL
+  SELECT e.* FROM early e
+  WHERE NOT EXISTS (SELECT 1 FROM late_keys lk
+                    WHERE lk.o_custkey = e.o_custkey)),
+delk AS (SELECT o_custkey FROM early WHERE n_orders = 1),
+final AS (
+  SELECT s.* FROM state2 s
+  WHERE NOT EXISTS (SELECT 1 FROM delk d WHERE d.o_custkey = s.o_custkey))
+SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       {sql_dsum('total_spend', 'spend')}
+FROM final GROUP BY n_orders
+"""
+
+
+@query("stream_changefeed_matview", oracle=_MV_ORACLE)
+def stream_changefeed_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained MATERIALIZED VIEW driven by the
+    changefeed — the composition the CDC loop exists for: a per-group
+    aggregate (customers + spend per order-count) over the cust_orders
+    table is maintained in a SECOND manifest table by consuming the
+    FIRST table's change rows, never rescanning the base table.
+
+    The maintenance algebra is the standard signed-delta form: insert/
+    update_postimage contribute (+1, +spend) to their group,
+    delete/update_preimage contribute (-1, -spend) — so an update that
+    MOVES a row between groups debits the old group and credits the
+    new one in the same batch. Each micro-batch reduces its change
+    rows to per-group deltas (a groupBy over O(changes), not O(table)),
+    reads ONLY the touched groups' current values, and MERGEs the sums
+    back through the view table's keyed upsert; groups whose count
+    reaches zero are deleted. Spend accumulates as DECIMAL(38,6) —
+    decimal addition is exact and order-free, so the incremental total
+    is BIT-IDENTICAL to the oracle's direct aggregate over the final
+    state (the engine's cross-engine sum convention, applied
+    incrementally).
+
+    At 100 TB this is the economics of Delta Live Tables' incremental
+    aggregates: per-batch cost follows the CHANGE volume; the base
+    table is never rescanned after bootstrap, and the view table's
+    merge touches only the buckets holding changed groups.
+
+    Reference: motorway's WordCount intersection (T4) maintains keyed
+    counts over a stream; this is the same contract upgraded to
+    exactly-once over a durable table, fed by the engine's own CDC.
+    The maintenance body is the reusable
+    ``streaming.matview.group_aggregate_view`` (replay-guarded:
+    ledger-checked no-op + dead-groups-before-ledger-mark ordering;
+    tests/test_changefeed.py drives the multi-batch restart path)."""
+    from motorway_spark.sinks import UpsertParquetSink
+    from motorway_spark.streaming.matview import group_aggregate_view
+    from motorway_spark.streaming.runner import start_and_drain
+
+    base = _build_table(spark, sf_dir, "mvbase")  # three commits
+    prev = _LAST_DIRS.pop("mv", None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    mv_dir = tempfile.mkdtemp(prefix="cdc_mv_")
+    _LAST_DIRS["mv"] = mv_dir
+    mv = UpsertParquetSink(
+        spark, mv_dir, key_cols=["n_orders"], num_buckets=4
+    )
+    apply_delta = group_aggregate_view(
+        mv,
+        group_cols=["n_orders"],
+        count_col="n_customers",
+        sum_cols={"total_spend": "spend_dec"},
+    )
+    query_handle = start_and_drain(
+        lambda: base.read_stream()
+        .writeStream.foreachBatch(apply_delta)
+        .option("checkpointLocation", f"{mv_dir}/_ckpt")
+        .start()
+    )
+    query_handle.stop()
+    out = mv.read().select(
+        "n_orders",
+        "n_customers",
+        F.round(F.col("spend_dec").cast("double"), 4).alias("spend"),
+    )
+    return out.localCheckpoint(eager=True)

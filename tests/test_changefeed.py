@@ -271,3 +271,64 @@ def test_stream_since_seq_skips_history(spark, tmp_path):
     q.awaitTermination(120)
     got = _rows(spark.sql("SELECT * FROM cf_since"))
     assert got == [(50, "w", "insert", head + 1)]
+
+
+def test_matview_incremental_multi_batch_group_moves_and_death(
+    spark, tmp_path
+):
+    """group_aggregate_view across THREE separate drains of the same
+    checkpointed query: (1) bootstrap from inserts; (2) an update that
+    MOVES a row between groups (debit old group, credit new) plus a
+    delete; (3) a delete that kills a group entirely — the view row
+    must disappear, not sit at zero. Sums are decimal-exact."""
+    from motorway_spark.streaming.matview import group_aggregate_view
+
+    base = UpsertParquetSink(
+        spark, str(tmp_path / "mvbase"), key_cols=["k"], num_buckets=4
+    )
+    mv = UpsertParquetSink(
+        spark, str(tmp_path / "mv"), key_cols=["g"], num_buckets=2
+    )
+    apply_delta = group_aggregate_view(
+        mv, group_cols=["g"], count_col="n_rows", sum_cols={"v": "sv"}
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            base.read_stream()
+            .writeStream.foreachBatch(apply_delta)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        df = mv.read()
+        return (
+            {}
+            if df is None
+            else {
+                r["g"]: (r["n_rows"], float(r["sv"]))
+                for r in df.collect()
+            }
+        )
+
+    base.upsert_batch(
+        spark.createDataFrame(
+            [(1, 1, 10.0), (2, 1, 5.0), (3, 2, 7.0)],
+            "k bigint, g bigint, v double",
+        ),
+        batch_id=0,
+    )
+    assert drain() == {1: (2, 15.0), 2: (1, 7.0)}
+    # pipeline DOWN: k=2 moves g1 -> g2 (new value), k=3 deleted
+    base.upsert_batch(
+        spark.createDataFrame([(2, 2, 6.0)], "k bigint, g bigint, v double"),
+        batch_id=1,
+    )
+    base.delete_keys(spark.createDataFrame([(3,)], "k bigint"))
+    assert drain() == {1: (1, 10.0), 2: (1, 6.0)}
+    # group 1's last row dies -> the view row must VANISH
+    base.delete_keys(spark.createDataFrame([(1,)], "k bigint"))
+    assert drain() == {2: (1, 6.0)}
