@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import urllib.error
 import urllib.request
 from urllib.parse import quote
 
@@ -56,34 +57,131 @@ class SpoolUpsertTransport:
         os.replace(tmp, path)  # atomic create-or-replace
 
 
+class OAuthSession:
+    """Salesforce OAuth2 username-password token flow over stdlib
+    HTTP — the login handshake the reference's ramps delegate to
+    simple_salesforce (contrib/salesforce/ramps.py:24-36 builds a
+    Salesforce(...) session from username/password/token). One POST to
+    ``{login_url}/services/oauth2/token`` (grant_type=password) yields
+    ``access_token`` + ``instance_url``; the API root is then
+    ``{instance_url}/services/data/{api_version}`` and every call
+    carries ``Authorization: Bearer <token>``.
+
+    Session EXPIRY is the production edge the sandbox twin lacked:
+    Salesforce invalidates tokens server-side (INVALID_SESSION_ID /
+    HTTP 401); ``invalidate()`` drops the cached token so the next
+    ``auth_header()`` re-logins, and the transport retries the failed
+    call once under the fresh token. Holds only strings — picklable
+    into ``foreachPartition`` workers, each of which logs in lazily on
+    first use (one token fetch per partition, not per record)."""
+
+    def __init__(
+        self,
+        login_url: str,
+        client_id: str,
+        client_secret: str,
+        username: str,
+        password: str,
+        api_version: str = "v59.0",
+        timeout_sec: float = 30.0,
+    ):
+        self.login_url = login_url.rstrip("/")
+        self.client_id = client_id
+        self.client_secret = client_secret
+        self.username = username
+        self.password = password
+        self.api_version = api_version
+        self.timeout_sec = timeout_sec
+        self._token: str | None = None
+        self._instance_url: str | None = None
+
+    def _login(self) -> None:
+        from urllib.parse import urlencode
+
+        form = urlencode(
+            {
+                "grant_type": "password",
+                "client_id": self.client_id,
+                "client_secret": self.client_secret,
+                "username": self.username,
+                "password": self.password,
+            }
+        ).encode()
+        req = urllib.request.Request(
+            f"{self.login_url}/services/oauth2/token",
+            data=form,
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_sec) as resp:
+            payload = json.loads(resp.read())
+        self._token = payload["access_token"]
+        self._instance_url = payload.get(
+            "instance_url", self.login_url
+        ).rstrip("/")
+
+    def auth_header(self) -> str:
+        if self._token is None:
+            self._login()
+        return f"Bearer {self._token}"
+
+    def base_url(self) -> str:
+        if self._instance_url is None:
+            self._login()
+        return f"{self._instance_url}/services/data/{self.api_version}"
+
+    def invalidate(self) -> None:
+        self._token = None
+
+    def __getstate__(self):
+        # token is per-process state: workers log in themselves
+        state = dict(self.__dict__)
+        state["_token"] = None
+        state["_instance_url"] = None
+        return state
+
+
 class HttpUpsertTransport:
     """REST upsert over stdlib HTTP — the reference's SFType.upsert
     wire shape. ``base_url`` is the API root (in production
     ``https://<instance>/services/data/vXX.X``); auth rides a
-    caller-built header (Salesforce: ``Bearer <session id>``)."""
+    caller-built header (Salesforce: ``Bearer <session id>``), OR an
+    :class:`OAuthSession` that owns login, instance discovery and
+    expiry: on HTTP 401 (INVALID_SESSION_ID) the session is
+    invalidated and the call retried ONCE under a fresh token — the
+    re-login edge a user pointing this at real Salesforce hits first
+    (the sandbox twin previously had no auth lifecycle at all)."""
 
     def __init__(
         self,
-        base_url: str,
-        object_name: str,
-        ext_id_field: str,
+        base_url: str = "",
+        object_name: str = "",
+        ext_id_field: str = "",
         auth_header: str = "",
         timeout_sec: float = 30.0,
+        session: "OAuthSession | None" = None,
     ):
+        if not base_url and session is None:
+            raise ValueError("need base_url or an OAuthSession")
         self.base_url = base_url.rstrip("/")
         self.object_name = object_name
         self.ext_id_field = ext_id_field
         self.auth_header = auth_header
         self.timeout_sec = timeout_sec
+        self.session = session
 
-    def upsert(self, ext_id: str, body: dict) -> None:
+    def _patch(self, ext_id: str, body: dict) -> None:
+        base = self.session.base_url() if self.session else self.base_url
         url = (
-            f"{self.base_url}/sobjects/{self.object_name}/"
+            f"{base}/sobjects/{self.object_name}/"
             f"{self.ext_id_field}/{quote(ext_id, safe='')}"
         )
         headers = {"Content-Type": "application/json"}
-        if self.auth_header:
-            headers["Authorization"] = self.auth_header
+        auth = (
+            self.session.auth_header() if self.session else self.auth_header
+        )
+        if auth:
+            headers["Authorization"] = auth
         req = urllib.request.Request(
             url,
             data=json.dumps(body, sort_keys=True).encode(),
@@ -94,6 +192,17 @@ class HttpUpsertTransport:
         # batch replay (at-least-once made convergent by the upsert)
         with urllib.request.urlopen(req, timeout=self.timeout_sec) as resp:
             resp.read()
+
+    def upsert(self, ext_id: str, body: dict) -> None:
+        try:
+            self._patch(ext_id, body)
+        except urllib.error.HTTPError as exc:
+            if self.session is None or exc.code != 401:
+                raise
+            # expired token: re-login once, then retry; a second 401
+            # is a real auth problem and propagates
+            self.session.invalidate()
+            self._patch(ext_id, body)
 
 
 class SalesforceUpsertSink:

@@ -481,3 +481,158 @@ def test_salesforce_sink_same_contract_over_spool_transport(spark, tmp_path):
     assert files == ["opp-9.json"]
     with open(os.path.join(spool, "opp-9.json")) as fh:
         assert json.load(fh)["body"] == {"amount": 7, "stage": "z"}
+
+
+# ---------------------------------------------------------------------------
+# OAuthSession: the login/expiry lifecycle the reference delegates to
+# simple_salesforce (contrib/salesforce/ramps.py:24-36) — token flow,
+# instance discovery, 401 re-login retry, pickle-into-worker semantics.
+# ---------------------------------------------------------------------------
+@pytest.fixture()
+def oauth_sobject_server():
+    """Salesforce-shaped OAuth twin: POST /services/oauth2/token issues
+    a fresh bearer token (and advertises instance_url); every PATCH
+    under /services/data/v59.0/sobjects/... must carry the CURRENT
+    token — stale/missing tokens get 401 (INVALID_SESSION_ID), the
+    server-side expiry edge a real org produces."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    state = {
+        "logins": 0,          # token POSTs served
+        "current": None,      # the one valid token
+        "store": {},          # ext_id -> body
+        "always_401": False,  # simulate a hard auth failure
+    }
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            assert self.path == "/services/oauth2/token"
+            n = int(self.headers.get("Content-Length", 0))
+            form = self.rfile.read(n).decode()
+            assert "grant_type=password" in form
+            state["logins"] += 1
+            state["current"] = f"tok-{state['logins']}"
+            body = json.dumps(
+                {
+                    "access_token": state["current"],
+                    "instance_url": f"http://127.0.0.1:{server.server_address[1]}",
+                }
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_PATCH(self):
+            auth = self.headers.get("Authorization", "")
+            if state["always_401"] or auth != f"Bearer {state['current']}":
+                self.send_response(401)
+                self.end_headers()
+                return
+            parts = self.path.strip("/").split("/")
+            # instance-rooted API path: services/data/v59.0/sobjects/...
+            assert parts[:3] == ["services", "data", "v59.0"]
+            assert parts[3] == "sobjects" and len(parts) == 7
+            n = int(self.headers.get("Content-Length", 0))
+            state["store"][parts[6]] = json.loads(self.rfile.read(n) or b"{}")
+            self.send_response(204)
+            self.end_headers()
+
+        def log_message(self, *args):  # quiet
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{server.server_address[1]}", state
+    server.shutdown()
+
+
+def test_oauth_session_lazy_login_and_bearer_patch(spark, oauth_sobject_server):
+    """Constructing the session does NOT log in (workers each hold a
+    pickled copy; eager login would hit the org once per serialization,
+    not per use); the first upsert performs exactly one token POST,
+    discovers instance_url, and PATCHes under Bearer <token>."""
+    from motorway_spark.sinks.salesforce import (
+        HttpUpsertTransport,
+        OAuthSession,
+        SalesforceUpsertSink,
+    )
+
+    login_url, state = oauth_sobject_server
+    session = OAuthSession(
+        login_url, "cid", "csecret", "user@example.com", "pw+token"
+    )
+    assert state["logins"] == 0  # lazy: no login at construction
+    sink = SalesforceUpsertSink(
+        HttpUpsertTransport(
+            object_name="Opportunity", ext_id_field="ext_id", session=session
+        ),
+        ext_id_col="ext_id",
+    )
+    sink.send_batch(
+        spark.createDataFrame(
+            [Row(ext_id="opp-1", amount=100), Row(ext_id="opp-2", amount=50)]
+        ).coalesce(1),
+        batch_id=0,
+    )
+    assert state["store"] == {"opp-1": {"amount": 100}, "opp-2": {"amount": 50}}
+    # one partition -> the worker's session logged in exactly once
+    assert state["logins"] == 1
+
+
+def test_oauth_expired_token_relogin_retry_once(oauth_sobject_server):
+    """Server-side expiry (the INVALID_SESSION_ID edge): a 401 on PATCH
+    invalidates the cached token, re-logins, and retries ONCE; a second
+    401 under the fresh token is a real auth problem and propagates."""
+    import urllib.error
+
+    from motorway_spark.sinks.salesforce import (
+        HttpUpsertTransport,
+        OAuthSession,
+    )
+
+    login_url, state = oauth_sobject_server
+    session = OAuthSession(
+        login_url, "cid", "csecret", "user@example.com", "pw+token"
+    )
+    t = HttpUpsertTransport(
+        object_name="Opportunity", ext_id_field="ext_id", session=session
+    )
+    t.upsert("opp-1", {"amount": 1})
+    assert state["logins"] == 1
+    # org invalidates the session server-side; next call must re-login
+    state["current"] = "revoked"
+    t.upsert("opp-1", {"amount": 2})
+    assert state["logins"] == 2
+    assert state["store"]["opp-1"] == {"amount": 2}
+    # hard auth failure: retry once, then the 401 surfaces (no loop)
+    logins_before = state["logins"]
+    state["always_401"] = True
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        t.upsert("opp-1", {"amount": 3})
+    assert exc.value.code == 401
+    assert state["logins"] == logins_before + 1  # exactly one re-login
+
+
+def test_oauth_session_pickle_drops_token(oauth_sobject_server):
+    """Pickling (the foreachPartition ship) carries only credentials:
+    the token and instance_url reset to None so every worker logs in
+    itself — a driver-fetched token never leaks into executors where
+    it would expire mid-job with no owner to refresh it."""
+    import pickle
+
+    from motorway_spark.sinks.salesforce import OAuthSession
+
+    login_url, state = oauth_sobject_server
+    session = OAuthSession(
+        login_url, "cid", "csecret", "user@example.com", "pw+token"
+    )
+    session.auth_header()  # driver-side login
+    assert session._token is not None
+    clone = pickle.loads(pickle.dumps(session))
+    assert clone._token is None and clone._instance_url is None
+    # the clone logs in on first use, independently of the driver token
+    assert clone.auth_header() == f"Bearer tok-{state['logins']}"
+    assert clone.login_url == session.login_url
