@@ -647,7 +647,10 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     The VectorUDT shim is a row-Python UDF by necessity — Arrow has no
     VectorUDT mapping, so every Spark↔MLlib interop crosses this bridge;
     it builds one SparseVector per doc from an already-computed int
-    array (no tokenization in Python)."""
+    array (no tokenization in Python). NOT the scale path: this query
+    exists to prove MLlib parity; production dedup is the pure-SQL
+    ``dedup_minhash`` / ``dedup_minhash_capped`` above (no Python in
+    the hot loop, bounded hot buckets)."""
     from pyspark.ml.feature import MinHashLSH
     from pyspark.ml.linalg import SparseVector, VectorUDT
 
