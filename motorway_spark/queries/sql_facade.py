@@ -260,10 +260,15 @@ state AS (
   WHERE NOT EXISTS (SELECT 1 FROM late_keys lk
                     WHERE lk.o_custkey = e.o_custkey)
   UNION ALL
-  SELECT * FROM zeros)
+  SELECT * FROM zeros),
+updated AS (
+  SELECT CASE WHEN n_orders >= 20 THEN n_orders + 100
+              ELSE n_orders END AS n_orders,
+         total_spend
+  FROM state WHERE n_orders <> 1)
 SELECT n_orders, COUNT(*) AS n_customers,
        {sql_dsum('total_spend', 'spend')}
-FROM state WHERE n_orders <> 1 GROUP BY n_orders
+FROM updated GROUP BY n_orders
 """
 
 _LAST_DML_TABLE_DIR: str | None = None
@@ -279,7 +284,9 @@ def sql_facade_merge_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a post-cut order: updates for the overlap, inserts for
     late-only customers), an ``INSERT INTO`` (zero rows for customers
     with no orders at all — pure inserts through the same keyed-upsert
-    path), and a ``DELETE FROM ... WHERE`` (single-order customers),
+    path), a ``DELETE FROM ... WHERE`` (single-order customers), and an
+    ``UPDATE ... SET ... WHERE`` (heavy-order customers shift into a
+    +100 bucket — the read-modify-write verb over pre-update values),
     then ONE read string aggregates the final state. The oracle
     replays the whole mutation algebra from ``orders``/``customer``.
 
@@ -345,6 +352,13 @@ def sql_facade_merge_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     facade_sql(
         "DELETE FROM cust_orders WHERE n_orders = 1",
+        sf_dir,
+        spark,
+        tables=tables,
+    )
+    facade_sql(
+        "UPDATE cust_orders SET n_orders = n_orders + 100 "
+        "WHERE n_orders >= 20",
         sf_dir,
         spark,
         tables=tables,

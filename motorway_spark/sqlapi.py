@@ -61,6 +61,14 @@ from motorway_spark.catalog import Catalog, DEFAULT_SF_DIR, TABLES
 #     WHEN MATCHED THEN UPDATE SET *
 #     WHEN NOT MATCHED THEN INSERT *           -> upsert_batch
 #   DELETE FROM t WHERE <cond>                 -> delete_where
+#   UPDATE t SET c = <expr> [, ...] WHERE <cond>
+#       -> read matched rows, evaluate every SET expression against the
+#          PRE-update row (standard SQL simultaneous-assignment
+#          semantics), write back through the keyed upsert. Key columns
+#          cannot be assigned (that would be a delete+insert, not an
+#          update — refused loudly). O(matched rows) read-modify-write:
+#          the filter prunes on the manifest scan, only touched buckets
+#          rewrite.
 #
 # Each returns a 1-row status frame (op, rows_affected). rows_affected
 # for upserts is the (deduplicated-source) batch size — one extra count
@@ -84,7 +92,32 @@ _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _ON_PAIR_RE = re.compile(r"(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)")
+_ASSIGN_RE = re.compile(r"^\s*(\w+)\s*=\s*(.+)$", re.DOTALL)
+
+
+def _split_assignments(s: str) -> list[str]:
+    """Split a SET clause on top-level commas (commas inside function
+    calls / CASE expressions don't separate assignments)."""
+    parts: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
 
 
 def _split_using(rest: str) -> tuple[str, str]:
@@ -133,9 +166,14 @@ def _run_dml(
     mt = _DELETE_RE.match(query)
     ins = _INSERT_RE.match(query) if mt is None else None
     mrg = _MERGE_RE.match(query) if mt is None and ins is None else None
-    if mt is None and ins is None and mrg is None:
+    upd = (
+        _UPDATE_RE.match(query)
+        if mt is None and ins is None and mrg is None
+        else None
+    )
+    if mt is None and ins is None and mrg is None and upd is None:
         return None
-    name = (mt or ins or mrg).group(1)
+    name = (mt or ins or mrg or upd).group(1)
     spec = (tables or {}).get(name)
     if spec is None:
         raise ValueError(
@@ -158,6 +196,49 @@ def _run_dml(
     if mt is not None:  # DELETE FROM t WHERE cond
         n = sink.delete_where(F.expr(mt.group(2)))
         return status("delete", n)
+
+    if upd is not None:  # UPDATE t SET c = expr [, ...] WHERE cond
+        fields = {f.name: f.dataType for f in sink.table_schema().fields}
+        keys_lc = {k.lower() for k in sink.key_cols}
+        assigns: dict[str, "F.Column"] = {}
+        for a in _split_assignments(upd.group(2)):
+            am = _ASSIGN_RE.match(a)
+            if am is None:
+                raise ValueError(f"UPDATE SET: not an assignment: {a!r}")
+            col, expr = am.group(1), am.group(2)
+            target = next(
+                (c for c in fields if c.lower() == col.lower()), None
+            )
+            if target is None:
+                raise ValueError(
+                    f"UPDATE SET: {col!r} is not a column of {name!r} "
+                    f"({', '.join(fields)})"
+                )
+            if col.lower() in keys_lc:
+                raise ValueError(
+                    f"UPDATE SET: {col!r} is a key column — changing a "
+                    "key is a delete+insert, not the canonical keyed "
+                    "update (use DELETE + INSERT, or MERGE)"
+                )
+            if target in assigns:
+                raise ValueError(f"UPDATE SET assigns {col!r} twice")
+            # pin to the declared column type so the rewrite can't
+            # drift the table schema
+            assigns[target] = F.expr(expr).cast(fields[target])
+        cur_df = sink.read()
+        if cur_df is None:
+            return status("update", 0)
+        # every SET expression evaluates against the PRE-update row
+        # (simultaneous assignment: SET a = b, b = a swaps) — one
+        # select over the matched rows gives exactly that
+        matched = cur_df.filter(F.expr(upd.group(3)))
+        updated = matched.select(
+            *[assigns.get(c, F.col(c)).alias(c) for c in fields]
+        )
+        n = updated.count()
+        if n:
+            sink.upsert_batch(updated, batch_id=None)
+        return status("update", n)
 
     if ins is not None:  # INSERT INTO t [(cols)] <query>
         src = sql(ins.group(4), sf_dir, spark, tables=tables)
@@ -215,10 +296,10 @@ def sql(
     view of that commit version (``UpsertParquetSink.read_version``).
 
     DML strings (``INSERT INTO`` / canonical upsert ``MERGE INTO`` /
-    ``DELETE FROM ... WHERE``) targeting a ``tables`` entry route to
-    the sink's write path (upsert_batch / delete_where) and return a
-    1-row (op, rows_affected) status frame — see the module-level DML
-    grammar notes."""
+    ``UPDATE ... SET ... WHERE`` / ``DELETE FROM ... WHERE``) targeting
+    a ``tables`` entry route to the sink's write path (upsert_batch /
+    delete_where) and return a 1-row (op, rows_affected) status frame —
+    see the module-level DML grammar notes."""
     if spark is None:
         from motorway_spark.session import get_session
 

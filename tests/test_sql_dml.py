@@ -144,3 +144,81 @@ def test_insert_column_list_mismatch_refuses(spark, tmp_path):
             spark,
             tables=T,
         )
+
+
+def _mk_wide(spark, tmp_path):
+    """Two non-key columns so simultaneous assignment is observable."""
+    table = str(tmp_path / "updtab")
+    sink = UpsertParquetSink(spark, table, key_cols=["k"], num_buckets=4)
+    sink.upsert_batch(
+        spark.createDataFrame(
+            [Row(k=1, a=10, b=1), Row(k=2, a=20, b=2), Row(k=3, a=30, b=3)],
+            "k bigint, a bigint, b bigint",
+        ),
+        batch_id=0,
+    )
+    return sink, {"t": table}
+
+
+def test_update_matched_rows_only(spark, tmp_path):
+    sink, T = _mk_wide(spark, tmp_path)
+    r = motorway_spark.sql(
+        "UPDATE t SET a = a + 100 WHERE k >= 2", SF, spark, tables=T
+    ).collect()[0]
+    assert (r["op"], r["rows_affected"]) == ("update", 2)
+    got = sorted(tuple(x) for x in sink.read().collect())
+    assert got == [(1, 10, 1), (2, 120, 2), (3, 130, 3)]
+
+
+def test_update_set_is_simultaneous_assignment(spark, tmp_path):
+    """Standard SQL UPDATE: every SET expression sees the PRE-update
+    row, so SET a = b, b = a swaps instead of aliasing."""
+    sink, T = _mk_wide(spark, tmp_path)
+    r = motorway_spark.sql(
+        "UPDATE t SET a = b, b = a WHERE k = 1", SF, spark, tables=T
+    ).collect()[0]
+    assert r["rows_affected"] == 1
+    got = {x["k"]: (x["a"], x["b"]) for x in sink.read().collect()}
+    assert got[1] == (1, 10)  # swapped
+    assert got[2] == (20, 2)  # untouched
+
+
+def test_update_set_commas_inside_expressions(spark, tmp_path):
+    """Top-level comma split: function-call / CASE commas stay inside
+    their assignment."""
+    sink, T = _mk_wide(spark, tmp_path)
+    motorway_spark.sql(
+        "UPDATE t SET a = GREATEST(a, b, CAST(25 AS BIGINT)), "
+        "b = CASE WHEN k = 1 THEN b + 1 ELSE b END WHERE k <= 2",
+        SF,
+        spark,
+        tables=T,
+    )
+    got = {x["k"]: (x["a"], x["b"]) for x in sink.read().collect()}
+    assert got[1] == (25, 2) and got[2] == (25, 2) and got[3] == (30, 3)
+
+
+def test_update_key_column_refuses(spark, tmp_path):
+    _sink, T = _mk_wide(spark, tmp_path)
+    with pytest.raises(ValueError, match="key column"):
+        motorway_spark.sql(
+            "UPDATE t SET k = k + 1 WHERE k = 1", SF, spark, tables=T
+        )
+
+
+def test_update_unknown_column_refuses(spark, tmp_path):
+    _sink, T = _mk_wide(spark, tmp_path)
+    with pytest.raises(ValueError, match="not a column"):
+        motorway_spark.sql(
+            "UPDATE t SET nope = 1 WHERE k = 1", SF, spark, tables=T
+        )
+
+
+def test_update_no_match_is_noop(spark, tmp_path):
+    sink, T = _mk_wide(spark, tmp_path)
+    before = sorted(tuple(x) for x in sink.read().collect())
+    r = motorway_spark.sql(
+        "UPDATE t SET a = 0 WHERE k > 999", SF, spark, tables=T
+    ).collect()[0]
+    assert (r["op"], r["rows_affected"]) == ("update", 0)
+    assert sorted(tuple(x) for x in sink.read().collect()) == before
