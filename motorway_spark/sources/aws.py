@@ -42,6 +42,11 @@ touching the Spark-side contract code. This module is that plug:
   (TRIM_HORIZON → get_records → NextShardIterator), used by tests to
   verify sink output landed; the driver-side skeleton a partitioned
   Kinesis stream reader fans out per shard.
+- :func:`read_stream_records_since` — the same walk with per-shard
+  AFTER_SEQUENCE_NUMBER resume (the reference ramp's DynamoDB
+  checkpoint contract, caller-owned): returns the advanced checkpoint
+  map so a crash between read and commit replays exactly the
+  uncommitted window.
 
 Everything is endpoint-overridable (``endpoint_url``) so the contract
 tests run against an in-process moto server (or localstack via
@@ -240,26 +245,69 @@ def read_stream_records(client, stream_name: str) -> list[dict]:
     used by the contract tests to verify what the sink landed, and the
     per-shard skeleton a partitioned Kinesis reader would run one
     InputPartition each."""
+    records, _ckpt = read_stream_records_since(client, stream_name)
+    return [
+        {"PartitionKey": r["PartitionKey"], "Data": r["Data"]}
+        for r in records
+    ]
+
+
+def read_stream_records_since(
+    client, stream_name: str, since: dict | None = None
+) -> tuple[list[dict], dict]:
+    """Checkpointed shard walk — the R3 (per-source checkpointing)
+    contract for Kinesis: each shard resumes AFTER its committed
+    sequence number instead of TRIM_HORIZON. The reference ramp
+    persists exactly these checkpoints in its DynamoDB lease table
+    (amazon_kinesis/ramps.py:186-315 checkpoint/fetch loop); here the
+    caller owns them (Spark's streaming checkpoint, or the spool WAL).
+
+    ``since`` maps shard id → last COMMITTED sequence number (missing
+    shard = from the horizon, so resharding's new shards are picked
+    up). Returns ``(records, checkpoints)``: records carry
+    ``ShardId``/``SequenceNumber`` so the caller can commit precisely
+    what it processed; ``checkpoints`` is the advanced map to persist
+    AFTER downstream effects commit. A crash between read and commit
+    replays from the last committed map — no gaps, duplicates bounded
+    to the uncommitted window (at-least-once; the engine's idempotent
+    sinks make it exactly-once end to end)."""
+    since = dict(since or {})
     out: list[dict] = []
+    ckpt = dict(since)
     shards = client.describe_stream(StreamName=stream_name)["StreamDescription"][
         "Shards"
     ]
     for shard in shards:
-        it = client.get_shard_iterator(
-            StreamName=stream_name,
-            ShardId=shard["ShardId"],
-            ShardIteratorType="TRIM_HORIZON",
-        )["ShardIterator"]
+        sid = shard["ShardId"]
+        if sid in since:
+            it = client.get_shard_iterator(
+                StreamName=stream_name,
+                ShardId=sid,
+                ShardIteratorType="AFTER_SEQUENCE_NUMBER",
+                StartingSequenceNumber=since[sid],
+            )["ShardIterator"]
+        else:
+            it = client.get_shard_iterator(
+                StreamName=stream_name,
+                ShardId=sid,
+                ShardIteratorType="TRIM_HORIZON",
+            )["ShardIterator"]
         while it:
             resp = client.get_records(ShardIterator=it, Limit=1000)
             for rec in resp["Records"]:
                 out.append(
-                    {"PartitionKey": rec["PartitionKey"], "Data": rec["Data"]}
+                    {
+                        "PartitionKey": rec["PartitionKey"],
+                        "Data": rec["Data"],
+                        "ShardId": sid,
+                        "SequenceNumber": rec["SequenceNumber"],
+                    }
                 )
+                ckpt[sid] = rec["SequenceNumber"]
             if not resp["Records"] and resp.get("MillisBehindLatest", 0) == 0:
                 break
             it = resp.get("NextShardIterator")
-    return out
+    return out, ckpt
 
 
 # ---------------------------------------------------------------------------

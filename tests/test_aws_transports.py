@@ -299,3 +299,45 @@ def test_sqs_visibility_timeout_redelivery(moto_endpoint):
     # and the ORIGINAL crashed owner's late ack is a harmless no-op
     t1.ack(["m1"])
     assert _queue_depth(cli, q) == 0
+
+
+def test_kinesis_sequence_number_checkpoint_resume(moto_endpoint):
+    """R3 for Kinesis over real boto3 wire: the walk resumes each shard
+    AFTER its committed sequence number (the reference ramp's DynamoDB
+    checkpoint contract, amazon_kinesis/ramps.py:186-315) — a restart
+    from the committed map reads exactly the records that arrived
+    since, and a CRASH before commit (stale map) replays exactly the
+    uncommitted window: no gaps either way."""
+    from motorway_spark.sources.aws import read_stream_records_since
+
+    cli = _client("kinesis", moto_endpoint)
+    stream_name = f"s{uuid.uuid4().hex[:8]}"
+    cli.create_stream(StreamName=stream_name, ShardCount=2)
+
+    def put(keys):
+        cli.put_records(
+            StreamName=stream_name,
+            Records=[
+                {"PartitionKey": k, "Data": k.encode()} for k in keys
+            ],
+        )
+
+    batch_a = [f"a-{i}" for i in range(10)]
+    put(batch_a)
+    got_a, ckpt_a = read_stream_records_since(cli, stream_name)
+    assert sorted(r["PartitionKey"] for r in got_a) == sorted(batch_a)
+    # the checkpoint map covers every shard that yielded records, and
+    # each record's own (ShardId, SequenceNumber) is commit-precise
+    assert all(r["ShardId"] in ckpt_a for r in got_a)
+
+    batch_b = [f"b-{i}" for i in range(7)]
+    put(batch_b)
+    # restart from the COMMITTED map: only the new records, no dups
+    got_b, ckpt_b = read_stream_records_since(cli, stream_name, ckpt_a)
+    assert sorted(r["PartitionKey"] for r in got_b) == sorted(batch_b)
+    # crash-before-commit: the stale map replays the SAME window
+    replay, _ = read_stream_records_since(cli, stream_name, ckpt_a)
+    assert sorted(r["PartitionKey"] for r in replay) == sorted(batch_b)
+    # fully committed: nothing left, checkpoints idempotent
+    empty, ckpt_c = read_stream_records_since(cli, stream_name, ckpt_b)
+    assert empty == [] and ckpt_c == ckpt_b
