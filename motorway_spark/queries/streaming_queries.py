@@ -679,6 +679,26 @@ def _advance_runs(cur, pdf):
     return cur
 
 
+def _advance_batch(cur, chunks):
+    """One MICRO-BATCH = one state transition. ``chunks`` is the
+    ``pdf_iter`` applyInPandasWithState hands a key: a group whose rows
+    straddle an arrow-batch boundary (partition > arrow
+    maxRecordsPerBatch — happens from sf0.1 up, never at sf0.01)
+    arrives as MULTIPLE chunks in shuffle-arrival order, which carries
+    NO time ordering. An order-sensitive walk must therefore assemble
+    the batch before sorting — advancing per chunk spliced runs in
+    arrival order and miscounted exactly the straddling users (caught
+    by the sf0.1 oracle sweep, round 12). Memory bound = one key's rows
+    in one micro-batch — the same data Spark already shuffled to this
+    task."""
+    import pandas as pd
+
+    chunks = [c for c in chunks if len(c)]
+    if not chunks:
+        return cur
+    return _advance_runs(cur, pd.concat(chunks, ignore_index=True))
+
+
 @query(
     "stream_scd2_current",
     oracle="""
@@ -769,8 +789,9 @@ def stream_scd2_current(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def update_current(key, pdf_iter, state: GroupState):
         cur = tuple(state.get) if state.exists else None  # (type, from_us, n)
-        for pdf in pdf_iter:
-            cur = _advance_runs(cur, pdf)
+        # assemble the batch BEFORE the order-sensitive walk: arrow
+        # chunk boundaries carry no time ordering (_advance_batch)
+        cur = _advance_batch(cur, pdf_iter)
         if cur is not None:
             state.update(cur)
             yield pd.DataFrame(

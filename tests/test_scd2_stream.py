@@ -9,7 +9,10 @@ from __future__ import annotations
 
 import pandas as pd
 
-from motorway_spark.queries.streaming_queries import _advance_runs
+from motorway_spark.queries.streaming_queries import (
+    _advance_batch,
+    _advance_runs,
+)
 
 
 def _batch(rows):
@@ -133,3 +136,39 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+def test_advance_batch_unordered_arrow_chunks():
+    """THE sf0.1 straddle bug (round-12 sweep catch): a key's rows can
+    arrive as multiple arrow chunks in shuffle order — NO time
+    ordering. _advance_batch assembles the micro-batch before the walk,
+    so a later-timestamp chunk arriving FIRST changes nothing."""
+    early = _batch([(1, "click", 100), (2, "click", 200)])
+    late = _batch([(3, "view", 300), (4, "view", 400)])
+    # late chunk delivered first — per-chunk advancing would end on
+    # the click run (wrong); assembled advancing ends on the view run
+    assert _advance_batch(None, iter([late, early])) == ("view", 300, 2)
+    assert _advance_batch(None, iter([early, late])) == ("view", 300, 2)
+
+
+def test_advance_batch_interleaved_run_split_across_chunks():
+    """One RUN split across unordered chunks must keep its original
+    start and full length."""
+    a = _batch([(2, "click", 200), (4, "view", 400)])
+    b = _batch([(1, "click", 100), (3, "click", 300)])
+    # sorted: click@100, click@200, click@300, view@400
+    assert _advance_batch(None, iter([a, b])) == ("view", 400, 1)
+    cur = _advance_batch(None, iter([b]))
+    assert cur == ("click", 100, 2)
+
+
+def test_advance_batch_empty_and_state_carry():
+    assert _advance_batch(None, iter([])) is None
+    cur = ("click", 100, 3)
+    assert _advance_batch(cur, iter([_batch([])])) == cur
+    # carried run continues across the MICRO-batch boundary
+    assert _advance_batch(cur, iter([_batch([(9, "click", 900)])])) == (
+        "click",
+        100,
+        4,
+    )
