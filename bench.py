@@ -282,8 +282,33 @@ def main() -> None:
     spark = get_session("motorway-bench", cpus=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM/JIT + parquet footer caches, not billed to queries
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # warmup: JVM/JIT + parquet footer caches, not billed to queries.
+    # r12 measurement fix (guide §1): a bare count() leaves the
+    # whole-stage-codegen compiler cold, so the FIRST timed queries
+    # paid the JIT of the aggregate/join/window/shuffle paths (q1 read
+    # 12x its steady-state on the r12 builder host purely by running
+    # first). Three bounded actions over a 10k-row slice warm those
+    # code paths generically — no declared query's plan is touched and
+    # the timed methodology (noop best-of-2/3) is unchanged; the old
+    # numbers are retained in BENCH_r11 / the r12 baseline archive.
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    _warm = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10000)
+    _warm.count()
+    _w1 = _warm.groupBy("l_returnflag").agg(
+        _F.sum("l_quantity"), _F.avg("l_extendedprice")
+    )
+    _w1.write.format("noop").mode("overwrite").save()
+    _w2 = _warm.join(_warm.select("l_orderkey").distinct(), "l_orderkey")
+    _w2.write.format("noop").mode("overwrite").save()
+    _w3 = _warm.withColumn(
+        "rn",
+        _F.row_number().over(
+            _W.partitionBy("l_returnflag").orderBy("l_orderkey", "l_linenumber")
+        ),
+    )
+    _w3.write.format("noop").mode("overwrite").save()
 
     # Fault isolation: one broken query must never zero the whole bench
     # artifact (round 2 lost every number to a single AnalysisException).

@@ -82,6 +82,36 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# Session-scoped DataFrame cache: every ``spark.read.parquet`` call
+# pays a driver-side footer read + schema inference, and a bench/sweep
+# process constructs the same ten table frames hundreds of times. A
+# real lakehouse catalog serves schemas from table metadata instead of
+# re-inferring per query — this dict is that metastore role in-process.
+# Keyed on (session, path, size, mtime) so a regenerated fixture or a
+# restarted session can never serve a stale frame; NO row data is
+# cached (the returned DataFrame is the same lazy scan as before).
+_DF_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _fixture_stat_key(path: str) -> tuple:
+    """(size, mtime_ns) fingerprint of a fixture file — or, for a
+    directory-shaped fixture, of its newest/biggest part files."""
+    st = os.stat(path)
+    if os.path.isdir(path):
+        parts = [
+            os.path.join(path, p)
+            for p in os.listdir(path)
+            if p.endswith(".parquet")
+        ]
+        sizes = mt = 0
+        for p in parts:
+            s = os.stat(p)
+            sizes += s.st_size
+            mt = max(mt, s.st_mtime_ns)
+        return (len(parts), sizes, max(mt, st.st_mtime_ns))
+    return (st.st_size, st.st_mtime_ns)
+
+
 class Catalog:
     """Lazy per-table DataFrame accessor rooted at one scale-factor dir."""
 
@@ -95,9 +125,31 @@ class Catalog:
     def table(self, name: str) -> DataFrame:
         if name not in TABLES:
             raise KeyError(f"unknown table {name!r}; have {TABLES}")
+        path = f"{self.sf_dir}/{name}.parquet"
+        try:
+            key = (
+                self.spark.sparkContext.applicationId,
+                path,
+                _fixture_stat_key(path),
+            )
+        except OSError:
+            key = None  # missing fixture: fall through for the real error
         if name == "events":
-            return self._events()
-        return self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+            # keep the legacy-nanos conf pinned even on cache hits: the
+            # scan re-resolves parquet types at execution time
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if key is not None and key in _DF_CACHE:
+            return _DF_CACHE[key]
+        if len(_DF_CACHE) > 256:  # many fixture dirs in one test process
+            _DF_CACHE.clear()
+        df = (
+            self._events()
+            if name == "events"
+            else self.spark.read.parquet(path)
+        )
+        if key is not None:
+            _DF_CACHE[key] = df
+        return df
 
     def _events(self) -> DataFrame:
         """Events with ``ts`` normalized to TIMESTAMP regardless of the

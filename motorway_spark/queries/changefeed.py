@@ -106,11 +106,15 @@ def _build_table(spark: SparkSession, sf_dir: str, tag: str):
         shutil.rmtree(prev, ignore_errors=True)
     orders = Catalog(spark, sf_dir).table("orders")
     cut = F.expr(_CUT)
+    # persisted: early feeds commit 1's upsert AND commit 3's delete-key
+    # derivation — one orders scan+shuffle instead of one per consumer
+    # (guide §5); released after the last commit below
     early = (
         orders.filter(F.col("o_orderdate") < cut)
         .groupBy("o_custkey")
         .agg(F.count("*").alias("n_orders"),
              dsum("o_totalprice", "total_spend"))
+        .persist()
     )
     late_keys = (
         orders.filter(F.col("o_orderdate") >= cut)
@@ -128,11 +132,14 @@ def _build_table(spark: SparkSession, sf_dir: str, tag: str):
     sink = UpsertParquetSink(
         spark, table_dir, key_cols=["o_custkey"], num_buckets=16
     )
-    sink.upsert_batch(early, batch_id=0)  # commit seq 1 (append)
-    sink.upsert_batch(late_full, batch_id=1)  # commit seq 2 (merge)
-    sink.delete_keys(  # commit seq 3
-        early.filter(F.col("n_orders") == 1).select("o_custkey")
-    )
+    try:
+        sink.upsert_batch(early, batch_id=0)  # commit seq 1 (append)
+        sink.upsert_batch(late_full, batch_id=1)  # commit seq 2 (merge)
+        sink.delete_keys(  # commit seq 3
+            early.filter(F.col("n_orders") == 1).select("o_custkey")
+        )
+    finally:
+        early.unpersist()
     return sink
 
 

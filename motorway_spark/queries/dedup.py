@@ -786,17 +786,20 @@ def label_propagation(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     planning. This is the iterative-algorithm idiom on Spark: the
     per-iteration plan must stay O(1), state lives in materialized
     partitions (GraphX does exactly this internally)."""
+    # Lazy checkpoints: still truncate lineage for the loop, but the
+    # materialization rides iteration 1's convergence count instead of
+    # costing two extra up-front actions.
     edges = (
         pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
         .distinct()
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("doc"))
         .distinct()
         .withColumn("label", F.col("doc"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iters):  # diameter bound; dup clusters are shallow
         neighbor_min = (
@@ -804,23 +807,24 @@ def label_propagation(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # Carry the previous label through the update instead of
+        # re-joining new labels against old ones: the convergence test
+        # becomes a filter over the (already materialized) checkpoint —
+        # one shuffle join and one action fewer per iteration. The
+        # LAZY checkpoint is filled by the changed-count action itself.
+        new_full = (
             labels.join(neighbor_min, F.col("doc") == F.col("src"), "left")
             .select(
                 "doc",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                F.col("label").alias("__prev"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_full.filter(F.col("label") != F.col("__prev")).count()
+        labels = new_full.select("doc", "label")
         if changed == 0:
             break
     return labels

@@ -1829,12 +1829,18 @@ def _leftfold_norms(vecs: "np.ndarray") -> "np.ndarray":
     return np.sqrt(acc)
 
 
-def _pq_encode_factory(cbn: "np.ndarray"):
+def _pq_encode_factory(cbn: "np.ndarray", emit_embedding: bool = True):
     """mapInPandas factory: PQ-encode each vector — L2-normalize (left-
     fold norm), then per subspace the argmin over {PQ_K} NORMALIZED
     codebook subvectors with per-dim left-fold distances (bit-matches
     the oracle's explicit `+` chains), first-min tiebreak = lowest
-    code. One pass computes all {PQ_M} codes."""
+    code. One pass computes all {PQ_M} codes.
+
+    ``emit_embedding=False`` drops the 64-float embedding from the
+    OUTPUT batches (guide §4.1: column pruning cannot reach inside an
+    opaque Python function, so a downstream select ships the payload
+    through Arrow first and drops it after) — use with
+    ``_PQ_CODES_NARROW_SCHEMA`` wherever only the codes are consumed."""
     import pandas as pd
 
     def fn(batches):
@@ -1843,7 +1849,9 @@ def _pq_encode_factory(cbn: "np.ndarray"):
                 continue
             vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
             vn = vecs / _leftfold_norms(vecs)[:, None]
-            out = {"vec_id": pdf["vec_id"], "embedding": pdf["embedding"]}
+            out = {"vec_id": pdf["vec_id"]}
+            if emit_embedding:
+                out["embedding"] = pdf["embedding"]
             for s in range(PQ_M):
                 acc = np.zeros((vecs.shape[0], cbn.shape[0]))
                 for i in range(s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM):
@@ -1906,10 +1914,12 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = np.array([r["embedding"] for r in cb_rows], dtype=np.float64)
     cbn = cb / _leftfold_norms(cb)[:, None]
 
-    schema = "vec_id long, embedding array<float>, " + ", ".join(
-        f"c{s} int" for s in range(PQ_M)
+    # r12 opt: the ADC scan consumes only (vec_id, codes) — don't ship
+    # the 64-float embedding back through Arrow (§4.1)
+    codes = corpus.mapInPandas(
+        _pq_encode_factory(cbn, emit_embedding=False),
+        schema=_PQ_CODES_NARROW_SCHEMA,
     )
-    codes = corpus.mapInPandas(_pq_encode_factory(cbn), schema=schema)
 
     # query ADC tables: 20 bounded query vectors x 8 subspaces x 16
     # codes, micro-int entries — driver-built, broadcast (2,560 rows)
@@ -2118,12 +2128,12 @@ def _pq_lloyd_oracle() -> str:
     """
 
 
-def _pq_encode_trained_factory(trained: dict):
+def _pq_encode_trained_factory(trained: dict, emit_embedding: bool = True):
     """mapInPandas factory for the TRAINED codebooks: per subspace s,
     ``trained[s]`` is (codes list, k_s x 8 centroid matrix over that
     subspace's dims). Same left-fold distances and (d, code) tiebreak
     as pass 1 (codes are listed ascending, argmin takes the first
-    min)."""
+    min). ``emit_embedding=False``: see _pq_encode_factory."""
     import pandas as pd
 
     def fn(batches):
@@ -2132,7 +2142,9 @@ def _pq_encode_trained_factory(trained: dict):
                 continue
             vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
             vn = vecs / _leftfold_norms(vecs)[:, None]
-            out = {"vec_id": pdf["vec_id"], "embedding": pdf["embedding"]}
+            out = {"vec_id": pdf["vec_id"]}
+            if emit_embedding:
+                out["embedding"] = pdf["embedding"]
             for s in range(PQ_M):
                 codes_s, cents_s = trained[s]
                 acc = np.zeros((vecs.shape[0], cents_s.shape[0]))
@@ -2144,6 +2156,60 @@ def _pq_encode_trained_factory(trained: dict):
             yield pd.DataFrame(out)
 
     return fn
+
+
+def _ivfpq_invfile_codes_factory(
+    c2: "np.ndarray", cells2: list[int], trained: dict
+):
+    """mapInPandas factory fusing the IVF inverted-file assignment
+    (raw-space nearest C2 cell — _km_assign_factory's left-fold and
+    first-min tiebreak, bit for bit) with the trained PQ encode
+    (_pq_encode_trained_factory's normalized-space subspace argmin) in
+    ONE pass, emitting only (vec_id, cell, c0..c{PQ_M-1}) — no
+    embedding payload. Replaces two full corpus passes (and the
+    embedding column the encode pass used to ship back through Arrow)
+    with one narrow pass (guide §1.2 fewer passes, §4.1 pass only the
+    columns the consumer needs)."""
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
+            # inverted file: raw-space nearest C2 cell
+            acc = np.zeros((vecs.shape[0], c2.shape[0]))
+            for i in range(vecs.shape[1]):
+                d = vecs[:, i : i + 1] - c2[None, :, i]
+                acc += d * d
+            pos = acc.argmin(axis=1)
+            out = {
+                "vec_id": pdf["vec_id"],
+                "cell": np.array([cells2[p] for p in pos], dtype="int32"),
+            }
+            # trained PQ codes: normalized-space subspace argmin
+            vn = vecs / _leftfold_norms(vecs)[:, None]
+            for s in range(PQ_M):
+                codes_s, cents_s = trained[s]
+                a2 = np.zeros((vecs.shape[0], cents_s.shape[0]))
+                for j in range(PQ_SUBDIM):
+                    d = (
+                        vn[:, s * PQ_SUBDIM + j : s * PQ_SUBDIM + j + 1]
+                        - cents_s[None, :, j]
+                    )
+                    a2 += d * d
+                p2 = a2.argmin(axis=1)
+                out[f"c{s}"] = np.array(
+                    [codes_s[p] for p in p2], dtype="int32"
+                )
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+_IVFPQ_INV_CODES_SCHEMA = "vec_id long, cell int, " + ", ".join(
+    f"c{s} int" for s in range(PQ_M)
+)
 
 
 def _pq_fixed_cbn(spark: SparkSession, sf_dir: str) -> "np.ndarray":
@@ -2164,6 +2230,12 @@ def _pq_fixed_cbn(spark: SparkSession, sf_dir: str) -> "np.ndarray":
 
 
 _PQ_CODES_SCHEMA = "vec_id long, embedding array<float>, " + ", ".join(
+    f"c{s} int" for s in range(PQ_M)
+)
+# codes-only output for encode passes whose consumers never read the
+# embedding back (ADC scans, the ingest registry): pair with
+# emit_embedding=False on the factories (§4.1)
+_PQ_CODES_NARROW_SCHEMA = "vec_id long, " + ", ".join(
     f"c{s} int" for s in range(PQ_M)
 )
 
@@ -2277,8 +2349,10 @@ def sim_ann_pq_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     trained = _pq_train(spark, sf_dir, corpus)
+    # r12 opt: ADC consumes only (vec_id, codes) — narrow output (§4.1)
     codes2 = corpus.mapInPandas(
-        _pq_encode_trained_factory(trained), schema=_PQ_CODES_SCHEMA
+        _pq_encode_trained_factory(trained, emit_embedding=False),
+        schema=_PQ_CODES_NARROW_SCHEMA,
     )
 
     q_rows = (
@@ -2486,17 +2560,27 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         [[r[f"m{i}"] for i in range(1, DIM + 1)] for r in c2_rows],
         dtype=np.float64,
     )
-    inv = corpus.mapInPandas(
-        _km_assign_factory(c2, cells2), schema=_KM_ASSIGN_SCHEMA
-    ).select("vec_id", "cell")
-
     # PQ codebook: TRAINED sub-centroids (the sim_ann_pq_lloyd trainer,
     # one unpivoted job) — codebook quality is the measured big recall
     # lever for the composition (see the IVFPQ_PROBE grid above)
     trained = _pq_train(spark, sf_dir, corpus)
-    codes = corpus.mapInPandas(
-        _pq_encode_trained_factory(trained), schema=_PQ_CODES_SCHEMA
+    # r12 opt: inverted file + trained encode FUSED into one narrow
+    # mapInPandas pass (identical arithmetic to the two passes it
+    # replaces), persisted because the final plan reads it twice (the
+    # probe join and the exploded ADC input). Bounded: one codes row
+    # per vector.
+    from motorway_spark.maintenance import CACHES
+
+    inv_codes = CACHES.persist_swap(
+        "ivfpq.inv_codes",
+        corpus.mapInPandas(
+            _ivfpq_invfile_codes_factory(c2, cells2, trained),
+            schema=_IVFPQ_INV_CODES_SCHEMA,
+        ),
+        exclusive=False,
     )
+    inv = inv_codes.select("vec_id", "cell")
+    codes = inv_codes
 
     # driver-side: probe lists vs C2 + trained PQ ADC tables (20 queries)
     q_rows = (
@@ -2993,9 +3077,11 @@ def sim_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             dtype=np.float64,
         )
     cell_pos = {c: k for k, c in enumerate(cells)}
-    inv = corpus.mapInPandas(
-        _resn_assign_factory(cents, cells), schema=_KM_ASSIGN_SCHEMA
-    )
+    # NOTE r12 opt: no separate inverted-file assignment pass — the
+    # trained-encode pass (codes2 below) assigns each vector's cell
+    # with the identical normalized left-fold arithmetic, so its cell
+    # column IS the inverted file. One full mapInPandas pass removed
+    # (guide §1.2: fewer passes).
 
     # residual init codebook: the 16 fixed PQ vectors as their own
     # residuals (init magnitudes match residual magnitudes)
@@ -3057,9 +3143,17 @@ def sim_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
-    codes2 = corpus.mapInPandas(
-        _res_factory(cents, cells, trained, emit_residuals=False),
-        schema=_RES_CODES_SCHEMA,
+    # Persisted: the final plan references the trained codes TWICE
+    # (the probe join's inverted file and the exploded ADC input) —
+    # without the persist each branch re-runs the encode mapInPandas
+    # over the whole corpus. Bounded: one (cell, codes) row per vector.
+    codes2 = CACHES.persist_swap(
+        "ivfpq_res.codes",
+        corpus.mapInPandas(
+            _res_factory(cents, cells, trained, emit_residuals=False),
+            schema=_RES_CODES_SCHEMA,
+        ),
+        exclusive=False,
     )
 
     # driver-side: probe lists + per-(query, cell) residual ADC tables
@@ -3113,7 +3207,7 @@ def sim_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cand0 = (
-        probe.join(inv.select("vec_id", "cell"), "cell")
+        probe.join(codes2.select("vec_id", "cell"), "cell")
         .filter(F.col("query_id") != F.col("vec_id"))
         .select("query_id", "vec_id", "cell")
     )

@@ -1711,14 +1711,13 @@ def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from motorway_spark.catalog import Catalog
     from motorway_spark.queries.similarity import (
-        _PQ_CODES_SCHEMA,
+        _PQ_CODES_NARROW_SCHEMA,
         _pq_adc_rerank,
         _pq_encode_factory,
         _pq_fixed_cbn,
         _pq_fixed_tab_rows,
         _valid_vectors,
         N_QUERIES,
-        PQ_M,
     )
     from motorway_spark.sinks.upsert import UpsertParquetSink
     from motorway_spark.streaming.runner import stream_embeddings
@@ -1730,16 +1729,16 @@ def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     _LAST_ANN_INGEST_DIR = root
 
     cbn = _pq_fixed_cbn(spark, sf_dir)
-    code_cols = [f"c{s}" for s in range(PQ_M)]
     sink = UpsertParquetSink(
         spark, f"{root}/codes", key_cols=["vec_id"], num_buckets=8
     )
 
     def process_batch(bdf: DataFrame, batch_id: int) -> None:
-        codes = (
-            _valid_vectors(bdf)
-            .mapInPandas(_pq_encode_factory(cbn), schema=_PQ_CODES_SCHEMA)
-            .select("vec_id", *code_cols)
+        # r12 opt: codes-only encode output — the registry never stores
+        # the floats, so don't ship them back through Arrow (§4.1)
+        codes = _valid_vectors(bdf).mapInPandas(
+            _pq_encode_factory(cbn, emit_embedding=False),
+            schema=_PQ_CODES_NARROW_SCHEMA,
         )
         sink.upsert_batch(codes, batch_id)
 

@@ -1663,7 +1663,24 @@ class UpsertParquetSink:
         if m_pre is not None and m_pre.get("schema"):
             batch = self._align_key_types(batch, m_pre["schema"])
         batch = batch.withColumn("bucket", self._bucket_expr())
+        # The deduped batch feeds at least TWO Spark actions (the
+        # bucket-stats collect below, then the staged write — plus the
+        # merge join and any conflict redo). Without a persist each
+        # action recomputes the caller's whole upstream pipeline (for
+        # an aggregate-shaped batch that is a full source scan+shuffle
+        # per action). A micro-batch is bounded by construction, so
+        # MEMORY_AND_DISK persistence is scale-safe; released in the
+        # finally below (guide §5: cache reused-and-expensive frames,
+        # unpersist when done).
+        batch = batch.persist()
+        try:
+            return self._upsert_batch_inner(batch_df, batch, batch_id)
+        finally:
+            batch.unpersist()
 
+    def _upsert_batch_inner(
+        self, batch_df: DataFrame, batch: DataFrame, batch_id: int
+    ) -> None:
         # The buckets this batch touches — bounded by num_buckets, so
         # the collect is a tiny driver list, not data. For single-key
         # tables the SAME job also returns each touched bucket's key
@@ -2020,29 +2037,46 @@ class UpsertParquetSink:
         # non-numeric string for a numeric key) must FAIL, not fall
         # through: the NULL would eqNullSafe-match genuine NULL-key
         # rows in the table and delete data the caller never named.
-        bad = casted.filter(
-            reduce(
-                lambda a, b: a | b,
-                [F.col(f"__badcast_{c}") for c in self.key_cols],
-            )
-        ).limit(1)
-        if bad.count() > 0:
-            raise ValueError(
-                "delete_keys: a key value failed the cast to the table's "
-                f"key type ({ {c: str(tschema[c].dataType) for c in self.key_cols} }); "
-                "refusing to proceed because the resulting NULL would "
-                "match genuine NULL-key rows"
-            )
-        keys = (
-            casted.select(*self.key_cols)
-            .dropDuplicates(self.key_cols)
-            .withColumn("bucket", self._bucket_expr())
+        # ONE pass computes both the bad-cast flag and the touched
+        # bucket set (formerly two separate jobs over the caller's
+        # pipeline); bucket routing is dedup-invariant, so grouping the
+        # pre-dedup rows yields the identical bucket set.
+        anybad = reduce(
+            lambda a, b: a | b,
+            [F.col(f"__badcast_{c}") for c in self.key_cols],
         )
-        affected = sorted(
-            r["bucket"] for r in keys.select("bucket").distinct().collect()
-        )
-        if not affected:
-            return 0
+        # Persist the casted request: it feeds the pre-check job, then
+        # (deduped) the count join and the rewrite's anti join — without
+        # the persist each action recomputes the caller's whole pipeline
+        # (guide §5). Bounded: the rows of one delete request.
+        casted = casted.persist()
+        try:
+            pre = (
+                casted.withColumn("bucket", self._bucket_expr())
+                .groupBy("bucket")
+                .agg(F.max(anybad.cast("int")).alias("_bad"))
+                .collect()
+            )
+            if any(r["_bad"] for r in pre):
+                raise ValueError(
+                    "delete_keys: a key value failed the cast to the table's "
+                    f"key type ({ {c: str(tschema[c].dataType) for c in self.key_cols} }); "
+                    "refusing to proceed because the resulting NULL would "
+                    "match genuine NULL-key rows"
+                )
+            affected = sorted(r["bucket"] for r in pre)
+            if not affected:
+                return 0
+            keys = (
+                casted.select(*self.key_cols)
+                .dropDuplicates(self.key_cols)
+                .withColumn("bucket", self._bucket_expr())
+            )
+            return self._delete_keys_inner(keys, affected)
+        finally:
+            casted.unpersist()
+
+    def _delete_keys_inner(self, keys: DataFrame, affected: list[int]) -> int:
         for _ in range(self._MAX_COMMIT_RETRIES):
             m = self._load_manifest()
             if m is None:
@@ -2060,8 +2094,23 @@ class UpsertParquetSink:
             ]
             remaining = t.join(k, cond, "left_anti")
             try:
-                n_before = target.count()
-                n_after = remaining.count()
+                # one job for both counts: keys are deduped, so a left
+                # join preserves target cardinality and a matched row
+                # is exactly a to-be-deleted row (formerly two separate
+                # scans of the touched buckets)
+                marked = keys.withColumn("__kmatch", F.lit(1)).alias("k")
+                stat = (
+                    t.join(marked, cond, "left")
+                    .agg(
+                        F.count(F.lit(1)).alias("nb"),
+                        F.coalesce(
+                            F.sum(F.col("k.__kmatch")), F.lit(0)
+                        ).alias("nd"),
+                    )
+                    .collect()[0]
+                )
+                n_before = stat["nb"]
+                n_after = n_before - stat["nd"]
             except Exception as exc:  # noqa: BLE001 - narrowed below
                 if _is_vanished_file_error(exc):
                     self._load_manifest(force=True)
@@ -2130,18 +2179,22 @@ class UpsertParquetSink:
             # then commit the narrowed schema back into the manifest.
             table = self._manifest_reader(m).parquet(*paths)
             try:
-                affected = sorted(
-                    r["bucket"]
-                    for r in table.filter(hit)
-                    .select("bucket")
-                    .distinct()
+                # ONE pruned pass yields the touched-bucket set AND the
+                # delete count (formerly three jobs: a distinct-bucket
+                # collect plus two counts over the touched buckets)
+                stats = (
+                    table.groupBy("bucket")
+                    .agg(F.sum(hit.cast("long")).alias("nhit"))
                     .collect()
+                )
+                affected = sorted(
+                    r["bucket"] for r in stats if r["nhit"]
                 )
                 if not affected:
                     return 0
+                n_deleted = int(sum(r["nhit"] for r in stats if r["nhit"]))
                 target = table.filter(F.col("bucket").isin(affected))
                 remaining = target.filter(~hit)
-                n_deleted = target.count() - remaining.count()
             except Exception as exc:  # noqa: BLE001 - narrowed below
                 if _is_vanished_file_error(exc):
                     self._load_manifest(force=True)

@@ -235,9 +235,15 @@ def _run_dml(
         updated = matched.select(
             *[assigns.get(c, F.col(c)).alias(c) for c in fields]
         )
-        n = updated.count()
-        if n:
-            sink.upsert_batch(updated, batch_id=None)
+        # the updated frame feeds the count AND the sink's merge;
+        # persist so the pruned table read runs once (guide §5)
+        updated = updated.persist()
+        try:
+            n = updated.count()
+            if n:
+                sink.upsert_batch(updated, batch_id=None)
+        finally:
+            updated.unpersist()
         return status("update", n)
 
     if ins is not None:  # INSERT INTO t [(cols)] <query>
@@ -256,9 +262,13 @@ def _run_dml(
                 f"{len(names)} target column(s) "
                 f"({', '.join(names)}) — counts must match"
             )
-        src = src.toDF(*names)
-        sink.upsert_batch(src, batch_id=None)
-        return status("insert", src.count())
+        src = src.toDF(*names).persist()
+        try:
+            sink.upsert_batch(src, batch_id=None)
+            n = src.count()
+        finally:
+            src.unpersist()
+        return status("insert", n)
 
     # MERGE INTO t USING (...) ON ... WHEN MATCHED ...
     inner, tail = _split_using(query[mrg.end() :])
@@ -279,9 +289,13 @@ def _run_dml(
             f"columns {sorted(sink.key_cols)} — a partial-key or "
             "extra-key merge is not the canonical upsert"
         )
-    src = sql(inner, sf_dir, spark, tables=tables)
-    sink.upsert_batch(src, batch_id=None)
-    return status("merge", src.count())
+    src = sql(inner, sf_dir, spark, tables=tables).persist()
+    try:
+        sink.upsert_batch(src, batch_id=None)
+        n = src.count()
+    finally:
+        src.unpersist()
+    return status("merge", n)
 
 
 def sql(
