@@ -154,13 +154,26 @@ def test_batch_process_facade(spark):
         assert result == dict(EXPECTED)
         import time
 
-        time.sleep(2)  # listener events are async
+        # Listener events are ASYNC: a fixed sleep raced the last
+        # batch's progress event on a loaded host (observed once: 2 of
+        # 3 events after 2 s while the memory sink already held all 10
+        # rows). The drain guarantee is "all 10 input rows processed",
+        # so poll until the listener has accounted for all of them.
+        def _batches():
+            return [
+                p for p in listener.progress
+                if p["query"] == name and p["num_input_rows"] > 0
+            ]
+
+        deadline = time.monotonic() + 30
+        while (
+            sum(p["num_input_rows"] for p in _batches()) < 10
+            and time.monotonic() < deadline
+        ):
+            time.sleep(0.25)
+        batches = _batches()
         # limit-shaped micro-batches: 10 sentences / cap 4 -> >=3
         # batches, every batch <= 4 input rows
-        batches = [
-            p for p in listener.progress
-            if p["query"] == name and p["num_input_rows"] > 0
-        ]
         assert len(batches) >= 3
         assert all(p["num_input_rows"] <= 4 for p in batches)
     finally:
