@@ -165,6 +165,59 @@ EXTRA_RUN_UNDER_SEC = 2.5
 # "fixed" in both the stdout line and bench_results.json.
 BENCH_FIXED_N = 46  # q1..sample_importance_weighted (rounds 1-5 core)
 
+# r13 line-visibility contract: the driver reads the LAST ~2000 chars
+# of stdout and diffs the line's "queries" dict against the previous
+# round's line — a query present last round but folded into "omitted"
+# this round counts as DROPPED (r12 lost 8 timings that way when 4 new
+# queries pushed them past the cap). All 96 names cannot fit (the 96
+# names alone are ~2200 chars, see OPTIMIZATION_r13.md), so the line
+# budget is spent by priority: (0) every query the previous round's
+# line reported — NEVER omitted, so queries_dropped stays 0; (1) the
+# fixed46 core; (2) the rest, slowest kept first. Full-precision
+# timings for every query always live in bench_results.json.
+PREV_LINE_REPORTED = frozenset(
+    # the 65 queries in BENCH_r12.json's parsed line
+    [
+        "q1_pricing_summary", "q3_shipping_priority", "q10_returned_items",
+        "agg_cube", "agg_grouping_sets", "dedup_minhash", "sim_knn_cosine",
+        "sim_ann_lsh", "stream_tumbling_window", "stream_stateful_user_totals",
+        "q2_min_cost_supplier", "q21_waiting_supplier",
+        "range_join_interval_overlap", "topk_heavy_hitters", "profile_columns",
+        "dedup_minhash_capped", "sim_ann_ivf_fixed", "dq_checks",
+        "dedup_containment", "events_funnel", "embedding_quality_stats",
+        "dedup_chunk_global", "dedup_semantic_semdedup",
+        "pipeline_corpus_curation", "graph_pagerank_bipartite",
+        "events_changepoint_cusum_filled", "dedup_bloom_incremental",
+        "agg_median_mad", "sim_range_search", "graph_degree_distribution",
+        "dq_functional_dependency", "orders_pareto_concentration",
+        "text_surprisal_lm", "dedup_exact_substring_spans",
+        "stream_dedup_minhash", "pipeline_dedup_funnel",
+        "text_boilerplate_chunks", "text_bm25_topk", "graph_triangle_count",
+        "stream_corpus_ingest", "text_inverted_index",
+        "orders_market_basket_rules", "orders_rfm_segments",
+        "cluster_kmeans_lloyd", "sim_ann_ivf_lloyd", "agg_histogram_equidepth",
+        "stream_distinct_kmv", "stream_percentile_grid", "sim_ann_pq_adc",
+        "sim_ann_pq_lloyd", "sim_ann_ivfpq", "events_attribution_touch",
+        "cluster_kmeans_converged", "stream_ann_ingest", "sim_rank_fusion_rrf",
+        "stream_sample_reservoir", "dq_embedding_drift",
+        "sim_ann_ivfpq_residual", "sql_facade_q1_pricing",
+        "sql_facade_join_agg", "sql_facade_manifest_table",
+        "table_changefeed", "stream_table_changefeed", "sql_facade_merge_dml",
+        "stream_changefeed_matview",
+    ]
+)
+
+# Mid-run drift self-diagnosis (r12 lesson: the driver's 32-core run
+# degraded progressively — untouched controls at positions >=35 read
+# 2.35-2.59x their pins while early ones read 1.13-1.84x, and 42
+# phantom "regressions" were unattributable). Re-time one pinned
+# control every DRIFT_EVERY queries; the series makes a mid-run phase
+# change visible IN the artifact ("drift_series"), and the line carries
+# the max/min ratio ("drift"). The control re-runs sit BETWEEN timed
+# queries — no timed region changes.
+DRIFT_CONTROL = "q1_pricing_summary"
+DRIFT_EVERY = 15
+
 # Host self-calibration (r11): two rounds running, the round-over-round
 # artifact was dominated by host class and the correction lived in a
 # prose note. The bench now carries the correction IN the data: the
@@ -317,7 +370,33 @@ def main() -> None:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in bench_queries:
+    drift_series: list[float] = []
+
+    def _drift_sample() -> None:
+        """One untimed re-run of the pinned control between queries —
+        the series diagnoses mid-run host/JVM drift (see DRIFT_EVERY)."""
+        try:
+            fn = QUERIES[DRIFT_CONTROL]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            drift_series.append(round(time.perf_counter() - t0, 3))
+            spark.catalog.clearCache()
+        except Exception:  # noqa: BLE001 — diagnosis must never kill the bench
+            pass
+
+    # one untimed warm pass first: the series must read host/JVM state,
+    # not the control's own cold-start
+    try:
+        QUERIES[DRIFT_CONTROL](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        spark.catalog.clearCache()
+    except Exception:  # noqa: BLE001
+        pass
+    _drift_sample()
+    for idx, name in enumerate(bench_queries):
+        if idx and idx % DRIFT_EVERY == 0:
+            _drift_sample()
         samples: list[float] = []
         try:
             # inside the try: an unknown name (subset typo) must land in
@@ -354,6 +433,13 @@ def main() -> None:
             # error path too: a failed query's partial caches must not
             # poison its successors. A real job runs one plan, not 48.
             spark.catalog.clearCache()
+
+    _drift_sample()
+    drift = (
+        round(max(drift_series) / min(drift_series), 2)
+        if len(drift_series) >= 2 and min(drift_series) > 0
+        else None
+    )
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -416,6 +502,12 @@ def main() -> None:
             if host_factor
             else {}
         ),
+        # one pinned control re-timed every DRIFT_EVERY queries (plus
+        # start/end): a flat series = stable run; a ramp = mid-run
+        # host/JVM drift, read per-query deltas with suspicion.
+        "drift_control": DRIFT_CONTROL,
+        "drift_series": drift_series,
+        "drift": drift,
         "sf": sf_val,
         "notes": BENCH_NOTES,
     }
@@ -430,27 +522,30 @@ def main() -> None:
 
     # The driver parses the summary from the LAST 2000 chars of stdout
     # (BENCH_r06 lost its whole per-query dict to a 2009-char line).
-    # Emit ONE compact line, hard-capped under that window: 2-decimal
-    # timings, short metric, and — should the headline set ever outgrow
-    # the budget — the FASTEST entries folded into an "omitted" summary
-    # (their full timings stay in bench_results.json; "value" always
-    # covers every query that ran).
-    line_queries = {n: round(t, 2) for n, t in timings.items()}
+    # Emit ONE compact line, hard-capped under that window: 1-decimal
+    # timings, short metric, and the PREV_LINE_REPORTED eviction policy
+    # (see its comment) — should the budget still overflow, the FASTEST
+    # lowest-priority entries fold into an "omitted" summary (their
+    # full timings stay in bench_results.json; "value" always covers
+    # every query that ran).
+    line_queries = {n: round(t, 1) for n, t in timings.items()}
     omitted_n, omitted_sec = 0, 0.0
 
     def _line() -> str:
         result = {
-            "metric": (
-                f"{len(timings)}/{len(bench_queries)} noop best-of-2/3"
-                f" (fixed{BENCH_FIXED_N}=r1-r5 core)"
-            ),
+            "metric": f"{len(timings)}/{len(bench_queries)} noop bo2/3 f{BENCH_FIXED_N}",
             "value": detail["value"],
             "unit": "sec",
             "fixed": detail["fixed"],
             # untouched-control geomean vs BENCH_r08: divide any raw
-            # time by this before reading drift (full per-control
-            # ratios + normalized columns live in bench_results.json)
+            # time by this before reading cross-round drift (full
+            # per-control ratios + normalized columns live in
+            # bench_results.json)
             "host_factor": host_factor,
+            # max/min of the q1 control re-timed every 15 queries —
+            # >~1.5 means the run itself drifted mid-flight (series in
+            # bench_results.json)
+            "drift": drift,
             "queries": line_queries,
             "sf": sf_val,
         }
@@ -460,8 +555,30 @@ def main() -> None:
             result["n_errors"] = len(errors)
         return json.dumps(result, separators=(",", ":"))
 
-    # cap: the line plus its newline must sit inside the 2000-char window
+    # cap: the line plus its newline must sit inside the 2000-char
+    # window. Evict lowest-priority, fastest-first; a query reported in
+    # the previous round's line is NEVER evicted (priority 0), so the
+    # driver's round-over-round diff sees zero dropped queries.
+    def _evict_rank(name: str) -> tuple[int, float]:
+        if name in PREV_LINE_REPORTED:
+            prio = 0
+        elif name in fixed_names:
+            prio = 1
+        else:
+            prio = 2
+        return (-prio, line_queries[name])  # evict prio 2 first, fastest first
+
     out = _line()
+    for name in sorted(line_queries, key=_evict_rank):
+        if len(out) <= 1990 or name in PREV_LINE_REPORTED:
+            break
+        omitted_sec += line_queries.pop(name)
+        omitted_n += 1
+        out = _line()
+    # last resort: an oversize line loses the WHOLE dict to the 2000-char
+    # window (the r06 failure) — strictly worse than omitting one more
+    # query. Should the protected set itself ever outgrow the budget,
+    # evict its fastest entries too rather than emit an unparseable line.
     for name in sorted(line_queries, key=line_queries.get):
         if len(out) <= 1990:
             break

@@ -69,8 +69,21 @@ SQS_MAX_BATCH_RECORDS = 10
 
 def _boto3_client(service: str, cfg: dict):
     import boto3
+    from botocore.config import Config
 
-    kwargs = {}
+    # Application-level retry lives in the transports/sinks themselves
+    # (selective per-record retry in KinesisPutRecordsSink, visibility-
+    # timeout redelivery in SQS). botocore's own retry layer must stay
+    # OFF: an HTTP-level resend of a non-idempotent put_records that the
+    # server already applied silently duplicates records. The generous
+    # read timeout replaces retries for a slow endpoint.
+    kwargs = {
+        "config": Config(
+            retries={"max_attempts": 1, "mode": "standard"},
+            connect_timeout=30,
+            read_timeout=300,
+        )
+    }
     for opt, key in (
         ("region", "region_name"),
         ("endpointUrl", "endpoint_url"),

@@ -175,21 +175,53 @@ def test_sqs_stream_end_to_end_delete_on_commit(spark, tmp_path, moto_endpoint):
 # ---------------------------------------------------------------------------
 # Kinesis sink over boto3: same selective-retry sink, real wire
 # ---------------------------------------------------------------------------
+def _locked_kinesis_factory(lock_path: str, endpoint: str):
+    """moto's in-memory Kinesis backend assigns sequence numbers without
+    a lock (max+1, then dict insert keyed on it), so two concurrent
+    put_records requests landing on one shard can compute the same
+    number and one record silently overwrites the other. Serialize the
+    MOCK's writes with a cross-process file lock; the sink under test
+    still runs one independent client per executor task. Test-only —
+    the race is in the mock, not in the sink."""
+    from motorway_spark.sources.aws import KinesisClientFactory
+
+    base = KinesisClientFactory(
+        region="us-east-1",
+        endpoint_url=endpoint,
+        access_key="testing",
+        secret_key="testing",
+    )
+
+    def make():
+        import fcntl
+
+        adapter = base()
+        inner = adapter.put_records
+
+        def locked_put(records, stream_name):
+            with open(lock_path, "w") as fh:
+                fcntl.flock(fh, fcntl.LOCK_EX)
+                try:
+                    return inner(records, stream_name)
+                finally:
+                    fcntl.flock(fh, fcntl.LOCK_UN)
+
+        adapter.put_records = locked_put
+        return adapter
+
+    return make
+
+
 def test_kinesis_sink_boto3_roundtrip(spark, tmp_path, moto_endpoint):
     from motorway_spark.sinks.kinesis import KinesisPutRecordsSink
-    from motorway_spark.sources.aws import KinesisClientFactory, read_stream_records
+    from motorway_spark.sources.aws import read_stream_records
 
     cli = _client("kinesis", moto_endpoint)
     stream_name = f"s{uuid.uuid4().hex[:8]}"
     cli.create_stream(StreamName=stream_name, ShardCount=2)
 
     sink = KinesisPutRecordsSink(
-        KinesisClientFactory(
-            region="us-east-1",
-            endpoint_url=moto_endpoint,
-            access_key="testing",
-            secret_key="testing",
-        ),
+        _locked_kinesis_factory(str(tmp_path / "put.lock"), moto_endpoint),
         stream_name,
         dead_letter_dir=str(tmp_path / "dlq"),
         key_col="k",
