@@ -432,12 +432,23 @@ def main() -> None:
             # caches in one JVM starved the next fill. Runs on the
             # error path too: a failed query's partial caches must not
             # poison its successors. A real job runs one plan, not 48.
+            # release_all() additionally empties the CacheRegistry so
+            # scopes registered exclusive=False (ivfpq codes frames)
+            # don't stay resident past their query (ADVICE r12).
+            from motorway_spark.maintenance import CACHES
+
+            CACHES.release_all()
             spark.catalog.clearCache()
 
     _drift_sample()
+    # ratio over series[1:]: the first post-warmup sample still carries
+    # a startup transient (OS page cache, executor pools — measured
+    # 3.99s vs steady 1.5-1.8s), which is not MID-RUN drift; the full
+    # series including sample 0 is in the artifact.
+    steady = drift_series[1:] if len(drift_series) > 2 else drift_series
     drift = (
-        round(max(drift_series) / min(drift_series), 2)
-        if len(drift_series) >= 2 and min(drift_series) > 0
+        round(max(steady) / min(steady), 2)
+        if len(steady) >= 2 and min(steady) > 0
         else None
     )
 

@@ -98,17 +98,20 @@ def _fixture_stat_key(path: str) -> tuple:
     directory-shaped fixture, of its newest/biggest part files."""
     st = os.stat(path)
     if os.path.isdir(path):
-        parts = [
-            os.path.join(path, p)
-            for p in os.listdir(path)
-            if p.endswith(".parquet")
-        ]
-        sizes = mt = 0
-        for p in parts:
-            s = os.stat(p)
-            sizes += s.st_size
-            mt = max(mt, s.st_mtime_ns)
-        return (len(parts), sizes, max(mt, st.st_mtime_ns))
+        # recurse (os.walk): partitioned/nested layouts keep their part
+        # files inside subdirectories — a top-level-only listing would
+        # degrade to (0, 0, dir mtime) and an in-place regenerate that
+        # rewrites files under existing subdirs would keep a stale key
+        n = sizes = mt = 0
+        for root, _dirs, files in os.walk(path):
+            for fname in files:
+                if not fname.endswith(".parquet"):
+                    continue
+                s = os.stat(os.path.join(root, fname))
+                n += 1
+                sizes += s.st_size
+                mt = max(mt, s.st_mtime_ns)
+        return (n, sizes, max(mt, st.st_mtime_ns))
     return (st.st_size, st.st_mtime_ns)
 
 
@@ -127,8 +130,16 @@ class Catalog:
             raise KeyError(f"unknown table {name!r}; have {TABLES}")
         path = f"{self.sf_dir}/{name}.parquet"
         try:
+            # id(session) alongside applicationId: sessions sharing one
+            # SparkContext (spark.newSession(), micro-batch clones) share
+            # an appId, but a DataFrame is bound to the session that
+            # built it (per-session confs: UTC timezone, nanosAsLong).
+            # id() cannot be recycled while its entry lives — the cached
+            # DataFrame holds a reference to its session, so the session
+            # outlives the entry.
             key = (
                 self.spark.sparkContext.applicationId,
+                id(self.spark),
                 path,
                 _fixture_stat_key(path),
             )

@@ -163,7 +163,13 @@ class CacheRegistry:
         """Persist ``df`` as ``scope``'s live cache, releasing the scope's
         previous frame (and, when ``exclusive``, every other scope's).
         ``eager`` fills the cache with a count() so concurrent plan
-        branches don't race an empty cache and each re-run the input map."""
+        branches don't race an empty cache and each re-run the input map.
+
+        Lifetime contract for ``exclusive=False`` scopes (the second+
+        cache of one query, e.g. the ivfpq codes frames): they stay
+        resident until the next exclusive swap — a harness running many
+        queries in one session must call :meth:`release_all` between
+        queries (bench.py and tools/sweep_correctness.py do)."""
         self.release(scope)
         if exclusive:
             for other in [s for s in self._live if s != scope]:

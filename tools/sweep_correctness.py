@@ -73,6 +73,9 @@ def main() -> int:
             }
             n_bad += 1
         finally:
+            from motorway_spark.maintenance import CACHES
+
+            CACHES.release_all()
             spark.catalog.clearCache()
         tag = results[name]["status"]
         print(f"# {name}: {tag}", file=sys.stderr)
