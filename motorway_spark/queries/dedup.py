@@ -787,8 +787,8 @@ def label_propagation(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     per-iteration plan must stay O(1), state lives in materialized
     partitions (GraphX does exactly this internally)."""
     # Lazy checkpoints: still truncate lineage for the loop, but the
-    # materialization rides iteration 1's convergence count instead of
-    # costing two extra up-front actions.
+    # materialization rides the convergence count instead of costing
+    # extra up-front actions.
     edges = (
         pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
         .distinct()
@@ -801,32 +801,45 @@ def label_propagation(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .withColumn("label", F.col("doc"))
         .localCheckpoint(eager=False)
     )
-    for _ in range(max_iters):  # diameter bound; dup clusters are shallow
-        neighbor_min = (
-            edges.join(labels, F.col("dst") == F.col("doc"))
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
+    label_t = labels.schema["label"].dataType
+    # Fused update (r13): min(own label, neighbor labels) as ONE
+    # join + ONE aggregate — the neighbor contributions (src, label)
+    # union the self rows (doc, label) and a single min-groupBy yields
+    # the new label; the self row smuggles the previous label through
+    # the aggregate (max over one non-null) so convergence stays a
+    # filter over the checkpoint. Replaces the join+agg+left-join form:
+    # one shuffle join fewer per iteration, identical algebra
+    # (min over {self} ∪ neighbors == least(label, min nbr)).
+    # Convergence is CHECKED every 2nd iteration: a converged fixpoint
+    # is stable under extra iterations (min-propagation is idempotent
+    # there), so batching the scalar count halves the driver actions at
+    # an identical result; the lazy checkpoints of the unchecked
+    # iteration materialize under the same count job (plan depth <= 2
+    # iterations).
+    check_every = 2
+    for it in range(1, max_iters + 1):  # diameter bound; dup clusters are shallow
+        contrib = edges.join(labels, F.col("dst") == F.col("doc")).select(
+            F.col("src").alias("doc"),
+            F.col("label"),
+            F.lit(None).cast(label_t).alias("__prev"),
         )
-        # Carry the previous label through the update instead of
-        # re-joining new labels against old ones: the convergence test
-        # becomes a filter over the (already materialized) checkpoint —
-        # one shuffle join and one action fewer per iteration. The
-        # LAZY checkpoint is filled by the changed-count action itself.
+        selfrows = labels.select(
+            "doc", "label", F.col("label").alias("__prev")
+        )
         new_full = (
-            labels.join(neighbor_min, F.col("doc") == F.col("src"), "left")
-            .select(
-                "doc",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-                F.col("label").alias("__prev"),
+            contrib.unionByName(selfrows)
+            .groupBy("doc")
+            .agg(
+                F.min("label").alias("label"),
+                F.max("__prev").alias("__prev"),
             )
             .localCheckpoint(eager=False)
         )
-        changed = new_full.filter(F.col("label") != F.col("__prev")).count()
         labels = new_full.select("doc", "label")
-        if changed == 0:
-            break
+        if it % check_every == 0 or it == max_iters:
+            changed = new_full.filter(F.col("label") != F.col("__prev")).count()
+            if changed == 0:
+                break
     return labels
 
 
