@@ -1289,6 +1289,143 @@ def _km_assign_factory(cents: "np.ndarray", cells: list[int]):
 _KM_ASSIGN_SCHEMA = "vec_id long, embedding array<float>, cell int, d double"
 
 
+def _make_micro_halfup():
+    """Build _micro_halfup nested-origin for BY-VALUE cloudpickle
+    (see _make_leftfold_norms: the fused stats closures must stay
+    self-contained on PYTHONPATH-less executors)."""
+
+    def _micro_halfup(vals: "np.ndarray") -> "np.ndarray":
+        """Bit-equal replication of Spark's CAST(double AS
+        DECIMAL(38,6)) on the int64 micro grid — the per-element
+        quantization inside _km_mean_sql's SUM. Spark's cast goes
+        scala BigDecimal(double) -> java BigDecimal(Double.toString(d))
+        -> setScale(6, HALF_UP): the SHORTEST round-trip decimal repr
+        rounded half-up (away from zero) at 6 places. Fast path:
+        sign(x) * floor(|x|*1e6 + 0.5) — exact whenever the scaled
+        fractional part is not within 1e-4 of the .5 tie (the float
+        path's error is ~1e-8 absolute at |x| <= 100, four orders of
+        magnitude inside the guard band). Near-ties requantize exactly
+        via Decimal(repr(x)) — Python's repr is the same
+        shortest-round-trip value as Double.toString. Verified against
+        Spark's own cast over the full sf0.1 element domain and a
+        synthetic tie ladder (tools/verify_micro_halfup.py, r13)."""
+        a = np.abs(vals) * 1000000.0
+        out = (np.sign(vals) * np.floor(a + 0.5)).astype(np.int64)
+        near = np.abs(a - np.floor(a) - 0.5) < 1e-4
+        if near.any():
+            import decimal
+
+            q6 = decimal.Decimal("0.000001")
+            for idx in np.argwhere(near):
+                t = tuple(idx)
+                x = float(vals[t])
+                out[t] = int(
+                    decimal.Decimal(repr(x))
+                    .quantize(q6, rounding=decimal.ROUND_HALF_UP)
+                    .scaleb(6)
+                )
+        return out
+
+    return _micro_halfup
+
+
+_micro_halfup = _make_micro_halfup()
+
+
+def _micro_mean(u: int, n: int) -> float:
+    """Driver-side mirror of _km_mean_sql's closing arithmetic:
+    half-up mean on the micro grid from the exact int64 micro sum
+    ``u`` and count ``n`` — FLOOR(CAST(2u+n AS DOUBLE)/CAST(2n AS
+    DOUBLE)) / 1e6, the identical IEEE ops in the identical order."""
+    import math
+
+    return float(math.floor(float(2 * u + n) / float(2 * n))) / 1000000.0
+
+
+# Fused assignment + training-sums pass (r13, guide §1.2/§4.1): the
+# Lloyd update's decimal mean is a half-up micro-grid quantization per
+# element followed by an EXACT integer sum — so the mapInPandas
+# assignment pass can emit per-cell int64 partial sums (<= IVF_CELLS
+# rows x DIM+3 longs per task) instead of shipping the whole corpus
+# (vec_id, 64-float embedding, cell, d) back through Arrow into a
+# 64-expression DECIMAL(38,6) hash aggregate. The JVM side reduces to
+# a trivial bigint sum; the driver finishes with _micro_mean. Payload
+# per pass: O(cells * tasks), not O(corpus).
+_KM_STATS_SCHEMA = "cell int, n long, dmicro long, " + ", ".join(
+    f"s{i} long" for i in range(1, DIM + 1)
+)
+
+
+def _km_assign_stats_factory(
+    cents: "np.ndarray", cells: list[int], normalize: bool = False
+):
+    """mapInPandas factory: nearest-cell assignment (identical
+    left-fold distances and first-min tiebreak as _km_assign_factory /
+    _resn_assign_factory) fused with the per-cell training statistics:
+    member count ``n``, inertia ``dmicro`` (sum of FLOOR(d*1e6+0.5)),
+    and ``s1..s{DIM}`` — exact int64 micro sums of the assigned
+    vectors' components (normalized components when ``normalize``,
+    matching the residual loop's ``element/nrm`` grid)."""
+    import pandas as pd
+
+    def fn(batches):
+        k = len(cells)
+        n_acc = np.zeros(k, dtype=np.int64)
+        d_acc = np.zeros(k, dtype=np.int64)
+        s_acc = np.zeros((k, DIM), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
+            base = (
+                vecs / _leftfold_norms(vecs)[:, None] if normalize else vecs
+            )
+            acc = np.zeros((base.shape[0], cents.shape[0]))
+            for i in range(base.shape[1]):
+                d = base[:, i : i + 1] - cents[None, :, i]
+                acc += d * d
+            pos = acc.argmin(axis=1)
+            dmin = acc[np.arange(len(pos)), pos]
+            dmic = np.floor(dmin * 1000000.0 + 0.5).astype(np.int64)
+            micro = _micro_halfup(base)
+            np.add.at(n_acc, pos, 1)
+            np.add.at(d_acc, pos, dmic)
+            np.add.at(s_acc, pos, micro)
+        live = np.nonzero(n_acc)[0]
+        out = {
+            "cell": np.array([cells[int(p)] for p in live], dtype="int32"),
+            "n": n_acc[live],
+            "dmicro": d_acc[live],
+        }
+        for i in range(DIM):
+            out[f"s{i + 1}"] = s_acc[live, i]
+        yield pd.DataFrame(out)
+
+    return fn
+
+
+def _km_stats_rows(stats: DataFrame):
+    """Reduce a stats-factory output to the per-cell codebook: returns
+    (rows sorted by cell, cells, cents ndarray) where each row carries
+    the exact total n / dmicro / micro sums and cents applies
+    _micro_mean per component."""
+    aggs = [F.sum("n").alias("n"), F.sum("dmicro").alias("dmicro")] + [
+        F.sum(f"s{i}").alias(f"s{i}") for i in range(1, DIM + 1)
+    ]
+    rows = sorted(
+        stats.groupBy("cell").agg(*aggs).collect(), key=lambda r: r["cell"]
+    )
+    cells = [r["cell"] for r in rows]
+    cents = np.array(
+        [
+            [_micro_mean(r[f"s{i}"], r["n"]) for i in range(1, DIM + 1)]
+            for r in rows
+        ],
+        dtype=np.float64,
+    ).reshape(-1, DIM)
+    return rows, cells, cents
+
+
 KM_MAX_ITERS = 6      # convergence-looped Lloyd: iteration cap
 KM_TOL_MICRO = 25000  # stop when max centroid movement <= 0.025 (micro grid)
 
@@ -1353,26 +1490,13 @@ def _lloyd_fit(
 
     trace: list[dict] = []
     for it in range(1, max_iters + 1):
-        assigned = corpus.mapInPandas(
-            _km_assign_factory(cents, cells), schema=_KM_ASSIGN_SCHEMA
+        # r13: fused stats pass — per-cell int64 micro sums replace the
+        # full-corpus Arrow return + 64-expression decimal aggregate
+        # (bit-equal by construction, see _micro_halfup/_micro_mean)
+        stats = corpus.mapInPandas(
+            _km_assign_stats_factory(cents, cells), schema=_KM_STATS_SCHEMA
         )
-        rows = sorted(
-            assigned.groupBy("cell")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *_km_mean_aggs(),
-                F.sum(
-                    F.expr("CAST(FLOOR(d * 1000000.0 + 0.5) AS BIGINT)")
-                ).alias("dmicro"),
-            )
-            .collect(),  # <= IVF_CELLS rows
-            key=lambda r: r["cell"],
-        )
-        new_cells = [r["cell"] for r in rows]
-        new_cents = np.array(
-            [[r[f"m{i}"] for i in range(1, DIM + 1)] for r in rows],
-            dtype=np.float64,
-        )
+        rows, new_cells, new_cents = _km_stats_rows(stats)
         prev = {c: cents[k] for k, c in enumerate(cells)}
         # Degenerate corpus (zero valid vectors) or total cell turnover:
         # no surviving cell to measure movement over. Movement is then
@@ -1450,29 +1574,39 @@ def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     north-star ANN family (SURVEY.md §2b) with the training step every
     IVF deployment needs.
     """
+    import math
+
     corpus, cells1, c1 = _lloyd_c1(spark, sf_dir)
-    a2 = corpus.mapInPandas(
-        _km_assign_factory(c1, cells1), schema=_KM_ASSIGN_SCHEMA
+    # r13: the A2 aggregate runs as the fused stats pass (per-cell
+    # int64 micro sums; see _km_assign_stats_factory) and the 8-row
+    # report is composed driver-side with the identical arithmetic:
+    # checksum = FLOOR((m1 + ... + m64) * 1e6 + 0.5)/1e6 with the same
+    # left-to-right IEEE add chain, inertia = CAST(sum dmicro AS
+    # DOUBLE)/1e6. Everything still computes from the parquet corpus
+    # on every invocation — only the final 8-row reduction moved.
+    stats = corpus.mapInPandas(
+        _km_assign_stats_factory(c1, cells1), schema=_KM_STATS_SCHEMA
     )
-    chain = " + ".join(f"m{i}" for i in range(1, DIM + 1))
-    checksum = F.expr(
-        f"CAST(FLOOR(({chain}) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0"
-    ).alias("centroid_checksum")
-    return (
-        a2.groupBy("cell")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            *_km_mean_aggs(),
+    rows, _cells2, c2 = _km_stats_rows(stats)
+    out_rows = []
+    for k, r in enumerate(rows):
+        s = 0.0
+        for j in range(DIM):
+            s = s + float(c2[k, j])
+        checksum = float(math.floor(s * 1000000.0 + 0.5)) / 1000000.0
+        out_rows.append(
             (
-                F.sum(
-                    F.expr("CAST(FLOOR(d * 1000000.0 + 0.5) AS BIGINT)")
-                ).cast("double")
-                / F.lit(1000000.0)
-            ).alias("inertia"),
+                int(r["cell"]),
+                int(r["n"]),
+                checksum,
+                float(r["dmicro"]) / 1000000.0,
+            )
         )
-        .select("cell", "n_members", checksum, "inertia")
-        .orderBy("cell")
-    )
+    return spark.createDataFrame(
+        out_rows,
+        "cell int, n_members bigint, centroid_checksum double,"
+        " inertia double",
+    ).orderBy("cell")
 
 
 def _km_converged_oracle() -> str:
@@ -1658,17 +1792,11 @@ def sim_ann_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     like the fixed codebook did.
     """
     corpus, cells1, c1 = _lloyd_c1(spark, sf_dir)
-    a2 = corpus.mapInPandas(
-        _km_assign_factory(c1, cells1), schema=_KM_ASSIGN_SCHEMA
-    )
-    c2_rows = sorted(
-        a2.groupBy("cell").agg(*_km_mean_aggs()).collect(),  # <= 8 rows
-        key=lambda r: r["cell"],
-    )
-    cells2 = [r["cell"] for r in c2_rows]
-    c2 = np.array(
-        [[r[f"m{i}"] for i in range(1, DIM + 1)] for r in c2_rows],
-        dtype=np.float64,
+    # r13: C2 via the fused stats pass (bit-equal micro-sum means)
+    _rows, cells2, c2 = _km_stats_rows(
+        corpus.mapInPandas(
+            _km_assign_stats_factory(c1, cells1), schema=_KM_STATS_SCHEMA
+        )
     )
 
     a3 = corpus.mapInPandas(
@@ -1818,15 +1946,31 @@ def _pq_oracle() -> str:
     """
 
 
-def _leftfold_norms(vecs: "np.ndarray") -> "np.ndarray":
-    """Row norms accumulated dim-by-dim — the same left-fold order as
-    the SQL `+` chains and DuckDB's list_sum, so the normalized
-    components divide by bit-identical norms in both engines (numpy's
-    own .sum() is pairwise and can differ in the last ulp)."""
-    acc = np.zeros(vecs.shape[0])
-    for i in range(vecs.shape[1]):
-        acc += vecs[:, i] * vecs[:, i]
-    return np.sqrt(acc)
+def _make_leftfold_norms():
+    """Build _leftfold_norms as a NESTED-ORIGIN function: its qualname
+    contains '<locals>', so cloudpickle serializes any mapInPandas
+    closure referencing it BY VALUE instead of by module reference —
+    executors need numpy but NOT an importable motorway_spark (the
+    bare local-cluster deployment rung tests/test_local_cluster.py
+    pins; the r13 fused stats factories reference this helper, and a
+    by-reference pickle would crash-loop PYTHONPATH-less executors on
+    ModuleNotFoundError)."""
+
+    def _leftfold_norms(vecs: "np.ndarray") -> "np.ndarray":
+        """Row norms accumulated dim-by-dim — the same left-fold order
+        as the SQL `+` chains and DuckDB's list_sum, so the normalized
+        components divide by bit-identical norms in both engines
+        (numpy's own .sum() is pairwise and can differ in the last
+        ulp)."""
+        acc = np.zeros(vecs.shape[0])
+        for i in range(vecs.shape[1]):
+            acc += vecs[:, i] * vecs[:, i]
+        return np.sqrt(acc)
+
+    return _leftfold_norms
+
+
+_leftfold_norms = _make_leftfold_norms()
 
 
 def _pq_encode_factory(cbn: "np.ndarray", emit_embedding: bool = True):
@@ -2240,39 +2384,67 @@ _PQ_CODES_NARROW_SCHEMA = "vec_id long, " + ", ".join(
 )
 
 
-def _pq_train(
-    spark: SparkSession, sf_dir: str, corpus: DataFrame
-) -> dict[int, tuple[list[int], "np.ndarray"]]:
-    """One quantized-Lloyd iteration for ALL {PQ_M} subspaces in ONE
-    job: pass-1 encode against the fixed codebook, unpivot each row's
-    (code, normalized-subvector) pairs with stack, then one
-    map-side-combinable hash aggregate over (s, code) — 128 output
-    rows and exactly one execution of the encode pass (the round-8
-    shape ran 8 separate collects re-running the unpersisted encode
-    each time; pinned by tests/test_plan_audit.py's job audit).
-    Returns {s: (codes ascending, k_s x {PQ_SUBDIM} centroid matrix)}."""
-    cbn0 = _pq_fixed_cbn(spark, sf_dir)
-    codes1 = corpus.mapInPandas(_pq_encode_factory(cbn0), schema=_PQ_CODES_SCHEMA)
-    with_nrm = codes1.withColumn("nrm", _norm("embedding"))
+# Fused PQ train pass (r13): per-(s, code) int64 micro partial sums of
+# the NORMALIZED subspace components — the _km_mean_sql grid computed
+# inside the pass-1 encode, so neither the embedding payload nor the
+# 8x-unpivoted (s, code, x1..x8) rows ever cross back through Arrow.
+_PQ_STATS_SCHEMA = "s int, code int, n long, " + ", ".join(
+    f"x{j} long" for j in range(1, PQ_SUBDIM + 1)
+)
 
-    stack_args: list[str] = []
-    for s in range(PQ_M):
-        stack_args.append(str(s))
-        stack_args.append(f"c{s}")
-        stack_args += [
-            f"(CAST(element_at(embedding, {s * PQ_SUBDIM + j}) AS DOUBLE)"
-            " / nrm)"
-            for j in range(1, PQ_SUBDIM + 1)
-        ]
-    xcols = ", ".join(f"x{j}" for j in range(1, PQ_SUBDIM + 1))
-    unpivoted = with_nrm.selectExpr(
-        f"stack({PQ_M}, {', '.join(stack_args)}) AS (s, code, {xcols})"
-    )
-    mean_aggs = [
-        F.expr(_km_mean_sql(f"x{j}")).alias(f"m{j}")
-        for j in range(1, PQ_SUBDIM + 1)
+
+def _pq_encode_stats_factory(cbn: "np.ndarray"):
+    """Pass-1 PQ encode (identical left-fold distances / first-min
+    tiebreak as _pq_encode_factory) fused with the per-(s, code)
+    training sums: member count and exact int64 micro sums of the
+    normalized subspace components (see _micro_halfup)."""
+    import pandas as pd
+
+    def fn(batches):
+        n_acc = np.zeros((PQ_M, PQ_K), dtype=np.int64)
+        x_acc = np.zeros((PQ_M, PQ_K, PQ_SUBDIM), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
+            vn = vecs / _leftfold_norms(vecs)[:, None]
+            micro = _micro_halfup(vn)
+            for s in range(PQ_M):
+                acc = np.zeros((vecs.shape[0], cbn.shape[0]))
+                for i in range(s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM):
+                    d = vn[:, i : i + 1] - cbn[None, :, i]
+                    acc += d * d
+                pos = acc.argmin(axis=1)
+                np.add.at(n_acc[s], pos, 1)
+                np.add.at(
+                    x_acc[s],
+                    pos,
+                    micro[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM],
+                )
+        live = np.argwhere(n_acc > 0)
+        out = {
+            "s": np.array([int(s) for s, _c in live], dtype="int32"),
+            "code": np.array([int(c) for _s, c in live], dtype="int32"),
+            "n": np.array([n_acc[s, c] for s, c in live], dtype=np.int64),
+        }
+        for j in range(PQ_SUBDIM):
+            out[f"x{j + 1}"] = np.array(
+                [x_acc[s, c, j] for s, c in live], dtype=np.int64
+            )
+        yield pd.DataFrame(out)
+
+    return fn
+
+
+def _pq_stats_trained(
+    stats: DataFrame,
+) -> dict[int, tuple[list[int], "np.ndarray"]]:
+    """Reduce a per-(s, code) stats pass to the trained codebooks:
+    {s: (codes ascending, k_s x {PQ_SUBDIM} matrix of _micro_mean)}."""
+    aggs = [F.sum("n").alias("n")] + [
+        F.sum(f"x{j}").alias(f"x{j}") for j in range(1, PQ_SUBDIM + 1)
     ]
-    all_rows = unpivoted.groupBy("s", "code").agg(*mean_aggs).collect()
+    all_rows = stats.groupBy("s", "code").agg(*aggs).collect()
     trained: dict[int, tuple[list[int], "np.ndarray"]] = {}
     for s in range(PQ_M):
         rows = sorted(
@@ -2281,11 +2453,35 @@ def _pq_train(
         trained[s] = (
             [r["code"] for r in rows],
             np.array(
-                [[r[f"m{j}"] for j in range(1, PQ_SUBDIM + 1)] for r in rows],
+                [
+                    [
+                        _micro_mean(r[f"x{j}"], r["n"])
+                        for j in range(1, PQ_SUBDIM + 1)
+                    ]
+                    for r in rows
+                ],
                 dtype=np.float64,
-            ),
+            ).reshape(-1, PQ_SUBDIM),
         )
     return trained
+
+
+def _pq_train(
+    spark: SparkSession, sf_dir: str, corpus: DataFrame
+) -> dict[int, tuple[list[int], "np.ndarray"]]:
+    """One quantized-Lloyd iteration for ALL {PQ_M} subspaces in ONE
+    job: pass-1 encode against the fixed codebook FUSED with the
+    per-(s, code) training sums (r13 — the previous shape shipped the
+    embedding back through Arrow and unpivoted 8x rows into a decimal
+    hash aggregate; the sums are bit-equal int64 micro arithmetic, see
+    _micro_halfup). Still exactly one execution of the encode pass
+    (pinned by tests/test_plan_audit.py's job audit).
+    Returns {s: (codes ascending, k_s x {PQ_SUBDIM} centroid matrix)}."""
+    cbn0 = _pq_fixed_cbn(spark, sf_dir)
+    stats = corpus.mapInPandas(
+        _pq_encode_stats_factory(cbn0), schema=_PQ_STATS_SCHEMA
+    )
+    return _pq_stats_trained(stats)
 
 
 def _pq_trained_tab_rows(q_rows, trained) -> list[tuple]:
@@ -2546,19 +2742,13 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the composition the ANN ladder was built toward, with every stage's
     arithmetic replayable in DuckDB."""
     # trained coarse quantizer: C1 from the shared Lloyd prefix, one
-    # more assignment pass -> C2, inverted file over C2
+    # more assignment pass -> C2 (r13: fused stats pass, bit-equal
+    # micro-sum means), inverted file over C2
     corpus, cells1, c1 = _lloyd_c1(spark, sf_dir)
-    a2 = corpus.mapInPandas(
-        _km_assign_factory(c1, cells1), schema=_KM_ASSIGN_SCHEMA
-    )
-    c2_rows = sorted(
-        a2.groupBy("cell").agg(*_km_mean_aggs()).collect(),  # <= 8 rows
-        key=lambda r: r["cell"],
-    )
-    cells2 = [r["cell"] for r in c2_rows]
-    c2 = np.array(
-        [[r[f"m{i}"] for i in range(1, DIM + 1)] for r in c2_rows],
-        dtype=np.float64,
+    _rows, cells2, c2 = _km_stats_rows(
+        corpus.mapInPandas(
+            _km_assign_stats_factory(c1, cells1), schema=_KM_STATS_SCHEMA
+        )
     )
     # PQ codebook: TRAINED sub-centroids (the sim_ann_pq_lloyd trainer,
     # one unpivoted job) — codebook quality is the measured big recall
@@ -2797,6 +2987,78 @@ _RES_CODES_SCHEMA = "vec_id long, cell int, " + ", ".join(
 _RES_PASS1_SCHEMA = (
     _RES_CODES_SCHEMA + ", " + ", ".join(f"r{i} double" for i in range(1, DIM + 1))
 )
+
+
+def _res_train_stats_factory(
+    cents: "np.ndarray",
+    cells: list[int],
+    codebooks: dict[int, tuple[list[int], "np.ndarray"]],
+):
+    """_res_factory's pass-1 (assign -> residual -> encode against the
+    init codebooks) fused with the per-(s, code) training sums over the
+    RESIDUAL components (r13): exact int64 micro partial sums replace
+    the 64-double residual payload + stack unpivot + decimal aggregate.
+    Identical assignment/encode arithmetic; _micro_halfup quantizes the
+    same residual doubles the Arrow pass used to ship."""
+    import pandas as pd
+
+    def fn(batches):
+        n_acc = np.zeros((PQ_M, PQ_K), dtype=np.int64)
+        x_acc = np.zeros((PQ_M, PQ_K, PQ_SUBDIM), dtype=np.int64)
+        code_idx: dict[int, dict[int, int]] = {
+            s: {c: i for i, c in enumerate(codebooks[s][0])}
+            for s in range(PQ_M)
+        }
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
+            vn = vecs / _leftfold_norms(vecs)[:, None]
+            acc = np.zeros((vn.shape[0], cents.shape[0]))
+            for i in range(vn.shape[1]):
+                d = vn[:, i : i + 1] - cents[None, :, i]
+                acc += d * d
+            pos = acc.argmin(axis=1)
+            res = vn - cents[pos]
+            micro = _micro_halfup(res)
+            for s in range(PQ_M):
+                codes_s, cents_s = codebooks[s]
+                a2 = np.zeros((res.shape[0], cents_s.shape[0]))
+                for j in range(PQ_SUBDIM):
+                    d = (
+                        res[:, s * PQ_SUBDIM + j : s * PQ_SUBDIM + j + 1]
+                        - cents_s[None, :, j]
+                    )
+                    a2 += d * d
+                p2 = a2.argmin(axis=1)
+                slot = np.array(
+                    [code_idx[s][codes_s[p]] for p in p2], dtype=np.int64
+                )
+                np.add.at(n_acc[s], slot, 1)
+                np.add.at(
+                    x_acc[s],
+                    slot,
+                    micro[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM],
+                )
+        inv_codes = {
+            s: {i: c for c, i in code_idx[s].items()} for s in range(PQ_M)
+        }
+        live = np.argwhere(n_acc > 0)
+        out = {
+            "s": np.array([int(s) for s, _c in live], dtype="int32"),
+            "code": np.array(
+                [int(inv_codes[int(s)][int(c)]) for s, c in live],
+                dtype="int32",
+            ),
+            "n": np.array([n_acc[s, c] for s, c in live], dtype=np.int64),
+        }
+        for j in range(PQ_SUBDIM):
+            out[f"x{j + 1}"] = np.array(
+                [x_acc[s, c, j] for s, c in live], dtype=np.int64
+            )
+        yield pd.DataFrame(out)
+
+    return fn
 
 
 def _ivfpq_res_oracle() -> str:
@@ -3054,27 +3316,15 @@ def sim_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv = np.array([r["embedding"] for r in init_rows], dtype=np.float64)
     cents = iv / _leftfold_norms(iv)[:, None]
     cells = list(range(IVF_CELLS))
-    nmean_aggs = [
-        F.expr(
-            _km_mean_sql(f"(CAST(element_at(embedding, {i}) AS DOUBLE) / nrm)")
-        ).alias(f"m{i}")
-        for i in range(1, DIM + 1)
-    ]
+    # r13: each coarse iteration is the fused normalized stats pass —
+    # per-cell int64 micro sums of element/nrm (bit-equal to the old
+    # _km_mean_sql decimal aggregate over the Arrow-returned corpus)
     for _ in range(IVFPQ_RES_COARSE_ITERS):
-        assigned = corpus.mapInPandas(
-            _resn_assign_factory(cents, cells), schema=_KM_ASSIGN_SCHEMA
-        )
-        rows = sorted(
-            assigned.withColumn("nrm", _norm("embedding"))
-            .groupBy("cell")
-            .agg(*nmean_aggs)
-            .collect(),  # <= IVF_CELLS rows
-            key=lambda r: r["cell"],
-        )
-        cells = [r["cell"] for r in rows]
-        cents = np.array(
-            [[r[f"m{i}"] for i in range(1, DIM + 1)] for r in rows],
-            dtype=np.float64,
+        _rows, cells, cents = _km_stats_rows(
+            corpus.mapInPandas(
+                _km_assign_stats_factory(cents, cells, normalize=True),
+                schema=_KM_STATS_SCHEMA,
+            )
         )
     cell_pos = {c: k for k, c in enumerate(cells)}
     # NOTE r12 opt: no separate inverted-file assignment pass — the
@@ -3108,40 +3358,16 @@ def sim_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         for s in range(PQ_M)
     }
 
-    # train: pass-1 residual encode + ONE unpivoted (s, code) hash
-    # aggregate over residual components — the _pq_train shape
-    pass1 = corpus.mapInPandas(
-        _res_factory(cents, cells, init, emit_residuals=True),
-        schema=_RES_PASS1_SCHEMA,
-    )
-    stack_args: list[str] = []
-    for s in range(PQ_M):
-        stack_args.append(str(s))
-        stack_args.append(f"c{s}")
-        stack_args += [
-            f"r{s * PQ_SUBDIM + j}" for j in range(1, PQ_SUBDIM + 1)
-        ]
-    xcols = ", ".join(f"x{j}" for j in range(1, PQ_SUBDIM + 1))
-    unpivoted = pass1.selectExpr(
-        f"stack({PQ_M}, {', '.join(stack_args)}) AS (s, code, {xcols})"
-    )
-    mean_aggs = [
-        F.expr(_km_mean_sql(f"x{j}")).alias(f"m{j}")
-        for j in range(1, PQ_SUBDIM + 1)
-    ]
-    all_rows = unpivoted.groupBy("s", "code").agg(*mean_aggs).collect()
-    trained: dict[int, tuple[list[int], "np.ndarray"]] = {}
-    for s in range(PQ_M):
-        rows = sorted(
-            (r for r in all_rows if r["s"] == s), key=lambda r: r["code"]
+    # train: pass-1 residual encode FUSED with the (s, code) training
+    # sums (r13 — previously the pass shipped 64 residual doubles per
+    # vector back through Arrow into a stack unpivot + decimal
+    # aggregate; the int64 micro sums are bit-equal, see _micro_halfup)
+    trained = _pq_stats_trained(
+        corpus.mapInPandas(
+            _res_train_stats_factory(cents, cells, init),
+            schema=_PQ_STATS_SCHEMA,
         )
-        trained[s] = (
-            [r["code"] for r in rows],
-            np.array(
-                [[r[f"m{j}"] for j in range(1, PQ_SUBDIM + 1)] for r in rows],
-                dtype=np.float64,
-            ),
-        )
+    )
 
     # Persisted: the final plan references the trained codes TWICE
     # (the probe join's inverted file and the exploded ADC input) —

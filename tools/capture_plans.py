@@ -101,8 +101,11 @@ def per_query_jobs(evdir: str) -> dict[str, list[str]]:
 def main() -> None:
     sf_dir, tag = sys.argv[1], sys.argv[2]
     names = sys.argv[3:]
-    outdir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r12")
+    outdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"),
+    )
     os.makedirs(outdir, exist_ok=True)
     evdir = tempfile.mkdtemp(prefix="plan_events_")
 
@@ -141,6 +144,12 @@ def main() -> None:
         print(f"# {name}: build {t0b - t0:.2f}s noop {t1 - t0b:.2f}s",
               file=sys.stderr)
         spark.sparkContext.setJobDescription(None)
+        # same inter-query isolation as bench.py: release registry-held
+        # persists too, so one query's resident cache can't contaminate
+        # the next query's job counts
+        from motorway_spark.maintenance import CACHES
+
+        CACHES.release_all()
         spark.catalog.clearCache()
 
     spark.stop()
