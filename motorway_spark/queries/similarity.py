@@ -1574,39 +1574,44 @@ def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     north-star ANN family (SURVEY.md §2b) with the training step every
     IVF deployment needs.
     """
-    import math
-
     corpus, cells1, c1 = _lloyd_c1(spark, sf_dir)
     # r13: the A2 aggregate runs as the fused stats pass (per-cell
     # int64 micro sums; see _km_assign_stats_factory) and the 8-row
-    # report is composed driver-side with the identical arithmetic:
-    # checksum = FLOOR((m1 + ... + m64) * 1e6 + 0.5)/1e6 with the same
-    # left-to-right IEEE add chain, inertia = CAST(sum dmicro AS
-    # DOUBLE)/1e6. Everything still computes from the parquet corpus
-    # on every invocation — only the final 8-row reduction moved.
+    # report closes IN the returned plan with the identical
+    # arithmetic: each mean replays _km_mean_sql's closing ops
+    # (FLOOR((2u+n)/(2n))/1e6 over the exact bigint micro sum),
+    # checksum keeps the left-to-right IEEE add chain, inertia =
+    # CAST(SUM(dmicro) AS DOUBLE)/1e6. One distributed plan, no
+    # driver round trip — the noop/bench action drives it directly.
     stats = corpus.mapInPandas(
         _km_assign_stats_factory(c1, cells1), schema=_KM_STATS_SCHEMA
     )
-    rows, _cells2, c2 = _km_stats_rows(stats)
-    out_rows = []
-    for k, r in enumerate(rows):
-        s = 0.0
-        for j in range(DIM):
-            s = s + float(c2[k, j])
-        checksum = float(math.floor(s * 1000000.0 + 0.5)) / 1000000.0
-        out_rows.append(
-            (
-                int(r["cell"]),
-                int(r["n"]),
-                checksum,
-                float(r["dmicro"]) / 1000000.0,
-            )
+    agg = stats.groupBy("cell").agg(
+        F.sum("n").alias("n_members"),
+        F.sum("dmicro").alias("__dm"),
+        *[F.sum(f"s{i}").alias(f"u{i}") for i in range(1, DIM + 1)],
+    )
+    mean_sql = (
+        "CAST(FLOOR(CAST(2 * u{i} + n_members AS DOUBLE)"
+        " / CAST(2 * n_members AS DOUBLE)) AS DOUBLE) / 1000000.0"
+    )
+    with_means = agg.selectExpr(
+        "cell",
+        "n_members",
+        "__dm",
+        *[f"{mean_sql.format(i=i)} AS m{i}" for i in range(1, DIM + 1)],
+    )
+    chain = " + ".join(f"m{i}" for i in range(1, DIM + 1))
+    return (
+        with_means.selectExpr(
+            "cell",
+            "n_members",
+            f"CAST(FLOOR(({chain}) * 1000000.0 + 0.5) AS DOUBLE)"
+            " / 1000000.0 AS centroid_checksum",
+            "CAST(__dm AS DOUBLE) / 1000000.0 AS inertia",
         )
-    return spark.createDataFrame(
-        out_rows,
-        "cell int, n_members bigint, centroid_checksum double,"
-        " inertia double",
-    ).orderBy("cell")
+        .orderBy("cell")
+    )
 
 
 def _km_converged_oracle() -> str:
