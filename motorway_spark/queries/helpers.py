@@ -170,3 +170,80 @@ def distributed_ntile(df, n_tiles: int, sort_cols: list, out_col: str):
     return ranked.withColumn(out_col, bucket.cast("int")).drop(
         "__pid", "__pos", "__off", "__total", "__c"
     )
+
+
+def scale_partitions(
+    spark,
+    sf_dir: str,
+    table: str,
+    floor_bytes: int = 4 << 20,
+    target_bytes: int = 128 << 20,
+) -> int:
+    """Fan-out width for a repartition feeding a PYTHON pass, derived
+    from the input's on-disk size instead of the fixed
+    ``defaultParallelism`` constant (guide §2: partitioning must be
+    scale-adaptive, not tuned to either local mode or the cluster).
+
+    Every mapInPandas task costs a Python-worker round trip (~0.1 s
+    floor locally), so 32 tasks over the 0.8 MB sf0.1 embeddings file
+    waste ~30 round trips per pass — while at 100 TB the same constant
+    would under-split. This returns ~one partition per ``floor_bytes``
+    of parquet for small inputs (capped at the core count) and ~one
+    per ``target_bytes`` for large inputs (the guide's 128 MB-1 GB
+    shuffle-partition band), so the SAME call site is right at sf0.001
+    and at cluster scale. Falls back to defaultParallelism when the
+    path cannot be stat'ed (non-filesystem sources)."""
+    import math
+    import os
+
+    par = spark.sparkContext.defaultParallelism
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(path):
+            nbytes = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _dirs, files in os.walk(path)
+                for f in files
+                if f.endswith(".parquet")
+            )
+        else:
+            nbytes = os.path.getsize(path)
+    except OSError:
+        return par
+    return max(
+        math.ceil(nbytes / target_bytes),
+        min(par, max(1, math.ceil(nbytes / floor_bytes))),
+    )
+
+
+def scale_partitions_df(
+    df,
+    floor_bytes: int = 4 << 20,
+    target_bytes: int = 128 << 20,
+) -> int:
+    """scale_partitions for a DataFrame whose source path isn't in
+    scope: sums the scan's input files (``df.inputFiles()``, a driver
+    metadata call). Falls back to defaultParallelism when the plan has
+    no file scan or the files can't be stat'ed."""
+    import math
+    import os
+    from urllib.parse import unquote, urlparse
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+        if not files:
+            return par
+        nbytes = 0
+        for f in files:
+            p = urlparse(f)
+            local = unquote(p.path) if p.scheme in ("file", "") else None
+            if local is None:
+                return par  # non-local FS: size unknown, keep default
+            nbytes += os.path.getsize(local)
+    except Exception:  # noqa: BLE001 — any failure keeps old behavior
+        return par
+    return max(
+        math.ceil(nbytes / target_bytes),
+        min(par, max(1, math.ceil(nbytes / floor_bytes))),
+    )

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from motorway_spark.catalog import Catalog
+from motorway_spark.queries.helpers import scale_partitions, scale_partitions_df
 from motorway_spark.queries.registry import query
 
 N_QUERIES = 20  # vec_id < 20 are the query vectors
@@ -304,7 +305,8 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.concat(out)
 
-    par = spark.sparkContext.defaultParallelism
+    # r13: corpus-size-derived fan-out for the Python pass (guide §2)
+    par = scale_partitions(spark, sf_dir, "embeddings")
     bucketed = (
         emb.repartition(par)
         .select("vec_id", "embedding")
@@ -535,7 +537,8 @@ def sim_ann_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    par = spark.sparkContext.defaultParallelism
+    # r13: corpus-size-derived fan-out for the Python pass (guide §2)
+    par = scale_partitions(spark, sf_dir, "embeddings")
     assigned = (
         emb.repartition(par)
         .select("vec_id", "embedding")
@@ -866,7 +869,9 @@ def semdedup_flags(
                 }
             )
 
-    par = spark.sparkContext.defaultParallelism
+    # r13: input-size-derived fan-out for the Python pass (guide §2;
+    # frame variant — this helper takes any (vec_id, embedding) frame)
+    par = scale_partitions_df(vectors)
     assigned = (
         _valid_vectors(vectors)
         .repartition(par)
@@ -1470,7 +1475,12 @@ def _lloyd_fit(
     from motorway_spark.maintenance import CACHES
 
     emb = _valid_vectors(Catalog(spark, sf_dir).embeddings)
-    par = spark.sparkContext.defaultParallelism
+    # r13: fan-out width derived from the corpus size (guide §2 —
+    # scale-adaptive partitioning): every Lloyd pass is a mapInPandas
+    # Python round trip per task, so a core-count constant wastes ~30
+    # worker round trips per pass on the sub-MB bench corpus while
+    # still under-splitting a 100 TB one.
+    par = scale_partitions(spark, sf_dir, "embeddings")
     corpus = CACHES.persist_swap(
         "lloyd.corpus", emb.repartition(par).select("vec_id", "embedding")
     )
@@ -2544,7 +2554,8 @@ def sim_ann_pq_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from motorway_spark.maintenance import CACHES
 
     emb = _valid_vectors(Catalog(spark, sf_dir).embeddings)
-    par = spark.sparkContext.defaultParallelism
+    # r13: corpus-size-derived fan-out (see _lloyd_fit / guide §2)
+    par = scale_partitions(spark, sf_dir, "embeddings")
     corpus = CACHES.persist_swap(
         "pq_lloyd.corpus", emb.repartition(par).select("vec_id", "embedding")
     )
@@ -3298,7 +3309,8 @@ def sim_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     from motorway_spark.maintenance import CACHES
 
     emb = _valid_vectors(Catalog(spark, sf_dir).embeddings)
-    par = spark.sparkContext.defaultParallelism
+    # r13: corpus-size-derived fan-out (see _lloyd_fit / guide §2)
+    par = scale_partitions(spark, sf_dir, "embeddings")
     corpus = CACHES.persist_swap(
         "ivfpq_res.corpus",
         emb.repartition(par).select("vec_id", "embedding"),

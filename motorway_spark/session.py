@@ -50,6 +50,22 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # Join strategy (guide §3.1, r12 verdict item 3): let the
+        # planner pick shuffled-hash over sort-merge when the per-
+        # partition build side fits — no sort of either side, and AQE
+        # rewrites SMJ->SHJ at runtime when every post-shuffle
+        # partition is under the local-map threshold (128m: above the
+        # 64m advisory size so the AQE rule can fire; build-side hash
+        # maps stay partition-sized, and AQE skew-join still splits
+        # oversized partitions for BOTH join kinds). At 100 TB the
+        # same settings hold: the threshold bounds per-task build
+        # memory, and genuinely huge-per-partition joins still plan
+        # as sort-merge.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "128m",
+        )
         # NOTE: the "Timed out while waiting for the Python worker to
         # connect back" flake under load is a HARDCODED 10 s accept
         # timeout (PythonWorkerFactory.PROCESS_WAIT_TIMEOUT_MS) — no
