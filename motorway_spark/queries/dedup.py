@@ -250,6 +250,16 @@ def band_candidates(
             .select("band", "bucket")
         )
         bands = bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    # r13 (guide §2): pin the pair join's shuffle width — see
+    # _minhash_est_pairs for the full rationale (AQE's byte-based
+    # coalescing cannot see the ~width² in-stage expansion; an explicit
+    # keyed repartition is never coalesced and the join reuses it).
+    from motorway_spark.queries.helpers import scale_partitions_df
+
+    npart = scale_partitions_df(
+        bands, floor_bytes=128 << 10, target_bytes=32 << 20
+    )
+    bands = bands.repartition(npart, "band", "bucket")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -393,6 +403,26 @@ def _minhash_est_pairs(docs: DataFrame, max_bucket_width: int | None = None) -> 
             .select("band", "bucket")
         )
         bands = bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    # r13 (guide §2): pin the pair join's shuffle width. The band
+    # self-join EXPANDS ~width² rows per bucket, which AQE's byte-based
+    # coalescing cannot see — measured at sf1 it coalesced this join to
+    # 2 tasks and serialized ~13 minutes of pair work on 32 cores
+    # (stage 426/435: 2 tasks, 813 task-seconds). An explicit
+    # repartition on the join keys is never coalesced by AQE and the
+    # join reuses the partitioning (same keys, same count), so the
+    # quadratic work spreads over a width derived from the INPUT size
+    # with an expansion-aware per-task budget: ~128 KB of band rows
+    # per task up to the core count locally, 32 MB per task at scale —
+    # the CAPPED production path then emits ~cap x 32 MB of pairs per
+    # task. Results are partition-independent (the pair set per bucket
+    # is fixed; first(mh) is value-deterministic because every row of
+    # a (doc_a, doc_b) group carries identical signatures).
+    from motorway_spark.queries.helpers import scale_partitions_df
+
+    npart = scale_partitions_df(
+        docs, floor_bytes=128 << 10, target_bytes=32 << 20
+    )
+    bands = bands.repartition(npart, "band", "bucket")
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (

@@ -79,7 +79,13 @@ def main() -> int:
     # shuffle metrics
     job_of_stage: dict[int, str] = {}
     agg = defaultdict(lambda: defaultdict(float))
-    for ev in iter_event_lines(evdir):
+    for line in iter_event_lines(evdir):
+        try:
+            ev = json.loads(line)
+        except (TypeError, ValueError):
+            continue
+        if not isinstance(ev, dict):
+            continue
         kind = ev.get("Event")
         if kind == "SparkListenerJobStart":
             desc = (ev.get("Properties") or {}).get(
