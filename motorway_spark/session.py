@@ -66,6 +66,15 @@ def get_session(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             "128m",
         )
+        # Shuffle codec (guide §2.3, r12 verdict item 9): zstd halves
+        # shuffle bytes vs lz4 on the heaviest shufflers (measured at
+        # sf1, event-log Shuffle Bytes Written: dedup_minhash 5.33 GB
+        # -> 2.32 GB, market_basket 594 -> 303 MB, triangle 377 -> 187
+        # MB) at wall-neutral local cost (interleaved A/B on the
+        # biggest shuffler: lz4 126.6/82.7 s, zstd 102.3/105.0 s —
+        # equal within host noise). On a network-bound cluster the
+        # halved bytes are the lever; locally it is free.
+        .config("spark.io.compression.codec", "zstd")
         # NOTE: the "Timed out while waiting for the Python worker to
         # connect back" flake under load is a HARDCODED 10 s accept
         # timeout (PythonWorkerFactory.PROCESS_WAIT_TIMEOUT_MS) — no
