@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from motorway_spark.catalog import Catalog
-from motorway_spark.queries.helpers import dsum, sql_dsum
+from motorway_spark.queries.helpers import dec, sql_dsum
 from motorway_spark.queries.registry import query
 
 _CUT = "TIMESTAMP '1999-01-01 00:00:00'"
@@ -106,26 +106,40 @@ def _build_table(spark: SparkSession, sf_dir: str, tag: str):
         shutil.rmtree(prev, ignore_errors=True)
     orders = Catalog(spark, sf_dir).table("orders")
     cut = F.expr(_CUT)
-    # persisted: early feeds commit 1's upsert AND commit 3's delete-key
-    # derivation — one orders scan+shuffle instead of one per consumer
-    # (guide §5); released after the last commit below
-    early = (
-        orders.filter(F.col("o_orderdate") < cut)
-        .groupBy("o_custkey")
-        .agg(F.count("*").alias("n_orders"),
-             dsum("o_totalprice", "total_spend"))
+    is_early = F.col("o_orderdate") < cut
+    is_late = F.col("o_orderdate") >= cut
+    # ONE orders scan + ONE shuffle feeds all three commits: the early
+    # aggregate, the late-customer full aggregate, and the delete-key
+    # derivation are all slices of a single per-customer conditional
+    # aggregate (guide §1.2/§2.4 — the previous form scanned orders
+    # three times: early agg, late-keys distinct, full agg + semi
+    # join). Bit-identical by construction: SUM ignores NULLs, so
+    # sum(CASE WHEN early THEN dec(price) END) over all rows equals
+    # sum(dec(price)) over the early-filtered rows — decimal addition
+    # is exact and order-free — and count(CASE ...) is the filtered
+    # COUNT(*). Membership tests (__n_early > 0, __n_late > 0) are
+    # exactly the groupBy-on-filtered / late_keys-semi-join sets.
+    # Persisted: customer-count-sized, released after the last commit.
+    base = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("__n_total"),
+            F.sum(dec("o_totalprice")).alias("__sd_total"),
+            F.count(F.when(is_early, F.lit(1))).alias("__n_early"),
+            F.sum(F.when(is_early, dec("o_totalprice"))).alias("__sd_early"),
+            F.count(F.when(is_late, F.lit(1))).alias("__n_late"),
+        )
         .persist()
     )
-    late_keys = (
-        orders.filter(F.col("o_orderdate") >= cut)
-        .select("o_custkey")
-        .distinct()
+    early = base.filter(F.col("__n_early") > 0).select(
+        "o_custkey",
+        F.col("__n_early").alias("n_orders"),
+        F.round(F.col("__sd_early").cast("double"), 4).alias("total_spend"),
     )
-    late_full = (
-        orders.groupBy("o_custkey")
-        .agg(F.count("*").alias("n_orders"),
-             dsum("o_totalprice", "total_spend"))
-        .join(late_keys, "o_custkey", "left_semi")
+    late_full = base.filter(F.col("__n_late") > 0).select(
+        "o_custkey",
+        F.col("__n_total").alias("n_orders"),
+        F.round(F.col("__sd_total").cast("double"), 4).alias("total_spend"),
     )
     table_dir = tempfile.mkdtemp(prefix=f"cdc_{tag}_")
     _LAST_DIRS[tag] = table_dir
@@ -136,10 +150,10 @@ def _build_table(spark: SparkSession, sf_dir: str, tag: str):
         sink.upsert_batch(early, batch_id=0)  # commit seq 1 (append)
         sink.upsert_batch(late_full, batch_id=1)  # commit seq 2 (merge)
         sink.delete_keys(  # commit seq 3
-            early.filter(F.col("n_orders") == 1).select("o_custkey")
+            base.filter(F.col("__n_early") == 1).select("o_custkey")
         )
     finally:
-        early.unpersist()
+        base.unpersist()
     return sink
 
 

@@ -180,7 +180,7 @@ def sql_facade_manifest_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from motorway_spark.catalog import Catalog
-    from motorway_spark.queries.helpers import dsum
+    from motorway_spark.queries.helpers import dec
     from motorway_spark.sinks import UpsertParquetSink
     from motorway_spark.sqlapi import sql as facade_sql
 
@@ -190,34 +190,46 @@ def sql_facade_manifest_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = Catalog(spark, sf_dir).table("orders")
     cut = F.expr(_CUT)
-    early = (
-        orders.filter(F.col("o_orderdate") < cut)
-        .groupBy("o_custkey")
-        .agg(
-            F.count("*").alias("n_orders"),
-            dsum("o_totalprice", "total_spend"),
-        )
-    )
-    late_keys = (
-        orders.filter(F.col("o_orderdate") >= cut)
-        .select("o_custkey")
-        .distinct()
-    )
-    fullagg = (
+    is_early = F.col("o_orderdate") < cut
+    is_late = F.col("o_orderdate") >= cut
+    # ONE orders scan + ONE shuffle feeds both batches (previously
+    # three scans: early agg, late-keys distinct, full agg + semi
+    # join). Bit-identical: SUM skips NULLs, so the conditional
+    # decimal sums equal the filtered ones exactly, and the membership
+    # filters reproduce the groupBy/semi-join sets — same derivation
+    # as queries/changefeed.py's _build_table. Persisted because both
+    # upsert batches slice it; released after the second commit.
+    base = (
         orders.groupBy("o_custkey")
         .agg(
-            F.count("*").alias("n_orders"),
-            dsum("o_totalprice", "total_spend"),
+            F.count("*").alias("__n_total"),
+            F.sum(dec("o_totalprice")).alias("__sd_total"),
+            F.count(F.when(is_early, F.lit(1))).alias("__n_early"),
+            F.sum(F.when(is_early, dec("o_totalprice"))).alias("__sd_early"),
+            F.count(F.when(is_late, F.lit(1))).alias("__n_late"),
         )
-        .join(late_keys, "o_custkey", "left_semi")
+        .persist()
+    )
+    early = base.filter(F.col("__n_early") > 0).select(
+        "o_custkey",
+        F.col("__n_early").alias("n_orders"),
+        F.round(F.col("__sd_early").cast("double"), 4).alias("total_spend"),
+    )
+    fullagg = base.filter(F.col("__n_late") > 0).select(
+        "o_custkey",
+        F.col("__n_total").alias("n_orders"),
+        F.round(F.col("__sd_total").cast("double"), 4).alias("total_spend"),
     )
     table_dir = tempfile.mkdtemp(prefix="facade_cust_orders_")
     _LAST_FACADE_TABLE_DIR = table_dir
     sink = UpsertParquetSink(
         spark, table_dir, key_cols=["o_custkey"], num_buckets=16
     )
-    sink.upsert_batch(early, batch_id=0)
-    sink.upsert_batch(fullagg, batch_id=1)
+    try:
+        sink.upsert_batch(early, batch_id=0)
+        sink.upsert_batch(fullagg, batch_id=1)
+    finally:
+        base.unpersist()
     out = facade_sql(
         f"""
         SELECT n_orders, COUNT(*) AS n_customers,
