@@ -33,7 +33,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from motorway_spark.catalog import Catalog
@@ -707,16 +707,33 @@ def dq_split_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_train").cast("bigint").alias("n_train"),
         F.sum(1 - F.col("is_train")).cast("bigint").alias("n_test"),
     )
-    m = cnt.agg(
-        F.sum("n_train").cast("bigint").alias("tot_train"),
-        F.sum("n_test").cast("bigint").alias("tot_test"),
-        F.sum(F.col("n_train") + F.col("n_test")).cast("bigint").alias("tot"),
+    # margins as an unbounded window over the ≤11-row bucket table —
+    # the previous cnt.agg() + crossJoin referenced the cnt subtree
+    # twice and ReusedExchange does not fire across the differing
+    # aggregate levels, so the documents scan + tokenize ran TWICE
+    # (plan-audited: 2 FileScans -> 1). The window's single-partition
+    # exchange sees only the bucket rows; bigint sums are exact in any
+    # order, so every margin is bit-identical.
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    return cnt.crossJoin(F.broadcast(m)).select(
-        "bucket",
-        "n_train",
-        "n_test",
-        F.round(F.expr(_CHI2_CONTRIB).cast("double"), 6).alias("chi2_contrib"),
+    return (
+        cnt.select(
+            "bucket",
+            "n_train",
+            "n_test",
+            F.sum("n_train").over(wall).alias("tot_train"),
+            F.sum("n_test").over(wall).alias("tot_test"),
+            F.sum(F.col("n_train") + F.col("n_test")).over(wall).alias("tot"),
+        )
+        .select(
+            "bucket",
+            "n_train",
+            "n_test",
+            F.round(F.expr(_CHI2_CONTRIB).cast("double"), 6).alias(
+                "chi2_contrib"
+            ),
+        )
     )
 
 
@@ -781,11 +798,18 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(LEFT(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS STRING), 1) AS INT)"
         ).alias("digit")
     )
-    tot = digits.agg(F.count(F.lit(1)).alias("n_total"))
+    # n_total as an unbounded window over the 9-row digit table — the
+    # previous digits.agg() + crossJoin scanned orders twice (same
+    # no-ReusedExchange shape as dq_split_drift_chi2, plan-audited:
+    # 2 FileScans -> 1). sum(n) over the groups is exactly COUNT(*) of
+    # digits (bigint-exact in any order).
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     freq = (
         digits.groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
-        .crossJoin(F.broadcast(tot))
+        .withColumn("n_total", F.sum("n").over(wall))
         .withColumn(
             "f_micro",
             F.expr(

@@ -629,6 +629,11 @@ def basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     C(|brands|, 2) rows at any data size. Support and lift are single
     fixed IEEE expressions over exact integer counts."""
     cat = Catalog(spark, sf_dir)
+    # ob feeds four plan branches — deliberately NOT persisted: the
+    # same-session interleaved A/B at sf0.1 read 3.66 s original vs
+    # 4.26 s with the ob persist (the branches execute concurrently
+    # inside one job on idle cores; the eager fill serializes — guide
+    # §5/§1.3: cache only when recompute is measurably dearer).
     ob = (
         cat.lineitem.join(
             cat.part, F.col("l_partkey") == F.col("p_partkey")

@@ -310,6 +310,12 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
     )
+    # Deliberately kept as three parallel branches of one job: caching
+    # the (doc, term) tf rollup to cut the explode to one pass was
+    # measured SLOWER at sf0.1 (same-session interleaved best-of-3
+    # 1.51 -> 1.87 s) — the redundant branches run concurrently on
+    # idle cores while an eager persist fill serializes (guide §5/
+    # §1.3).
     tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
     df = tok.groupBy("t").agg(F.count_distinct("doc_id").alias("df"))
     n_docs = tok.agg(F.count_distinct("doc_id").alias("n"))
@@ -782,10 +788,22 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Catalog(spark, sf_dir).documents
     tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.sum("dl").cast("bigint").alias("total_dl"),
-        F.count(F.lit(1)).alias("n"),
+    # Three token explodes instead of four (guide §1.2): corpus stats
+    # ride dl as unbounded-window columns (bigint sums, exact in any
+    # order) instead of a dl.agg() + crossJoin that re-ran the explode
+    # + doc rollup a fourth time. Caching the query-term tf to also
+    # fold dfq into it was measured SLOWER at sf0.1 (same-session
+    # interleaved A/B 1.01 -> 1.32 s — eager fill serializes branches
+    # that otherwise run concurrently; guide §5/§1.3), so tf and dfq
+    # keep their parallel branches.
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dl = (
+        tok.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dl"))
+        .withColumn("total_dl", F.sum("dl").over(wall).cast("bigint"))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
     )
     qtok = tok.filter(F.col("t").isin(*BM25_TERMS))
     tf = qtok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
@@ -793,7 +811,6 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib = (
         tf.join(F.broadcast(dfq), "t")
         .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
         .select("doc_id", F.expr(_BM25_CONTRIB).alias("c"))
     )
     scored = contrib.groupBy("doc_id").agg(

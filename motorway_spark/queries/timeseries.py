@@ -468,30 +468,56 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     microsecond instants; counts are integers; the conversion fractions
     are single integer/integer IEEE divisions — bit-identical
     cross-engine."""
+    from pyspark.sql import Window as W
+
     events = Catalog(spark, sf_dir).events
-    v = (
-        events.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    # ONE events scan + ONE user_id exchange: the three stage entry
+    # times are per-user window minima over the same partitioning (the
+    # three Window nodes and the per-user rollup all reuse one
+    # exchange), replacing three filtered scans + two user-keyed joins
+    # + three count aggregates whose shared subtrees each re-ran the
+    # scan — 6 FileScans -> 1 (guide §1.2/§2.4). Semantics identical:
+    # t1 = min view ts (NULL when none); a click row qualifies for t2
+    # iff ts >= t1 (a NULL t1 disqualifies it, exactly the inner join
+    # against v); t3 likewise against t2. n_view counts users with >=1
+    # view ROW (hv flag — v kept a user even when every view ts is
+    # NULL), n_click/n_purchase count non-NULL t2/t3 (c/p rows always
+    # carry non-NULL minima by construction).
+    wu = W.partitionBy("user_id")
+    typ = F.col("event_type")
+    staged = (
+        events.where(typ.isin("view", "click", "purchase"))
+        .select("user_id", "event_type", "ts")
+        .withColumn("hv", F.max(F.when(typ == "view", 1)).over(wu))
+        .withColumn("t1", F.min(F.when(typ == "view", F.col("ts"))).over(wu))
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (typ == "click") & (F.col("ts") >= F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(wu),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (typ == "purchase") & (F.col("ts") >= F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(wu),
+        )
     )
-    c = (
-        events.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(F.col("ts") >= F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    per_user = staged.groupBy("user_id").agg(
+        F.max("hv").alias("hv"),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
     )
-    p = (
-        events.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(F.col("ts") >= F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    counts = (
-        v.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+    counts = per_user.agg(
+        F.count("hv").alias("n_view"),
+        F.count("t2").alias("n_click"),
+        F.count("t3").alias("n_purchase"),
     )
     return counts.select(
         F.expr(
@@ -1156,16 +1182,24 @@ def orders_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(38,2)")).alias("rev")
     )
     w = W.orderBy(F.desc("rev"), "o_custkey")
-    ranked = cust_rev.select(
+    # total/n ride the SAME global window as the prefix sum (unbounded
+    # frame, no new exchange or sort) — the previous cust_rev.agg() +
+    # crossJoin referenced the customer rollup twice and re-ran the
+    # orders scan + aggregate per side (no exchange reuse across the
+    # divergent tops; guide §1.2/§2.4). Decimal/bigint sums are exact
+    # in any order, so total and n are bit-identical.
+    joined = cust_rev.select(
         "rev",
         F.sum("rev").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
         F.row_number().over(w).alias("rnk"),
+        F.sum("rev")
+        .over(w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .cast("decimal(38,2)")
+        .alias("total"),
+        F.count(F.lit(1))
+        .over(w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("n"),
     )
-    tot = cust_rev.agg(
-        F.sum("rev").cast("decimal(38,2)").alias("total"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    joined = ranked.crossJoin(F.broadcast(tot))
     zero = F.lit(0).cast("decimal(38,2)")
     return (
         joined.groupBy("n", "total")

@@ -720,9 +720,17 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(dec("l_extendedprice")).alias("val"))
     )
-    total = value_by_part.agg(F.sum("val").alias("tot"))
+    # the grand total rides an unbounded window over the part rollup —
+    # the previous value_by_part.agg() + crossJoin referenced the
+    # rollup twice and re-ran the lineitem ⋈ supplier join + aggregate
+    # per side (guide §1.2/§2.4); the window's single-partition
+    # exchange sees only the part-level rows, and the exact decimal
+    # sum is order-free, so tot is bit-identical
+    from pyspark.sql import Window as W
+
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return (
-        value_by_part.crossJoin(F.broadcast(total))
+        value_by_part.withColumn("tot", F.sum("val").over(wall))
         .filter(F.col("val") * 1000 > F.col("tot"))
         .select(
             F.col("l_partkey").alias("partkey"),
@@ -961,6 +969,15 @@ def orders_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = cat.lineitem.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     )
+    # Deliberately NO persists despite sup/pairs feeding two plan
+    # branches each: a same-session interleaved A/B at sf0.1 measured
+    # the original redundant-branch plan at 2.3 s best-of-3 vs 3.3 s
+    # with the pairs persist and 3.6 s with both persists — the
+    # duplicate subtrees execute CONCURRENTLY inside one job on idle
+    # cores, while an eager persist fill serializes ahead of the main
+    # job (guide §5: cache only when recompute is dearer; §1.3: stop
+    # when the measurement says no). At cluster scale the branches
+    # still run as one job with shared scan caching underneath.
     sup = li.distinct().groupBy("pk").agg(F.count(F.lit(1)).alias("sup"))
     n = li.agg(F.count_distinct("ok").alias("n_orders"))
     baskets = li.groupBy("ok").agg(F.sort_array(F.collect_set("pk")).alias("pks"))
