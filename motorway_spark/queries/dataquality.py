@@ -144,23 +144,26 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     orders, lineitem, customer = cat.orders, cat.lineitem, cat.customer
 
-    def _conditional(table_df: DataFrame, table: str) -> DataFrame:
+    # PK-uniqueness rides the same aggregate as the row checks — ONE
+    # scan per table instead of two (guide §1.2). A SINGLE distinct
+    # aggregate alongside plain ones does not trigger the multi-
+    # distinct Expand multiplier (the profile_columns trap needs >= 2
+    # distinct columns); counts are integer-exact either way.
+    def _conditional(table_df: DataFrame, table: str, uniq) -> DataFrame:
         aggs = [F.count(F.lit(1)).alias(f"{table}__rows")]
         for name, tbl, pred in _ROW_CHECKS:
             if tbl == table:
                 aggs.append(F.expr(f"count_if({pred})").alias(f"v__{name}"))
+        aggs.append(
+            (F.count(F.lit(1)) - F.count_distinct(uniq)).alias(
+                f"v__{table}_pk_unique"
+            )
+        )
         return table_df.agg(*aggs)
 
-    o_cond = _conditional(orders, "orders")
-    l_cond = _conditional(lineitem, "lineitem")
-    o_uniq = orders.agg(
-        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("v__orders_pk_unique")
-    )
-    l_uniq = lineitem.agg(
-        (
-            F.count(F.lit(1))
-            - F.count_distinct(F.struct("l_orderkey", "l_linenumber"))
-        ).alias("v__lineitem_pk_unique")
+    o_cond = _conditional(orders, "orders", F.col("o_orderkey"))
+    l_cond = _conditional(
+        lineitem, "lineitem", F.struct("l_orderkey", "l_linenumber")
     )
     o_fk = (
         orders.select("o_custkey")
@@ -174,7 +177,7 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     wide = o_cond
-    for one_row in (l_cond, o_uniq, l_uniq, o_fk, l_fk):
+    for one_row in (l_cond, o_fk, l_fk):
         wide = wide.crossJoin(one_row)
 
     rows = [(name, f"{tbl}__rows") for name, tbl, _ in _ROW_CHECKS]
