@@ -3671,49 +3671,31 @@ def dq_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _valid_vectors(Catalog(spark, sf_dir).embeddings).filter(
         F.col("label").isNotNull()
     )
-
-    # ONE corpus scan + ONE aggregate: the two halves' centroids are
-    # conditional aggregates of the same groupBy(label) instead of a
-    # groupBy(label, half) self-joined on label — the join planned the
-    # 64-sum decimal aggregate (and the corpus scan under it) TWICE,
-    # once per side, with no exchange reuse (guide §1.2/§2.4; plan
-    # audit: 2 FileScans + 4 HashAggregates + join -> 1 FileScan +
-    # 2 HashAggregates, no join). Bit-identical: SUM skips NULLs, so
-    # SUM(CASE WHEN half THEN dec(x) END) equals the per-half
-    # partitioned sum exactly, COUNT(CASE ...) the per-half count, and
-    # the closing half-up integer mean replays _km_mean_sql verbatim
-    # on those sums. Labels missing a half (inner join before) are
-    # dropped by the count filter.
-    def half_mean(i: int, h: int) -> str:
-        # _km_mean_sql with SUM/COUNT replaced by their conditional
-        # forms; identical IEEE/integer ops otherwise
-        u = (
-            f"CAST(SUM(CASE WHEN half = {h} THEN "
-            f"CAST(CAST(element_at(embedding, {i}) AS DOUBLE) "
-            f"AS DECIMAL(38,6)) END) * 1000000 AS BIGINT)"
-        )
-        n = f"COUNT(CASE WHEN half = {h} THEN 1 END)"
-        return (
-            f"CAST(FLOOR(CAST(2 * {u} + {n} AS DOUBLE)"
-            f" / CAST(2 * {n} AS DOUBLE)) AS DOUBLE) / 1000000.0"
-        )
-
-    stats = (
+    # Deliberately the two-branch form: folding both halves into ONE
+    # groupBy(label) of 128 conditional decimal sums (each half's
+    # _km_mean_sql with SUM/COUNT replaced by CASE-conditional forms —
+    # bit-identical, and it halves the scan) was measured SLOWER at
+    # both fixture decades (same-session interleaved best-of-N:
+    # sf0.1 2.80 vs 2.70 s — noise — but sf1 3.37 vs 4.75 s, 0.71x):
+    # the decimal sums dominate, the CASE doubles the expression count
+    # on one task's critical path, and the two 64-sum branches execute
+    # CONCURRENTLY on idle cores while the parquet re-scan they share
+    # is cheap (guide §1.3: the empirical loop overrules the
+    # shuffle-count ideal).
+    halves = (
         emb.withColumn("half", F.col("vec_id") % 2)
-        .groupBy("label")
-        .agg(
-            F.expr("COUNT(CASE WHEN half = 0 THEN 1 END)").alias("n_ref"),
-            F.expr("COUNT(CASE WHEN half = 1 THEN 1 END)").alias("n_cand"),
-            *[
-                F.expr(half_mean(i, 0)).alias(f"r{i}")
-                for i in range(1, DIM + 1)
-            ],
-            *[
-                F.expr(half_mean(i, 1)).alias(f"c{i}")
-                for i in range(1, DIM + 1)
-            ],
-        )
-        .filter((F.col("n_ref") > 0) & (F.col("n_cand") > 0))
+        .groupBy("label", "half")
+        .agg(F.count(F.lit(1)).alias("n"), *_km_mean_aggs())
+    )
+    r = halves.filter(F.col("half") == 0).select(
+        "label",
+        F.col("n").alias("n_ref"),
+        *[F.col(f"m{i}").alias(f"r{i}") for i in range(1, DIM + 1)],
+    )
+    c = halves.filter(F.col("half") == 1).select(
+        "label",
+        F.col("n").alias("n_cand"),
+        *[F.col(f"m{i}").alias(f"c{i}") for i in range(1, DIM + 1)],
     )
     move = F.greatest(
         *[
@@ -3722,7 +3704,8 @@ def dq_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     ).alias("drift_micro")
     return (
-        stats.select(
+        r.join(c, "label")
+        .select(
             F.col("label").cast("int").alias("label"),
             "n_ref",
             "n_cand",
